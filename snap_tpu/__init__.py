@@ -1,0 +1,23 @@
+"""snap-tpu: a TPU-native short-read DNA aligner.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of SNAP
+(the Scalable Nucleotide Alignment Program, reference: amplab/snap).
+The compute path — seed lookup, candidate generation, banded DP scoring,
+MAPQ — runs as batched fixed-shape tensor wavefronts on TPU; the host
+side handles FASTQ/SAM/BAM I/O, index persistence, sorting, and
+duplicate marking.
+
+Unlike the reference (per-read pointer-chasing C++, SSE kernels,
+pthreads), snap-tpu expresses alignment as SPMD array programs:
+reads are batched, seeds are looked up with vectorized hash probes,
+candidates form via sort+segment-reduce, and scoring is an
+anti-diagonal DP wavefront over thousands of (read, window) pairs.
+"""
+
+# 64-bit integers are required for packed seeds (up to 32 bases x 2 bits)
+# and for genome-scale sort keys. We opt in before any other jax import.
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

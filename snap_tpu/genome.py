@@ -1,0 +1,202 @@
+"""Reference genome: one contiguous code array + contig table.
+
+Behavioral reference: SNAP's Genome.{h,cpp} and FASTA.cpp:190
+(ReadFASTAGenome). The genome is a single contiguous array of base codes
+with GENOME_OUTER_PADDING pad bases at each end and `chromosome_padding`
+pad bases separating (and preceding) each contig. Padding uses the PAD
+code (the analogue of SNAP's lowercase 'n', Genome.h:345) so that read Ns
+never match padding. Contigs carry ALT flags (ref: Genome.h:383-400);
+ALT contigs are reordered to the end so "is ALT" is a single location
+comparison (ref: Genome.h:436-438).
+
+Unlike SNAP (byte chars + pointer arithmetic), bases are stored as a
+numpy uint8 code array (0..3 ACGT, 4 N, 5 pad) ready for device transfer
+and 2-bit packing.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .constants import (
+    BASE_DECODE,
+    BASE_ENCODE,
+    BASE_N,
+    DEFAULT_CONTIG_PADDING,
+    GENOME_OUTER_PADDING,
+    PAD,
+)
+
+
+@dataclass
+class Contig:
+    name: str
+    start: int          # genome-array offset of first real base
+    length: int         # number of real bases
+    is_alt: bool = False
+    original_index: int = 0  # position in the input FASTA (for SAM header / sort order)
+
+
+@dataclass
+class Genome:
+    bases: np.ndarray                 # uint8 codes, full padded array
+    contigs: list[Contig] = field(default_factory=list)
+
+    @property
+    def num_bases(self) -> int:
+        return int(self.bases.shape[0])
+
+    # -- contig queries ------------------------------------------------------
+    def contig_starts(self) -> np.ndarray:
+        return np.array([c.start for c in self.contigs], dtype=np.int64)
+
+    def contig_at(self, location: int) -> Contig | None:
+        """The contig containing `location`, or None if it's padding.
+
+        Mirrors Genome::getContigAtLocation semantics: a location inside a
+        contig's [start, start+length) span.
+        """
+        for c in self.contigs:
+            if c.start <= location < c.start + c.length:
+                return c
+        return None
+
+    def contig_index_at(self, location: int) -> int:
+        starts = self.contig_starts()
+        i = int(np.searchsorted(starts, location, side="right")) - 1
+        if i < 0:
+            return -1
+        c = self.contigs[i]
+        return i if location < c.start + c.length else -1
+
+    def substring(self, start: int, length: int) -> np.ndarray:
+        return self.bases[start : start + length]
+
+    def decode(self, start: int, length: int) -> str:
+        return BASE_DECODE[self.substring(start, length)].tobytes().decode()
+
+    # -- persistence ---------------------------------------------------------
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        np.save(os.path.join(directory, "genome_bases.npy"), self.bases)
+        meta = {
+            "contigs": [
+                {
+                    "name": c.name,
+                    "start": c.start,
+                    "length": c.length,
+                    "is_alt": c.is_alt,
+                    "original_index": c.original_index,
+                }
+                for c in self.contigs
+            ],
+        }
+        with open(os.path.join(directory, "genome_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, directory: str, mmap: bool = True) -> "Genome":
+        bases = np.load(
+            os.path.join(directory, "genome_bases.npy"),
+            mmap_mode="r" if mmap else None,
+        )
+        with open(os.path.join(directory, "genome_meta.json")) as f:
+            meta = json.load(f)
+        contigs = [Contig(**c) for c in meta["contigs"]]
+        return cls(bases=bases, contigs=contigs)
+
+
+def load_fasta(
+    path: str,
+    chromosome_padding: int = DEFAULT_CONTIG_PADDING,
+    alt_names: set[str] | None = None,
+    auto_alt: bool = True,
+    max_alt_contig_size: int = 0,
+) -> Genome:
+    """Parse a (optionally gzipped) FASTA into a padded Genome.
+
+    ALT classification follows the reference's auto rule (FASTA.cpp /
+    GenomeIndex.cpp:315-423): names containing '_alt' or starting 'HLA-'
+    are ALT, plus any explicitly named; ALT contigs are moved after all
+    non-ALT contigs (ref: Genome.h:436-438 comment on contig reordering).
+    """
+    opener = gzip.open if path.endswith(".gz") else open
+    names: list[str] = []
+    seqs: list[np.ndarray] = []
+    cur: list[bytes] = []
+
+    def flush():
+        if names and cur is not None:
+            raw = b"".join(cur)
+            seqs.append(BASE_ENCODE[np.frombuffer(raw, dtype=np.uint8)])
+
+    with opener(path, "rb") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(b">"):
+                if names:
+                    flush()
+                    cur.clear()
+                # Contig name terminates at first whitespace (SNAP default)
+                names.append(line[1:].split()[0].decode())
+            else:
+                cur.append(line)
+        if names:
+            flush()
+
+    if not names:
+        raise ValueError(f"no contigs found in {path}")
+
+    def is_alt(name: str, seq_len: int) -> bool:
+        if alt_names and name in alt_names:
+            return True
+        if auto_alt and ("_alt" in name or name.startswith("HLA-")):
+            return True
+        if max_alt_contig_size > 0 and seq_len <= max_alt_contig_size:
+            return True
+        return False
+
+    order = list(range(len(names)))
+    # Stable partition: non-ALT first, ALT last (preserving input order within
+    # each class) — mirrors SNAP's ALT-last reordering.
+    order.sort(key=lambda i: (is_alt(names[i], len(seqs[i])), 0))
+
+    total = (
+        2 * GENOME_OUTER_PADDING
+        + sum(len(s) for s in seqs)
+        + chromosome_padding * len(seqs)
+    )
+    bases = np.full(total, PAD, dtype=np.uint8)
+    contigs: list[Contig] = []
+    pos = GENOME_OUTER_PADDING
+    for i in order:
+        pos += chromosome_padding
+        seq = seqs[i]
+        bases[pos : pos + len(seq)] = seq
+        contigs.append(
+            Contig(
+                name=names[i],
+                start=pos,
+                length=len(seq),
+                is_alt=is_alt(names[i], len(seq)),
+                original_index=i,
+            )
+        )
+        pos += len(seq)
+
+    return Genome(bases=bases, contigs=contigs)
+
+
+def reverse_complement_codes(codes: np.ndarray) -> np.ndarray:
+    """RC in code space: complement = 3 - code for ACGT; N/pad unchanged."""
+    out = codes[::-1].copy()
+    acgt = out < 4
+    out[acgt] = 3 - out[acgt]
+    return out

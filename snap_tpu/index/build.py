@@ -1,0 +1,214 @@
+"""Genome index builder: canonical-seed hash table + CSR hit lists.
+
+Behavioral reference: SNAP's GenomeIndex.cpp (BuildIndexToDirectory,
+GenomeIndex.cpp:527-1010) and HashTable.h. Semantics preserved:
+
+- every non-N seed position contributes its canonical seed
+  min(seed, reverse_complement(seed)) (ref: Seed.h:99
+  isBiggerThanItsReverseComplement);
+- per-seed hit lists are sorted in DESCENDING genome order — the paired
+  intersection walk depends on this (ref: GenomeIndex.cpp:878-884);
+- lookups return forward hits and RC hits separately.
+
+The layout is redesigned for TPU gathers instead of SNAP's multi-table
+packed-byte format: one open-addressed power-of-two hash table whose
+slots carry (key, hits_start, n_fwd, n_rc) as parallel flat arrays, plus
+one flat uint32 `hits` array holding, per key, the orientation-0 list
+followed by the orientation-1 list. Lookup is a bounded linear-probe
+loop of gathers — ideal for a batched [reads x seeds] probe wavefront.
+
+Orientation convention: orientation 0 = genome seed equals the canonical
+seed; orientation 1 = genome seed is the reverse complement of the
+canonical seed. At lookup, a read seed equal to its canonical gets
+fwd=list0 / rc=list1, else swapped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..constants import DEFAULT_SEED_LEN
+from ..genome import Genome
+
+EMPTY_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
+# Safe sentinel: a canonical seed is min(s, rc(s)), and rc(all-ones) = 0,
+# so the all-ones pattern can never be canonical.
+
+
+def murmur_finalize64(keys: np.ndarray) -> np.ndarray:
+    """MurmurHash3 64-bit finalizer (public domain; ref: HashTable.h:72-85)."""
+    k = keys.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        k ^= k >> np.uint64(33)
+        k *= np.uint64(0xFF51AFD7ED558CCD)
+        k ^= k >> np.uint64(33)
+        k *= np.uint64(0xC4CEB9FE1A85EC53)
+        k ^= k >> np.uint64(33)
+    return k
+
+
+def pack_seeds(bases: np.ndarray, positions: np.ndarray, seed_len: int):
+    """Pack 2-bit seeds at `positions`. Returns (fwd, rc, valid).
+
+    fwd[p] has the base at p in the high bits (string order).
+    rc is the packed reverse complement. valid = window has only ACGT.
+    """
+    fwd = np.zeros(len(positions), dtype=np.uint64)
+    rc = np.zeros(len(positions), dtype=np.uint64)
+    valid = np.ones(len(positions), dtype=bool)
+    for i in range(seed_len):
+        b = bases[positions + i].astype(np.uint64)
+        valid &= b < 4
+        bs = np.where(b < 4, b, 0).astype(np.uint64)
+        fwd = (fwd << np.uint64(2)) | bs
+        # complement of base at p+i goes to rc bit position i (from low end)
+        rc |= (np.uint64(3) - bs) << np.uint64(2 * i)
+    return fwd, rc, valid
+
+
+def extract_canonical_seeds(
+    genome: Genome, seed_len: int, chunk: int = 1 << 24
+):
+    """All (canonical_key, orientation, location) triples over the genome."""
+    bases = np.asarray(genome.bases)
+    n = genome.num_bases - seed_len + 1
+    keys_l, orient_l, loc_l = [], [], []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        pos = np.arange(lo, hi, dtype=np.int64)
+        fwd, rc, valid = pack_seeds(bases, pos, seed_len)
+        canonical = np.minimum(fwd, rc)
+        orient = (rc < fwd)  # genome seed is the RC of the canonical
+        keys_l.append(canonical[valid])
+        orient_l.append(orient[valid])
+        loc_l.append(pos[valid].astype(np.uint32))
+    return (
+        np.concatenate(keys_l),
+        np.concatenate(orient_l),
+        np.concatenate(loc_l),
+    )
+
+
+def _build_hash_table(unique_keys: np.ndarray, load_factor: float = 0.5):
+    """Vectorized open-addressed insert: rounds of first-wins placement."""
+    u = len(unique_keys)
+    capacity = 1
+    while capacity < max(16, int(u / load_factor)):
+        capacity <<= 1
+    mask = np.uint64(capacity - 1)
+
+    slot_of_key = np.full(u, -1, dtype=np.int64)
+    table_key_idx = np.full(capacity, -1, dtype=np.int64)
+
+    pending = np.arange(u, dtype=np.int64)
+    idx = (murmur_finalize64(unique_keys) & mask).astype(np.int64)
+    probe = 0
+    max_probe = 0
+    while len(pending):
+        cand = (idx[pending] + probe) & int(mask)
+        free = table_key_idx[cand] == -1
+        # among pending rows targeting the same free slot, first wins
+        order = np.argsort(cand[free], kind="stable")
+        cf = cand[free][order]
+        pf = pending[free][order]
+        first = np.ones(len(cf), dtype=bool)
+        first[1:] = cf[1:] != cf[:-1]
+        winners_slots = cf[first]
+        winners_keys = pf[first]
+        table_key_idx[winners_slots] = winners_keys
+        slot_of_key[winners_keys] = winners_slots
+        if len(winners_keys):
+            max_probe = probe
+        pending = pending[slot_of_key[pending] == -1]
+        probe += 1
+        if probe > capacity:
+            raise RuntimeError("hash table build failed to converge")
+    return table_key_idx, capacity, max_probe
+
+
+def build_index(
+    genome: Genome,
+    seed_len: int = DEFAULT_SEED_LEN,
+    load_factor: float = 0.5,
+) -> dict:
+    """Build the full index as a dict of numpy arrays (host format)."""
+    keys, orient, locs = extract_canonical_seeds(genome, seed_len)
+
+    # Sort by (key asc, orient asc, location DESC).
+    loc_desc = np.uint32(0xFFFFFFFF) - locs
+    order = np.lexsort((loc_desc, orient, keys))
+    keys, orient, locs = keys[order], orient[order], locs[order]
+
+    unique_keys, start, counts = np.unique(
+        keys, return_index=True, return_counts=True
+    )
+    # per-key orientation split: count of orient==1 in each group
+    orient_cum = np.concatenate(([0], np.cumsum(orient.astype(np.int64))))
+    n1 = (orient_cum[start + counts] - orient_cum[start]).astype(np.int32)
+    n0 = (counts - n1).astype(np.int32)
+
+    table_key_idx, capacity, max_probe = _build_hash_table(
+        unique_keys, load_factor
+    )
+
+    # Scatter payload into table order (empty slots get EMPTY_KEY / zeros).
+    t_keys = np.full(capacity, EMPTY_KEY, dtype=np.uint64)
+    t_start = np.zeros(capacity, dtype=np.int64)
+    t_n0 = np.zeros(capacity, dtype=np.int32)
+    t_n1 = np.zeros(capacity, dtype=np.int32)
+    occ = table_key_idx >= 0
+    ki = table_key_idx[occ]
+    t_keys[occ] = unique_keys[ki]
+    t_start[occ] = start[ki]
+    t_n0[occ] = n0[ki]
+    t_n1[occ] = n1[ki]
+
+    return {
+        "seed_len": seed_len,
+        "max_probe": max_probe,
+        "hits": locs,          # uint32, per key: orient0 desc, then orient1 desc
+        "table_keys": t_keys,
+        "table_start": t_start,
+        "table_n0": t_n0,
+        "table_n1": t_n1,
+    }
+
+
+def save_index(index: dict, genome: Genome, directory: str) -> None:
+    os.makedirs(directory, exist_ok=True)
+    genome.save(directory)
+    np.savez(
+        os.path.join(directory, "index_arrays.npz"),
+        hits=index["hits"],
+        table_keys=index["table_keys"],
+        table_start=index["table_start"],
+        table_n0=index["table_n0"],
+        table_n1=index["table_n1"],
+    )
+    with open(os.path.join(directory, "index_meta.json"), "w") as f:
+        json.dump(
+            {
+                "format_version": 1,
+                "seed_len": index["seed_len"],
+                "max_probe": index["max_probe"],
+            },
+            f,
+        )
+
+
+def load_index_arrays(directory: str) -> dict:
+    with open(os.path.join(directory, "index_meta.json")) as f:
+        meta = json.load(f)
+    arrs = np.load(os.path.join(directory, "index_arrays.npz"))
+    return {
+        "seed_len": meta["seed_len"],
+        "max_probe": meta["max_probe"],
+        "hits": arrs["hits"],
+        "table_keys": arrs["table_keys"],
+        "table_start": arrs["table_start"],
+        "table_n0": arrs["table_n0"],
+        "table_n1": arrs["table_n1"],
+    }

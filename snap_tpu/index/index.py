@@ -1,0 +1,164 @@
+"""Device-side genome index: hash-probe lookup as a batched gather wavefront.
+
+Behavioral reference: SNAP's GenomeIndex::lookupSeed (GenomeIndex.cpp:
+2095-2328) — returns (nHits, hits, nRCHits, rcHits) with hit lists in
+descending genome order. Here the lookup is a fixed-bound linear-probe
+loop of vectorized gathers over [num_queries] at once; hits are gathered
+into fixed-cap [num_queries, cap] tiles with validity masks (TPU-native
+replacement for variable-length hit-list pointers).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..genome import Genome
+from .build import EMPTY_KEY, load_index_arrays
+
+
+class DeviceIndex(NamedTuple):
+    """Index arrays as a pytree (device-resident, shardable)."""
+
+    table_keys: jax.Array   # [C] uint64
+    table_start: jax.Array  # [C] int64  offset into hits
+    table_n0: jax.Array     # [C] int32  orientation-0 count
+    table_n1: jax.Array     # [C] int32  orientation-1 count
+    hits: jax.Array         # [T] uint32 locations (desc per list)
+    genome: jax.Array       # [G] uint8 base codes
+
+
+def murmur_finalize64(k: jax.Array) -> jax.Array:
+    k = k.astype(jnp.uint64)
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xFF51AFD7ED558CCD)
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xC4CEB9FE1A85EC53)
+    k = k ^ (k >> np.uint64(33))
+    return k
+
+
+def probe(
+    idx: DeviceIndex, queries: jax.Array, max_probe: int
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Hash-probe a batch of canonical seed keys.
+
+    queries: [N] uint64. Returns (found [N] bool, start [N] int64,
+    n0 [N] int32, n1 [N] int32). Missing keys return counts of 0.
+    """
+    capacity = idx.table_keys.shape[0]
+    mask = jnp.int64(capacity - 1)
+    pos = (murmur_finalize64(queries) & mask.astype(jnp.uint64)).astype(jnp.int64)
+
+    found = jnp.zeros(queries.shape, dtype=bool)
+    dead = jnp.zeros(queries.shape, dtype=bool)  # hit an empty slot => absent
+    start = jnp.zeros(queries.shape, dtype=jnp.int64)
+    n0 = jnp.zeros(queries.shape, dtype=jnp.int32)
+    n1 = jnp.zeros(queries.shape, dtype=jnp.int32)
+
+    def body(_, state):
+        pos, found, dead, start, n0, n1 = state
+        k = idx.table_keys[pos]
+        live = ~(found | dead)
+        is_match = live & (k == queries)
+        is_empty = live & (k == EMPTY_KEY)
+        start = jnp.where(is_match, idx.table_start[pos], start)
+        n0 = jnp.where(is_match, idx.table_n0[pos], n0)
+        n1 = jnp.where(is_match, idx.table_n1[pos], n1)
+        found = found | is_match
+        dead = dead | is_empty
+        pos = jnp.where(found | dead, pos, (pos + 1) & mask)
+        return pos, found, dead, start, n0, n1
+
+    state = (pos, found, dead, start, n0, n1)
+    state = jax.lax.fori_loop(0, max_probe + 1, body, state)
+    _, found, _, start, n0, n1 = state
+    return found, start, n0, n1
+
+
+def gather_hits(
+    hits: jax.Array, start: jax.Array, count: jax.Array, cap: int
+) -> tuple[jax.Array, jax.Array]:
+    """Gather up to `cap` hit locations per query.
+
+    start/count: [N]. Returns (locs [N, cap] uint32, valid [N, cap] bool).
+    Lists are stored descending, so taking the first `cap` keeps the
+    highest locations (matches SNAP's descending iteration order).
+    """
+    offs = jnp.arange(cap, dtype=jnp.int64)
+    rows = start[:, None] + offs[None, :]
+    valid = offs[None, :] < count[:, None].astype(jnp.int64)
+    rows = jnp.clip(rows, 0, hits.shape[0] - 1)
+    return hits[rows], valid
+
+
+def pack_read_seeds(
+    bases: jax.Array, seed_len: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Pack every seed position of a read batch.
+
+    bases: [B, L] uint8 codes. Returns (fwd [B, P] uint64, rc [B, P] uint64,
+    valid [B, P] bool) where P = L - seed_len + 1. Pure slicing — no
+    gathers — so XLA vectorizes it as 2*seed_len shifted adds.
+    """
+    B, L = bases.shape
+    P = L - seed_len + 1
+    fwd = jnp.zeros((B, P), dtype=jnp.uint64)
+    rc = jnp.zeros((B, P), dtype=jnp.uint64)
+    valid = jnp.ones((B, P), dtype=bool)
+    for i in range(seed_len):
+        b = bases[:, i : i + P]
+        ok = b < 4
+        valid = valid & ok
+        bs = jnp.where(ok, b, 0).astype(jnp.uint64)
+        fwd = (fwd << np.uint64(2)) | bs
+        rc = rc | ((np.uint64(3) - bs) << np.uint64(2 * i))
+    return fwd, rc, valid
+
+
+class GenomeIndex:
+    """Host wrapper: genome metadata + device arrays + static params."""
+
+    def __init__(self, genome: Genome, arrays: dict):
+        self.genome_meta = genome
+        self.seed_len: int = arrays["seed_len"]
+        self.max_probe: int = arrays["max_probe"]
+        self.device = DeviceIndex(
+            table_keys=jnp.asarray(arrays["table_keys"]),
+            table_start=jnp.asarray(arrays["table_start"]),
+            table_n0=jnp.asarray(arrays["table_n0"]),
+            table_n1=jnp.asarray(arrays["table_n1"]),
+            hits=jnp.asarray(arrays["hits"]),
+            genome=jnp.asarray(np.asarray(genome.bases)),
+        )
+
+    @classmethod
+    def build(cls, genome: Genome, seed_len: int | None = None) -> "GenomeIndex":
+        from ..constants import DEFAULT_SEED_LEN
+        from .build import build_index
+
+        arrays = build_index(genome, seed_len or DEFAULT_SEED_LEN)
+        return cls(genome, arrays)
+
+    @classmethod
+    def load(cls, directory: str) -> "GenomeIndex":
+        genome = Genome.load(directory)
+        arrays = load_index_arrays(directory)
+        return cls(genome, arrays)
+
+    def save(self, directory: str) -> None:
+        from .build import save_index
+
+        arrays = {
+            "seed_len": self.seed_len,
+            "max_probe": self.max_probe,
+            "hits": np.asarray(self.device.hits),
+            "table_keys": np.asarray(self.device.table_keys),
+            "table_start": np.asarray(self.device.table_start),
+            "table_n0": np.asarray(self.device.table_n0),
+            "table_n1": np.asarray(self.device.table_n1),
+        }
+        save_index(arrays, self.genome_meta, directory)
