@@ -1,0 +1,197 @@
+"""End-to-end single-end alignment driver.
+
+Behavioral reference: SNAP's SingleAlignerContext::runIterationThreadImpl
+(SingleAligner.cpp:91-374): read supply -> short/N filter -> align ->
+write -> stats. Here the loop is batch-wise: FASTQ batches are padded
+to a fixed shape, aligned on device in one jitted wavefront, and
+finalized (merge/MAPQ/CIGAR/SAM) on host.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import DEFAULT_MIN_READ_LENGTH, MAPQ_LIMIT_FOR_SINGLE_HIT
+from ..genome import reverse_complement_codes
+from ..index.index import GenomeIndex
+from ..io.fastq import ReadBatch, read_batches
+from ..io.sam import FLAG_RC, FLAG_UNMAPPED, SamWriter
+from .cigar import compute_cigar
+from .pipeline import AlignParams, align_single_device
+from .post import finalize_read
+
+
+@dataclass
+class AlignerStats:
+    """Mirrors the reference's end-of-run table (AlignerStats.h:43-66)."""
+
+    total: int = 0
+    single: int = 0       # MAPQ >= 10
+    multi: int = 0        # MAPQ < 10
+    not_found: int = 0
+    too_short: int = 0
+    mapq_histogram: np.ndarray = field(
+        default_factory=lambda: np.zeros(71, dtype=np.int64)
+    )
+    align_seconds: float = 0.0
+
+    def print_table(self, out=sys.stderr) -> None:
+        rs = self.total / self.align_seconds if self.align_seconds else 0
+        def pct(n):
+            return f"{n} ({100.0 * n / max(1, self.total):.2f}%)"
+        print(
+            "Total Reads\tAligned, MAPQ >= 10\tAligned, MAPQ < 10\t"
+            "Unaligned\tToo Short/Too Many Ns\tReads/s",
+            file=out,
+        )
+        print(
+            f"{self.total}\t{pct(self.single)}\t{pct(self.multi)}\t"
+            f"{pct(self.not_found)}\t{pct(self.too_short)}\t{rs:,.0f}",
+            file=out,
+        )
+
+
+class SingleEndAligner:
+    def __init__(
+        self,
+        index: GenomeIndex,
+        params: AlignParams | None = None,
+        batch_size: int = 1024,
+        max_read_len: int = 128,
+        min_read_length: int = DEFAULT_MIN_READ_LENGTH,
+    ):
+        self.index = index
+        self.params = params or AlignParams(
+            seed_len=index.seed_len, max_probe=max(32, index.max_probe + 1)
+        )
+        self.batch_size = batch_size
+        self.max_read_len = max_read_len
+        self.min_read_length = min_read_length
+        self.genome_np = np.asarray(index.genome_meta.bases)
+        self.stats = AlignerStats()
+
+    def _pad(self, batch: ReadBatch):
+        n = len(batch)
+        B, L = self.batch_size, self.max_read_len
+        bases = np.full((B, L), 4, dtype=np.uint8)
+        quals = np.zeros((B, L), dtype=np.uint8)
+        lens = np.zeros(B, dtype=np.int32)
+        bases[:n] = batch.bases[:, :L]
+        quals[:n] = batch.quals[:, :L]
+        lens[:n] = np.minimum(batch.lengths, L)
+        return bases, quals, lens
+
+    def align_batch(self, batch: ReadBatch):
+        """Returns a list of per-read dicts ready for SAM emission."""
+        import jax.numpy as jnp
+
+        bases, quals, lens = self._pad(batch)
+        out = align_single_device(
+            self.index.device,
+            jnp.asarray(bases),
+            jnp.asarray(quals),
+            jnp.asarray(lens),
+            self.params,
+        )
+        dist = np.asarray(out.dist)
+        logp = np.asarray(out.log_prob)
+        end_loc = np.asarray(out.end_loc)
+        direction = np.asarray(out.direction)
+        valid = np.asarray(out.valid)
+        len_eff = np.asarray(out.len_eff)
+        popular = np.asarray(out.popular)
+
+        results = []
+        for i in range(len(batch)):
+            orig_len = int(batch.lengths[i])
+            if orig_len < self.min_read_length:
+                results.append({"status": "filtered"})
+                continue
+            ra = finalize_read(
+                dist[i], logp[i], end_loc[i], direction[i], valid[i],
+                int(popular[i]),
+            )
+            if ra.status == "notfound":
+                results.append({"status": "notfound"})
+                continue
+            plen = int(len_eff[i])
+            clipped = bases[i, :plen]
+            pattern = (
+                reverse_complement_codes(clipped.copy())
+                if ra.direction
+                else clipped
+            )
+            start_loc, cigar, nm = compute_cigar(
+                pattern,
+                self.genome_np,
+                int(ra.end_loc),
+                self.params.max_k,
+                front_clip=(orig_len - plen) if ra.direction else 0,
+                back_clip=0 if ra.direction else (orig_len - plen),
+            )
+            results.append(
+                {
+                    "status": ra.status,
+                    "direction": ra.direction,
+                    "start_loc": start_loc,
+                    "cigar": cigar,
+                    "nm": nm,
+                    "mapq": ra.mapq,
+                    "dist": ra.dist,
+                }
+            )
+        return results
+
+    def align_file(self, fastq_path: str, writer: SamWriter) -> AlignerStats:
+        writer.write_header()
+        t0 = time.time()
+        for batch in read_batches(
+            fastq_path, self.batch_size, self.max_read_len
+        ):
+            results = self.align_batch(batch)
+            for i, res in enumerate(results):
+                self._emit(writer, batch, i, res)
+        self.stats.align_seconds = time.time() - t0
+        return self.stats
+
+    def _emit(self, writer: SamWriter, batch: ReadBatch, i: int, res: dict):
+        from ..constants import BASE_DECODE
+
+        self.stats.total += 1
+        qname = batch.ids[i]
+        L = int(batch.lengths[i])
+        seq = BASE_DECODE[batch.bases[i, :L]].tobytes()
+        qual = batch.quals[i, :L].tobytes()
+        status = res["status"]
+        if status in ("filtered", "notfound"):
+            if status == "filtered":
+                self.stats.too_short += 1
+            else:
+                self.stats.not_found += 1
+            writer.write_record(
+                qname, FLAG_UNMAPPED, "*", 0, 0, "*", seq, qual, nm=None
+            )
+            return
+        loc = writer.locate(res["start_loc"])
+        if loc is None:  # aligned into padding: emit unmapped (junk filter)
+            self.stats.not_found += 1
+            writer.write_record(
+                qname, FLAG_UNMAPPED, "*", 0, 0, "*", seq, qual, nm=None
+            )
+            return
+        rname, pos = loc
+        mapq = res["mapq"]
+        if mapq >= MAPQ_LIMIT_FOR_SINGLE_HIT:
+            self.stats.single += 1
+        else:
+            self.stats.multi += 1
+        self.stats.mapq_histogram[min(70, mapq)] += 1
+        flag = FLAG_RC if res["direction"] else 0
+        writer.write_record(
+            qname, flag, rname, pos, mapq, res["cigar"], seq, qual,
+            nm=res["nm"],
+        )
