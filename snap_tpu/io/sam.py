@@ -122,8 +122,8 @@ class SamWriter:
             seq = seq.translate(COMPLEMENT)[::-1]
             qual = qual[::-1]
         tags = [f"PG:Z:{self.program_id}"]
-        if nm is not None:
-            tags.append(f"NM:i:{nm}")
+        # unmapped reads carry NM:i:-1 in the reference's output
+        tags.append(f"NM:i:{-1 if nm is None else nm}")
         tags.append(self.read_group.record_tags())
         line = (
             qname
