@@ -1,0 +1,96 @@
+"""Benchmark: single-end alignment device throughput (reads/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's north-star target is 5M 100bp reads/s on a
+v5e-16 (BASELINE.md), i.e. 312,500 reads/s/chip. vs_baseline is
+measured reads/s/chip divided by that.
+
+The measured step is the jitted align wavefront (seed lookup, candidate
+generation, DP scoring) on synthetic 100bp reads over a 4.6Mbp
+E. coli-scale genome — BASELINE config 1 (E. coli single-end LV).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_SEC_PER_CHIP = 5_000_000 / 16
+
+
+def main() -> None:
+    import snap_tpu  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+    from snap_tpu.genome import Genome, Contig
+    from snap_tpu.constants import PAD
+    from snap_tpu.index.build import build_index
+    from snap_tpu.index.index import DeviceIndex
+    from snap_tpu.align.pipeline import AlignParams, align_single_device
+
+    rng = np.random.default_rng(0)
+    glen = 4_600_000  # E. coli scale
+    read_len = 100
+    batch = 2048
+
+    codes = rng.integers(0, 4, size=glen).astype(np.uint8)
+    bases = np.full(glen + 2000, PAD, dtype=np.uint8)
+    bases[1000 : 1000 + glen] = codes
+    genome = Genome(
+        bases=bases, contigs=[Contig(name="chr1", start=1000, length=glen)]
+    )
+    idx = build_index(genome, seed_len=24)
+    didx = DeviceIndex(
+        table_keys=jnp.asarray(idx["table_keys"]),
+        table_start=jnp.asarray(idx["table_start"]),
+        table_n0=jnp.asarray(idx["table_n0"]),
+        table_n1=jnp.asarray(idx["table_n1"]),
+        hits=jnp.asarray(idx["hits"]),
+        genome=jnp.asarray(bases),
+    )
+    params = AlignParams(
+        seed_len=24, max_probe=max(32, idx["max_probe"] + 1), num_seeds=14,
+        hit_cap=8, max_cand=16,
+    )
+
+    starts = rng.integers(0, glen - read_len - 1, size=batch)
+    reads = codes[starts[:, None] + np.arange(read_len)[None, :]]
+    mut = rng.random(reads.shape) < 0.01
+    reads = np.where(mut, rng.integers(0, 4, reads.shape), reads).astype(np.uint8)
+    quals = np.full((batch, read_len), ord("I"), dtype=np.uint8)
+    lens = np.full(batch, read_len, dtype=np.int32)
+
+    b = jnp.asarray(reads)
+    q = jnp.asarray(quals)
+    l = jnp.asarray(lens)
+
+    out = align_single_device(didx, b, q, l, params)  # compile
+    jax.block_until_ready(out)
+
+    n_iters = 8
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = align_single_device(didx, b, q, l, params)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    reads_per_sec = batch * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "single_end_align_step_reads_per_sec_per_chip",
+                "value": round(reads_per_sec, 1),
+                "unit": "reads/s/chip",
+                "vs_baseline": round(
+                    reads_per_sec / BASELINE_READS_PER_SEC_PER_CHIP, 4
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
