@@ -47,20 +47,60 @@ QUAL_CLIP = ord("#")  # ClipBack threshold quality (Read.h:88-108)
 @dataclass(frozen=True)
 class AlignParams:
     seed_len: int = DEFAULT_SEED_LEN
-    num_seeds: int = DEFAULT_NUM_SEEDS_SINGLE
+    num_seeds: int = DEFAULT_NUM_SEEDS_SINGLE  # SNAP -n (per-direction applications)
     hit_cap: int = 32                 # fixed gather width per (seed, dir)
     max_hits: int = DEFAULT_MAX_HITS  # popular-seed skip threshold
     max_k: int = DEFAULT_MAX_DIST
     max_cand: int = 32                # candidates scored per read
     max_probe: int = 32
 
+    @property
+    def num_lookups(self) -> int:
+        # each clean lookup applies the seed in both directions
+        # (BaseAligner.cpp:451,669), so -n 25 means 13 lookups
+        return self.num_seeds // 2 + 1
+
+
+def snap_seed_wrap_order(seed_len: int) -> np.ndarray:
+    """residue -> wrap round, from SNAP's SeedSequencer BFS bisection
+    (SeedSequencer.cpp:36-103). Round 0 is residue 0; round w starts at
+    the w-th midpoint of the BFS over [1, seed_len-1]."""
+    order = np.zeros(seed_len, dtype=np.int32)
+    from collections import deque
+
+    q = deque([(1, seed_len - 1)])
+    w = 1
+    while q:
+        lo, hi = q.popleft()
+        mid = (lo + hi) // 2
+        order[mid] = w
+        w += 1
+        if hi > mid:
+            q.append((mid + 1, hi))
+        if lo < mid:
+            q.append((lo, mid - 1))
+    return order
+
 
 class SingleAlignOut(NamedTuple):
-    """Per-candidate scoring results, K per read (host selects/merges)."""
+    """Per-candidate scoring results, K per read (host selects/merges).
 
-    dist: jax.Array      # [B, K] int32 edit distance
+    Each candidate carries both the Landau-Vishkin-equivalent result and,
+    when escalated (lv dist > maxKForSameAlignment, BaseAligner.cpp:1148),
+    the affine-gap rescoring result — mirroring BaseAligner::score's
+    default affine-gap mode (BaseAligner.cpp:1203-1290).
+    """
+
+    dist: jax.Array      # [B, K] int32 edit distance (AG edits if escalated)
     log_prob: jax.Array  # [B, K] float32 ln match probability
-    end_loc: jax.Array   # [B, K] int64 exclusive alignment end in genome
+    ag_score: jax.Array  # [B, K] int32 affine-gap score (selection key)
+    end_loc: jax.Array   # [B, K] int64 exclusive LV alignment end in genome
+    body_loc: jax.Array  # [B, K] int64 alignment body start (AG candidates)
+    cand_loc: jax.Array  # [B, K] int64 raw candidate location (hit - offset)
+    escalated: jax.Array # [B, K] bool affine-gap rescoring used
+    clip_before: jax.Array  # [B, K] int32 AG soft clip (oriented pattern head)
+    clip_after: jax.Array   # [B, K] int32 AG soft clip (oriented pattern tail)
+    seed_off: jax.Array  # [B, K] int32 anchoring seed offset
     direction: jax.Array # [B, K] int32 0=forward 1=RC
     valid: jax.Array     # [B, K] bool candidate existed and scored <= max_k
     len_eff: jax.Array   # [B] int32 clipped length
@@ -102,7 +142,7 @@ def align_single_device(
     params: AlignParams,
 ) -> SingleAlignOut:
     B, L = bases.shape
-    S = params.num_seeds
+    S = params.num_lookups
     H = params.hit_cap
     K = params.max_cand
     seed = params.seed_len
@@ -112,18 +152,22 @@ def align_single_device(
     len_eff = clip_back(quals, lens)
     rc_bases, rc_quals = reverse_complement_reads(bases, quals, len_eff)
 
-    # ---- seed offsets: evenly spaced over the clipped read ----
-    span = jnp.maximum(len_eff - seed, 0)  # [B]
-    j = jnp.arange(S, dtype=jnp.int32)[None, :]
-    denom = max(S - 1, 1)
-    offsets = (j * span[:, None]) // denom  # [B, S] monotone nondecreasing
-    has_seed = (len_eff >= seed)[:, None]
-    dup = jnp.concatenate(
-        [jnp.zeros((B, 1), bool), offsets[:, 1:] == offsets[:, :-1]], axis=1
-    )
-    seed_ok = has_seed & ~dup
-
+    # ---- seed offsets in SNAP probe order (first pass 0, s, 2s, ...,
+    # then wrapped rounds; BaseAligner.cpp:451-526) ----
     fwd_all, rc_all, valid_all = pack_read_seeds(bases, seed)  # [B, P]
+    P = L - seed + 1
+    wrap_of_residue = snap_seed_wrap_order(seed)  # static table
+    pos = np.arange(P, dtype=np.int32)
+    rank_static = wrap_of_residue[pos % seed] * (P // seed + 2) + pos // seed
+    rank = jnp.asarray(rank_static, dtype=jnp.int32)[None, :]  # [1, P]
+    INF_RANK = np.int32(1 << 30)
+    usable = valid_all & (pos[None, :] <= (len_eff - seed)[:, None])
+    ranks = jnp.where(usable, rank, INF_RANK)  # [B, P]
+    # S smallest ranks = the offsets SNAP would probe, in order
+    neg_top, offsets64 = jax.lax.top_k(-ranks, S)  # offsets [B, S]
+    offsets = offsets64.astype(jnp.int32)
+    seed_ok = neg_top > -INF_RANK
+
     offs64 = offsets.astype(jnp.int64)
     seed_fwd = jnp.take_along_axis(fwd_all, offs64, axis=1)
     seed_rc = jnp.take_along_axis(rc_all, offs64, axis=1)
@@ -162,19 +206,30 @@ def align_single_device(
     cand_f = f_locs.astype(jnp.int64) - off_flat
     cand_r = r_locs.astype(jnp.int64) - (le_flat - seed - off_flat)
 
-    BIG = jnp.int64(1) << 42
-    INF_KEY = jnp.int64(1) << 60
-    key_f = jnp.where(f_valid, cand_f, INF_KEY)
-    key_r = jnp.where(r_valid, cand_r + BIG, INF_KEY)
+    # key packs (dir, location, probe-order index); dedup ignores the
+    # low OFF_BITS, so the payload carried out per candidate is the
+    # FIRST-probed seed's index — SNAP's candidate->seedOffset comes
+    # from the seed that inserted the candidate.
+    OFF_BITS = 10
+    BIG = jnp.int64(1) << (42 + OFF_BITS)
+    INF_KEY = jnp.int64(1) << 62
+    probe_ix = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int64)[None, :, None], (B, S, H)
+    ).reshape(B * S, H)
+    key_f = jnp.where(f_valid, (cand_f << OFF_BITS) | probe_ix, INF_KEY)
+    key_r = jnp.where(
+        r_valid, ((cand_r << OFF_BITS) | probe_ix) + BIG, INF_KEY
+    )
     keys = jnp.concatenate(
         [key_f.reshape(B, S * H), key_r.reshape(B, S * H)], axis=1
     )  # [B, M]
     M = 2 * S * H
     keys = jnp.sort(keys, axis=1)
 
-    # run-length dedup + weights
+    # run-length dedup + weights on (dir, location) only
+    kid = keys >> OFF_BITS
     is_start = jnp.concatenate(
-        [jnp.ones((B, 1), bool), keys[:, 1:] != keys[:, :-1]], axis=1
+        [jnp.ones((B, 1), bool), kid[:, 1:] != kid[:, :-1]], axis=1
     )
     posm = jnp.arange(M, dtype=jnp.int32)[None, :]
     start_pos = jnp.where(is_start, posm, M)
@@ -191,8 +246,19 @@ def align_single_device(
     cand_keys = jnp.take_along_axis(keys, wi.astype(jnp.int64), axis=1)
     cand_valid = wv > 0
     cand_dir = (cand_keys >= BIG).astype(jnp.int32)
-    cand_loc = jnp.where(cand_dir == 1, cand_keys - BIG, cand_keys)
+    stripped = jnp.where(cand_dir == 1, cand_keys - BIG, cand_keys)
+    cand_probe = (stripped & ((1 << OFF_BITS) - 1)).astype(jnp.int64)
+    cand_loc = stripped >> OFF_BITS
     cand_loc = jnp.where(cand_valid, cand_loc, 0)
+    # probe index -> read offset; RC-oriented patterns anchor at
+    # len_eff - seed_len - offset (BaseAligner.cpp:591-606)
+    off_of_probe = jnp.take_along_axis(offsets, cand_probe, axis=1)
+    cand_off = jnp.where(
+        cand_dir == 1,
+        len_eff[:, None] - seed - off_of_probe,
+        off_of_probe,
+    ).astype(jnp.int32)
+    cand_off = jnp.where(cand_valid, jnp.maximum(cand_off, 0), 0)
 
     # ---- scoring wavefront ----
     logq_table = jnp.asarray(log_phred_error_table())
@@ -216,18 +282,105 @@ def align_single_device(
 
     plen = len_eff[read_ix]
     res = fitting_edit_distance(pat, pat_logq, plen, text)
+    lv_dist = res.dist
+    lv_logp = res.log_prob
+    end_loc = win_start + res.end_col.astype(jnp.int64)
+    lv_ok = cand_valid.reshape(-1) & (lv_dist <= params.max_k)
 
-    dist = res.dist.reshape(B, K)
-    log_prob = res.log_prob.reshape(B, K)
-    end_loc = (win_start + res.end_col.astype(jnp.int64)).reshape(B, K)
-    ok = cand_valid & (dist <= params.max_k)
+    # ---- affine-gap rescoring (BaseAligner.cpp:1203-1290) ----
+    # Escalate when LV distance exceeds maxKForSameAlignment; run the
+    # kernel on every candidate (fixed shapes) and select the results
+    # where escalation applies.
+    from ..constants import (
+        AG_END_BONUS_3,
+        AG_END_BONUS_5,
+        max_k_for_same_alignment,
+    )
+    from ..ops.affine import affine_extend
+    from ..ops.dp import LOG_PERFECT
+
+    seed = params.seed_len
+    flat_off = cand_off.reshape(-1)           # [BK]
+    flat_loc = cand_loc.reshape(-1)           # [BK]
+    tail_start = (flat_off + seed).astype(jnp.int32)
+    jj = jnp.arange(L, dtype=jnp.int32)[None, :]
+    TW = L + params.max_k + 1
+
+    def gather_genome(pos):
+        inb = (pos >= 0) & (pos < didx.genome.shape[0])
+        return jnp.where(
+            inb, didx.genome[jnp.clip(pos, 0, didx.genome.shape[0] - 1)],
+            np.uint8(5),
+        )
+
+    # tail: pattern rows tail_start..plen-1, text from loc+tail_start
+    t_idx = (jj + tail_start[:, None]).astype(jnp.int64)
+    t_ok = t_idx < plen[:, None]
+    t_idxc = jnp.clip(t_idx, 0, L - 1)
+    tail_pat = jnp.where(t_ok, jnp.take_along_axis(pat, t_idxc, axis=1), np.uint8(4))
+    tail_logq = jnp.where(t_ok, jnp.take_along_axis(pat_logq, t_idxc, axis=1), 0.0)
+    tail_plen = jnp.maximum(plen - tail_start, 0).astype(jnp.int32)
+    tcols = jnp.arange(TW, dtype=jnp.int64)[None, :]
+    tail_text = gather_genome(flat_loc[:, None] + tail_start[:, None] + tcols)
+    tail_tlen = (tail_plen + params.max_k).astype(jnp.int32)
+    ebonus_tail = jnp.where(
+        flat_dir == 1, np.int32(AG_END_BONUS_5), np.int32(AG_END_BONUS_3)
+    )
+    tail = affine_extend(
+        tail_pat, tail_logq, tail_plen, tail_text, tail_tlen,
+        plen.astype(jnp.int32), ebonus_tail,
+    )
+
+    # head: reversed pattern[0:seed_off], text leftward from loc+seed_off
+    h_idx = (flat_off[:, None] - 1 - jj).astype(jnp.int64)
+    h_ok = h_idx >= 0
+    h_idxc = jnp.clip(h_idx, 0, L - 1)
+    head_pat = jnp.where(h_ok, jnp.take_along_axis(pat, h_idxc, axis=1), np.uint8(4))
+    head_logq = jnp.where(h_ok, jnp.take_along_axis(pat_logq, h_idxc, axis=1), 0.0)
+    head_plen = flat_off.astype(jnp.int32)
+    head_text = gather_genome(
+        flat_loc[:, None] + flat_off[:, None] - 1 - tcols
+    )
+    head_tlen = (head_plen + params.max_k).astype(jnp.int32)
+    ebonus_head = jnp.where(
+        flat_dir == 1, np.int32(AG_END_BONUS_3), np.int32(AG_END_BONUS_5)
+    )
+    head = affine_extend(
+        head_pat, head_logq, head_plen, head_text, head_tlen,
+        plen.astype(jnp.int32), ebonus_head,
+    )
+
+    ag_ok = tail.valid & head.valid
+    ag_score = tail.score + head.score + seed - 2 * plen
+    ag_edits = tail.edits + head.edits
+    ag_logp = (
+        tail.log_prob + head.log_prob
+        + np.float32(seed) * np.float32(LOG_PERFECT)
+    )
+    ag_body_loc = flat_loc + (flat_off - head.text_used).astype(jnp.int64)
+
+    esc = lv_ok & (lv_dist > max_k_for_same_alignment())
+    dist = jnp.where(esc, ag_edits, lv_dist)
+    log_prob = jnp.where(esc, ag_logp, lv_logp)
+    agsc = jnp.where(esc, ag_score, plen - 5 * lv_dist)
+    ok = lv_ok & jnp.where(esc, ag_ok, True)
+    clip_b = jnp.where(esc, head.pattern_clip, 0)
+    clip_a = jnp.where(esc, tail.pattern_clip, 0)
+    body_loc = jnp.where(esc, ag_body_loc, flat_loc)
 
     return SingleAlignOut(
-        dist=dist,
-        log_prob=log_prob,
-        end_loc=end_loc,
+        dist=dist.reshape(B, K),
+        log_prob=log_prob.reshape(B, K),
+        ag_score=agsc.reshape(B, K),
+        end_loc=end_loc.reshape(B, K),
+        body_loc=body_loc.reshape(B, K),
+        cand_loc=cand_loc,
+        escalated=esc.reshape(B, K),
+        clip_before=clip_b.reshape(B, K),
+        clip_after=clip_a.reshape(B, K),
+        seed_off=cand_off,
         direction=cand_dir,
-        valid=ok,
+        valid=ok.reshape(B, K),
         len_eff=len_eff,
         popular=popular,
         n_lookups=seed_ok.sum(axis=1).astype(jnp.int32),

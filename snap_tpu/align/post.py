@@ -2,16 +2,16 @@
 
 Behavioral reference: SNAP's ScoreSet (BaseAligner.h:260-329):
 - candidates aligning to nearby locations (within maxMergeDist=48) merge,
-  keeping the lower edit distance / higher match probability and backing
-  the loser's probability out of pAll (BaseAligner.cpp:1353-1443);
-- best selection: lower score wins, ties by higher matchProbability
-  (BaseAligner.cpp updateBestScore);
+  keeping the better one and backing the loser's probability out of pAll
+  (BaseAligner.cpp:1353-1443);
+- best selection in the default affine-gap mode: higher agScore wins,
+  ties by higher matchProbability (ScoreSet::updateBestScore); in LV
+  mode (-G-): lower edit distance, ties by probability;
 - MAPQ = min(70, -10*log10(1 - pBest/pAll)) - max(0, popular-10)/2
   (mapq.h:32-68), in float64 like the reference.
 
-Merging uses the DP-reported alignment END location, which is identical
-for duplicate discoveries of the same alignment regardless of which
-seed anchored them.
+Merging uses the DP-reported LV alignment END location, identical for
+duplicate discoveries of the same alignment regardless of seed anchor.
 """
 
 from __future__ import annotations
@@ -27,9 +27,10 @@ from ..constants import MAPQ_MAX, MAX_MERGE_DIST
 @dataclass
 class ReadAlignment:
     status: str            # 'single' | 'multi' | 'notfound' | 'filtered'
-    direction: int = 0     # 0 forward, 1 RC
-    end_loc: int = 0       # exclusive genome end of alignment
-    dist: int = -1         # edit distance
+    cand_index: int = -1   # index into the read's candidate arrays
+    direction: int = 0
+    end_loc: int = 0
+    dist: int = -1
     mapq: int = 0
     match_prob: float = 0.0
     prob_all: float = 0.0
@@ -50,49 +51,86 @@ def compute_mapq(p_all: float, p_best: float, popular_skipped: int) -> int:
 def finalize_read(
     dists: np.ndarray,
     log_probs: np.ndarray,
+    ag_scores: np.ndarray,
     end_locs: np.ndarray,
+    cand_locs: np.ndarray,
     directions: np.ndarray,
     valid: np.ndarray,
     popular: int,
+    use_affine_gap: bool = True,
 ) -> ReadAlignment:
-    """Merge scored candidates of one read and pick the primary."""
-    sel = valid
-    if not np.any(sel):
+    """Merge scored candidates of one read and pick the primary.
+
+    Merge topology mirrors SNAP's candidate hash table: candidates bin
+    by (direction, candidate_location // 48) (hashTableElementSize,
+    BaseAligner.h:174-258); in-bin duplicates keep (lower dist, higher
+    prob). Bins in ADJACENT elements additionally merge only when the
+    better rep's score < 2 (BaseAligner.cpp:1396-1407 nearby-element
+    check is gated on `score < 2`), backing the loser's probability out
+    of pAll.
+    """
+    sel = np.flatnonzero(valid)
+    if sel.size == 0:
         return ReadAlignment(status="notfound")
     d = dists[sel].astype(np.int64)
     lp = log_probs[sel].astype(np.float64)
+    ag = ag_scores[sel].astype(np.int64)
     e = end_locs[sel].astype(np.int64)
+    cl = cand_locs[sel].astype(np.int64)
     dr = directions[sel].astype(np.int64)
     probs = np.exp(lp)
 
-    order = np.lexsort((e, dr))
-    d, probs, e, dr = d[order], probs[order], e[order], dr[order]
+    bins = cl // MAX_MERGE_DIST
+    order = np.lexsort((cl, bins, dr))
+    d, probs, e, cl, dr, ag, bins, sel = (
+        d[order], probs[order], e[order], cl[order], dr[order], ag[order],
+        bins[order], sel[order],
+    )
 
-    # cluster: same direction and end within MAX_MERGE_DIST of previous
     new_cluster = np.ones(len(d), dtype=bool)
-    new_cluster[1:] = (dr[1:] != dr[:-1]) | ((e[1:] - e[:-1]) > MAX_MERGE_DIST)
+    new_cluster[1:] = (dr[1:] != dr[:-1]) | (bins[1:] != bins[:-1])
     cluster_id = np.cumsum(new_cluster) - 1
 
-    n_clusters = cluster_id[-1] + 1
-    p_all = 0.0
-    best = None  # (dist, -prob, end, dir, prob)
-    for c in range(n_clusters):
-        m = cluster_id == c
-        cd, cp, ce, cdr = d[m], probs[m], e[m], dr[m]
-        # rep = lowest dist, ties -> highest prob
-        i = np.lexsort((-cp, cd))[0]
-        p_all += cp[i]
-        cand = (int(cd[i]), -float(cp[i]), int(ce[i]), int(cdr[i]))
-        if best is None or cand < best:
-            best = cand
-    bd, nbp, be, bdr = best
-    p_best = -nbp
+    # in-bin rep: lower edit distance, ties by higher probability
+    # (the element merge compares (bestScore, matchProbability),
+    # BaseAligner.cpp:1363-1371)
+    reps = []
+    for c in range(cluster_id[-1] + 1):
+        idxs = np.flatnonzero(cluster_id == c)
+        r = idxs[np.lexsort((-probs[idxs], d[idxs]))[0]]
+        reps.append(r)
+    reps = np.array(reps)
+
+    # adjacent-element merge, only when the surviving rep's score < 2
+    keep = np.ones(len(reps), dtype=bool)
+    for a in range(len(reps) - 1):
+        i, j = reps[a], reps[a + 1]
+        if not (keep[a] and dr[i] == dr[j]):
+            continue
+        if abs(int(cl[j]) - int(cl[i])) <= MAX_MERGE_DIST and (
+            min(d[i], d[j]) < 2
+        ):
+            # keep the better one (lower dist, then higher prob)
+            if (d[j], -probs[j]) < (d[i], -probs[i]):
+                keep[a] = False
+            else:
+                keep[a + 1] = False
+
+    reps = reps[keep]
+    p_all = float(np.sum(probs[reps]))
+    if use_affine_gap:
+        keys = np.lexsort((e[reps], -probs[reps], -ag[reps]))
+    else:
+        keys = np.lexsort((e[reps], -probs[reps], d[reps]))
+    r = reps[keys[0]]
+    p_best = float(probs[r])
     mapq = compute_mapq(p_all, p_best, popular)
     return ReadAlignment(
         status="single" if mapq >= 10 else "multi",
-        direction=bdr,
-        end_loc=be,
-        dist=bd,
+        cand_index=int(sel[r]),
+        direction=int(dr[r]),
+        end_loc=int(e[r]),
+        dist=int(d[r]),
         mapq=mapq,
         match_prob=p_best,
         prob_all=p_all,

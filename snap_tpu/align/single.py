@@ -20,6 +20,7 @@ from ..genome import reverse_complement_codes
 from ..index.index import GenomeIndex
 from ..io.fastq import ReadBatch, read_batches
 from ..io.sam import FLAG_RC, FLAG_UNMAPPED, SamWriter
+from .agcigar import compute_ag_cigar_at
 from .cigar import compute_cigar
 from .pipeline import AlignParams, align_single_device
 from .post import finalize_read
@@ -99,7 +100,13 @@ class SingleEndAligner:
         )
         dist = np.asarray(out.dist)
         logp = np.asarray(out.log_prob)
+        ag_score = np.asarray(out.ag_score)
         end_loc = np.asarray(out.end_loc)
+        body_loc = np.asarray(out.body_loc)
+        cand_loc = np.asarray(out.cand_loc)
+        clip_before = np.asarray(out.clip_before)
+        clip_after = np.asarray(out.clip_after)
+        escalated = np.asarray(out.escalated)
         direction = np.asarray(out.direction)
         valid = np.asarray(out.valid)
         len_eff = np.asarray(out.len_eff)
@@ -112,27 +119,62 @@ class SingleEndAligner:
                 results.append({"status": "filtered"})
                 continue
             ra = finalize_read(
-                dist[i], logp[i], end_loc[i], direction[i], valid[i],
-                int(popular[i]),
+                dist[i], logp[i], ag_score[i], end_loc[i], cand_loc[i],
+                direction[i], valid[i], int(popular[i]),
             )
             if ra.status == "notfound":
                 results.append({"status": "notfound"})
                 continue
+            k = ra.cand_index
             plen = int(len_eff[i])
+            qual_clip = orig_len - plen
             clipped = bases[i, :plen]
-            pattern = (
-                reverse_complement_codes(clipped.copy())
-                if ra.direction
-                else clipped
-            )
-            start_loc, cigar, nm = compute_cigar(
-                pattern,
-                self.genome_np,
-                int(ra.end_loc),
-                self.params.max_k,
-                front_clip=(orig_len - plen) if ra.direction else 0,
-                back_clip=0 if ra.direction else (orig_len - plen),
-            )
+            if ra.direction:
+                pattern = reverse_complement_codes(clipped.copy())
+                oquals = batch.quals[i, :plen][::-1].copy()
+                front0, back0 = qual_clip, 0
+            else:
+                pattern = clipped
+                oquals = batch.quals[i, :plen].copy()
+                front0, back0 = 0, qual_clip
+            cb = int(clip_before[i, k])
+            ca = int(clip_after[i, k])
+            body = pattern[cb : plen - ca]
+            bquals = oquals[cb : plen - ca]
+            front_clip = front0 + cb
+            back_clip = back0 + ca
+            res = None
+            if ra.dist > 0 or cb or ca:
+                loc0 = int(body_loc[i, k])
+                if not bool(escalated[i, k]):
+                    # LV winner: the candidate location can be shifted by
+                    # head indels (SNAP gets genomeLocationOffset from the
+                    # reverse-LV pass); recover the true body start from
+                    # the LV traceback before the AG CIGAR pass.
+                    loc0, _, _ = compute_cigar(
+                        pattern, self.genome_np, int(ra.end_loc),
+                        self.params.max_k,
+                    )
+                res = compute_ag_cigar_at(
+                    self.genome_np,
+                    loc0,
+                    body,
+                    bquals,
+                    front_clip,
+                    back_clip,
+                )
+            if res is None:
+                # perfect or fallback: plain LV traceback path
+                start_loc, cigar, nm = compute_cigar(
+                    pattern,
+                    self.genome_np,
+                    int(ra.end_loc),
+                    self.params.max_k,
+                    front_clip=front0,
+                    back_clip=back0,
+                )
+            else:
+                start_loc, cigar, nm = res
             results.append(
                 {
                     "status": ra.status,
