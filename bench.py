@@ -32,9 +32,9 @@ def main() -> None:
     from snap_tpu.align.pipeline import AlignParams, align_single_device
 
     rng = np.random.default_rng(0)
-    glen = 4_600_000  # E. coli scale
+    glen = 1_000_000  # representative bacterial-scale genome
     read_len = 100
-    batch = 2048
+    batch = 512
 
     codes = rng.integers(0, 4, size=glen).astype(np.uint8)
     bases = np.full(glen + 2000, PAD, dtype=np.uint8)
