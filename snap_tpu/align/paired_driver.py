@@ -1,0 +1,227 @@
+"""End-to-end paired-end driver.
+
+Behavioral reference: SNAP's PairedAlignerContext::runIterationThreadImpl
+(PairedAligner.cpp:490-930) and SAMFormat::writePairs/fillMateInfo
+(SAM.cpp:1575, 1308-1420). Both ends of every pair go through one device
+batch (rows 0..B-1 = first ends, B..2B-1 = second ends), then pairing,
+chimeric fallback, CIGARs, and mate-info SAM emission happen host-side.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import (
+    DEFAULT_MAX_SPACING,
+    DEFAULT_MIN_READ_LENGTH,
+    DEFAULT_MIN_SPACING,
+    DEFAULT_NUM_SEEDS_PAIRED,
+    MAPQ_LIMIT_FOR_SINGLE_HIT,
+)
+from ..index.index import GenomeIndex
+from ..io.fastq import ReadBatch, paired_read_batches
+from ..io.sam import (
+    FLAG_FIRST,
+    FLAG_LAST,
+    FLAG_NEXT_RC,
+    FLAG_NEXT_UNMAPPED,
+    FLAG_PAIRED,
+    FLAG_PROPER,
+    FLAG_RC,
+    FLAG_UNMAPPED,
+    SamWriter,
+)
+from .paired import finalize_pair
+from .pipeline import AlignParams, align_single_device
+from .single import AlignerStats, winner_record
+
+
+@dataclass
+class PairedEndAligner:
+    index: GenomeIndex
+    params: AlignParams
+    batch_size: int = 512
+    max_read_len: int = 128
+    min_read_length: int = DEFAULT_MIN_READ_LENGTH
+    min_spacing: int = DEFAULT_MIN_SPACING
+    max_spacing: int = DEFAULT_MAX_SPACING
+    stats: AlignerStats = field(default_factory=AlignerStats)
+
+    def __post_init__(self):
+        self.genome_np = np.asarray(self.index.genome_meta.bases)
+
+    def _pad_two(self, b0: ReadBatch, b1: ReadBatch):
+        n = len(b0)
+        B, L = self.batch_size, self.max_read_len
+        bases = np.full((2 * B, L), 4, dtype=np.uint8)
+        quals = np.zeros((2 * B, L), dtype=np.uint8)
+        lens = np.zeros(2 * B, dtype=np.int32)
+        for off, rb in ((0, b0), (B, b1)):
+            bases[off : off + n] = rb.bases[:, :L]
+            quals[off : off + n] = rb.quals[:, :L]
+            lens[off : off + n] = np.minimum(rb.lengths, L)
+        return bases, quals, lens
+
+    def align_batch(self, b0: ReadBatch, b1: ReadBatch):
+        import jax.numpy as jnp
+
+        n = len(b0)
+        B = self.batch_size
+        bases, quals, lens = self._pad_two(b0, b1)
+        out = align_single_device(
+            self.index.device,
+            jnp.asarray(bases),
+            jnp.asarray(quals),
+            jnp.asarray(lens),
+            self.params,
+        )
+        f = {
+            name: np.asarray(getattr(out, name))
+            for name in (
+                "dist", "log_prob", "ag_score", "end_loc", "cand_loc",
+                "body_loc", "escalated", "clip_before", "clip_after",
+                "direction", "valid", "len_eff", "popular",
+            )
+        }
+        per_cand = (
+            "dist", "log_prob", "ag_score", "end_loc", "cand_loc",
+            "direction", "valid", "escalated",
+        )
+        arrays = {
+            k: f[k]
+            for k in ("len_eff", "clip_before", "clip_after", "escalated",
+                      "body_loc")
+        }
+
+        results = []
+        for i in range(n):
+            j = B + i
+            len_ok0 = int(b0.lengths[i]) >= self.min_read_length
+            len_ok1 = int(b1.lengths[i]) >= self.min_read_length
+            c0 = {k: f[k][i] for k in per_cand}
+            c1 = {k: f[k][j] for k in per_cand}
+            r0, r1 = finalize_pair(
+                c0, c1, int(f["popular"][i]), int(f["popular"][j]),
+                self.min_spacing, self.max_spacing, len_ok0, len_ok1,
+            )
+            recs = []
+            for (r, batch, row) in ((r0, b0, i), (r1, b1, j)):
+                if r.status in ("filtered", "notfound"):
+                    recs.append({"status": r.status})
+                    continue
+                rec = winner_record(
+                    self.genome_np, self.params.max_k, batch, i, arrays,
+                    r.cand_index, r.direction, r.dist, r.end_loc,
+                    arr_i=row,
+                )
+                rec.update(
+                    status=r.status, direction=r.direction, mapq=r.mapq,
+                    dist=r.dist, aligned_as_pair=r.aligned_as_pair,
+                )
+                recs.append(rec)
+            results.append((recs[0], recs[1]))
+        return results
+
+    def align_files(
+        self, path1: str, path2: str | None, writer: SamWriter
+    ) -> AlignerStats:
+        writer.write_header()
+        t0 = time.time()
+        for b0, b1 in paired_read_batches(
+            path1, path2, self.batch_size, self.max_read_len
+        ):
+            for i, (r0, r1) in enumerate(self.align_batch(b0, b1)):
+                self._emit_pair(writer, b0, b1, i, r0, r1)
+        self.stats.align_seconds = time.time() - t0
+        return self.stats
+
+    def _emit_pair(self, writer, b0, b1, i, r0, r1):
+        from ..constants import BASE_DECODE
+
+        recs = (r0, r1)
+        located = []
+        for r in recs:
+            self.stats.total += 1
+            if r["status"] in ("filtered", "notfound"):
+                located.append(None)
+                if r["status"] == "filtered":
+                    self.stats.too_short += 1
+                else:
+                    self.stats.not_found += 1
+                continue
+            loc = writer.locate(r["start_loc"])
+            if loc is None:
+                located.append(None)
+                self.stats.not_found += 1
+                continue
+            located.append(loc)
+            if r["mapq"] >= MAPQ_LIMIT_FOR_SINGLE_HIT:
+                self.stats.single += 1
+            else:
+                self.stats.multi += 1
+            self.stats.mapq_histogram[min(70, r["mapq"])] += 1
+
+        for which, (r, batch) in enumerate(((r0, b0), (r1, b1))):
+            mate = recs[1 - which]
+            mate_located = located[1 - which]
+            my_located = located[which]
+            L = int(batch.lengths[i])
+            seq = BASE_DECODE[batch.bases[i, :L]].tobytes()
+            qual = batch.quals[i, :L].tobytes()
+            flag = FLAG_PAIRED | (FLAG_FIRST if which == 0 else FLAG_LAST)
+            rname, pos, mapq, cigar, nm = "*", 0, 0, "*", None
+            rnext, pnext, tlen = "*", 0, 0
+            if my_located is None:
+                flag |= FLAG_UNMAPPED
+                if mate_located is not None:
+                    # SAM spec: unmapped end copies mate RNAME/POS
+                    rname, pos = mate_located
+                    rnext, pnext = "=", pos
+                    if mate["direction"]:
+                        flag |= FLAG_NEXT_RC
+            else:
+                rname, pos = my_located
+                mapq, cigar, nm = r["mapq"], r["cigar"], r["nm"]
+                if r["direction"]:
+                    flag |= FLAG_RC
+                if mate_located is None:
+                    flag |= FLAG_NEXT_UNMAPPED
+                    rnext, pnext = "=", pos
+                else:
+                    mrname, mpos = mate_located
+                    rnext = "=" if mrname == rname else mrname
+                    pnext = mpos
+                    if mate["direction"]:
+                        flag |= FLAG_NEXT_RC
+                    if r.get("aligned_as_pair"):
+                        flag |= FLAG_PROPER
+                    if mrname == rname:
+                        tlen = _template_length(
+                            r, mate, pos, mpos
+                        )
+            writer.write_record(
+                batch.ids[i], flag, rname, pos, mapq, cigar, seq, qual,
+                nm=nm, rnext=rnext, pnext=pnext, tlen=tlen,
+            )
+
+
+def _template_length(r: dict, mate: dict, pos: int, mpos: int) -> int:
+    """TLEN per fillMateInfo (SAM.cpp:1368-1420): signed span between
+    unclipped starts / CIGAR-derived ends, FR/FF/RF/RR cases."""
+    my_start = pos - r["front_soft"]
+    my_end = pos + r["ref_span"]
+    mate_start = mpos - mate["front_soft"]
+    mate_end = mpos + mate["ref_span"]
+    my_rc = bool(r["direction"])
+    mate_rc = bool(mate["direction"])
+    if my_start < mate_start:
+        if not my_rc:
+            return mate_end - my_start if mate_rc else mate_start - my_start
+        return mate_start - my_end if not mate_rc else mate_end - my_end
+    else:
+        if my_rc:
+            return -(my_end - mate_start) if not mate_rc else -(my_end - mate_end)
+        return -(my_start - mate_start) if not mate_rc else -(my_start - mate_end)

@@ -56,6 +56,84 @@ class AlignerStats:
         )
 
 
+def winner_record(
+    genome_np: np.ndarray,
+    max_k: int,
+    batch: "ReadBatch",
+    i: int,
+    arrays: dict,
+    k: int,
+    direction: int,
+    dist: int,
+    end_loc: int,
+    arr_i: int | None = None,
+) -> dict:
+    """Compute (start_loc, cigar, nm) for a chosen candidate of read i.
+
+    arrays: numpy views of SingleAlignOut fields (len_eff, clip_before,
+    clip_after, escalated, body_loc). Mirrors the SAM-write path: AG
+    CIGAR for any nonzero score (SAM.cpp:1653,2678), LV traceback start
+    recovery for non-escalated winners.
+    """
+    ai = i if arr_i is None else arr_i
+    orig_len = int(batch.lengths[i])
+    plen = int(arrays["len_eff"][ai])
+    qual_clip = orig_len - plen
+    clipped = batch.bases[i, :plen]
+    if direction:
+        pattern = reverse_complement_codes(clipped.copy())
+        oquals = batch.quals[i, :plen][::-1].copy()
+        front0, back0 = qual_clip, 0
+    else:
+        pattern = np.ascontiguousarray(clipped)
+        oquals = batch.quals[i, :plen].copy()
+        front0, back0 = 0, qual_clip
+    cb = int(arrays["clip_before"][ai, k])
+    ca = int(arrays["clip_after"][ai, k])
+    body = pattern[cb : plen - ca]
+    bquals = oquals[cb : plen - ca]
+    front_clip = front0 + cb
+    back_clip = back0 + ca
+    res = None
+    if dist > 0 or cb or ca:
+        loc0 = int(arrays["body_loc"][ai, k])
+        if not bool(arrays["escalated"][ai, k]):
+            loc0, _, _ = compute_cigar(pattern, genome_np, end_loc, max_k)
+        res = compute_ag_cigar_at(
+            genome_np, loc0, body, bquals, front_clip, back_clip
+        )
+    if res is None:
+        start_loc, cigar, nm = compute_cigar(
+            pattern, genome_np, end_loc, max_k,
+            front_clip=front0, back_clip=back0,
+        )
+    else:
+        start_loc, cigar, nm = res
+    return {
+        "start_loc": start_loc,
+        "cigar": cigar,
+        "nm": nm,
+        "front_soft": _leading_soft(cigar),
+        "ref_span": _ref_span(cigar),
+    }
+
+
+def _leading_soft(cigar: str) -> int:
+    import re
+
+    m = re.match(r"^(\d+)S", cigar)
+    return int(m.group(1)) if m else 0
+
+
+def _ref_span(cigar: str) -> int:
+    import re
+
+    return sum(
+        int(n) for n, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar)
+        if op in "MD=XN"
+    )
+
+
 class SingleEndAligner:
     def __init__(
         self,
@@ -125,67 +203,22 @@ class SingleEndAligner:
             if ra.status == "notfound":
                 results.append({"status": "notfound"})
                 continue
-            k = ra.cand_index
-            plen = int(len_eff[i])
-            qual_clip = orig_len - plen
-            clipped = bases[i, :plen]
-            if ra.direction:
-                pattern = reverse_complement_codes(clipped.copy())
-                oquals = batch.quals[i, :plen][::-1].copy()
-                front0, back0 = qual_clip, 0
-            else:
-                pattern = clipped
-                oquals = batch.quals[i, :plen].copy()
-                front0, back0 = 0, qual_clip
-            cb = int(clip_before[i, k])
-            ca = int(clip_after[i, k])
-            body = pattern[cb : plen - ca]
-            bquals = oquals[cb : plen - ca]
-            front_clip = front0 + cb
-            back_clip = back0 + ca
-            res = None
-            if ra.dist > 0 or cb or ca:
-                loc0 = int(body_loc[i, k])
-                if not bool(escalated[i, k]):
-                    # LV winner: the candidate location can be shifted by
-                    # head indels (SNAP gets genomeLocationOffset from the
-                    # reverse-LV pass); recover the true body start from
-                    # the LV traceback before the AG CIGAR pass.
-                    loc0, _, _ = compute_cigar(
-                        pattern, self.genome_np, int(ra.end_loc),
-                        self.params.max_k,
-                    )
-                res = compute_ag_cigar_at(
-                    self.genome_np,
-                    loc0,
-                    body,
-                    bquals,
-                    front_clip,
-                    back_clip,
-                )
-            if res is None:
-                # perfect or fallback: plain LV traceback path
-                start_loc, cigar, nm = compute_cigar(
-                    pattern,
-                    self.genome_np,
-                    int(ra.end_loc),
-                    self.params.max_k,
-                    front_clip=front0,
-                    back_clip=back0,
-                )
-            else:
-                start_loc, cigar, nm = res
-            results.append(
-                {
-                    "status": ra.status,
-                    "direction": ra.direction,
-                    "start_loc": start_loc,
-                    "cigar": cigar,
-                    "nm": nm,
-                    "mapq": ra.mapq,
-                    "dist": ra.dist,
-                }
+            arrays = {
+                "len_eff": len_eff,
+                "clip_before": clip_before,
+                "clip_after": clip_after,
+                "escalated": escalated,
+                "body_loc": body_loc,
+            }
+            rec = winner_record(
+                self.genome_np, self.params.max_k, batch, i, arrays,
+                ra.cand_index, ra.direction, ra.dist, int(ra.end_loc),
             )
+            rec.update(
+                status=ra.status, direction=ra.direction, mapq=ra.mapq,
+                dist=ra.dist,
+            )
+            results.append(rec)
         return results
 
     def align_file(self, fastq_path: str, writer: SamWriter) -> AlignerStats:

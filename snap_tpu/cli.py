@@ -113,6 +113,77 @@ def cmd_single(args: list[str]) -> int:
     return 0
 
 
+def cmd_paired(args: list[str]) -> int:
+    if len(args) < 2:
+        print(
+            "usage: snap-tpu paired <index-dir> <in1.fq> [in2.fq] [-o out.sam]"
+            " [-s min max] [-d maxDist] [-n numSeeds] [-b batchSize]",
+            file=sys.stderr,
+        )
+        return 1
+    index_dir, fq1 = args[0], args[1]
+    fq2 = None
+    i = 2
+    if i < len(args) and not args[i].startswith("-"):
+        fq2 = args[i]
+        i += 1
+    out_path = "-"
+    overrides: dict = {}
+    batch_size, max_read_len, mrl = 512, 128, 50
+    min_sp, max_sp = 0, 1000
+    while i < len(args):
+        a = args[i]
+        if a == "-o":
+            out_path = args[i + 1]; i += 2
+        elif a == "-s":
+            min_sp, max_sp = int(args[i + 1]), int(args[i + 2]); i += 3
+        elif a == "-d":
+            overrides["max_k"] = int(args[i + 1]); i += 2
+        elif a == "-n":
+            overrides["num_seeds"] = int(args[i + 1]); i += 2
+        elif a == "-h":
+            overrides["max_hits"] = int(args[i + 1]); i += 2
+        elif a == "-b":
+            batch_size = int(args[i + 1]); i += 2
+        elif a == "-rl":
+            max_read_len = int(args[i + 1]); i += 2
+        elif a == "-mrl":
+            mrl = int(args[i + 1]); i += 2
+        elif a == "-t":
+            i += 2
+        else:
+            print(f"ignoring unknown option {a}", file=sys.stderr)
+            i += 1
+
+    from .align.paired_driver import PairedEndAligner
+
+    print(f"Loading index from directory... {index_dir}", file=sys.stderr)
+    index = GenomeIndex.load(index_dir)
+    params = AlignParams(
+        seed_len=index.seed_len,
+        max_probe=max(32, index.max_probe + 1),
+        **overrides,
+    )
+    aligner = PairedEndAligner(
+        index, params, batch_size=batch_size, max_read_len=max_read_len,
+        min_read_length=mrl, min_spacing=min_sp, max_spacing=max_sp,
+    )
+    out = sys.stdout.buffer if out_path == "-" else open(out_path, "wb")
+    try:
+        writer = SamWriter(
+            out=out,
+            genome=index.genome_meta,
+            command_line="paired " + " ".join(args),
+        )
+        print("Aligning.", file=sys.stderr)
+        stats = aligner.align_files(fq1, fq2, writer)
+        stats.print_table()
+    finally:
+        if out_path != "-":
+            out.close()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     print("Welcome to snap-tpu, a TPU-native SNAP-capability aligner.",
@@ -125,6 +196,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_index(rest)
     if cmd == "single":
         return cmd_single(rest)
+    if cmd == "paired":
+        return cmd_paired(rest)
     print(f"unknown command {cmd}", file=sys.stderr)
     return 1
 

@@ -99,7 +99,33 @@ def write_fastq(reads, path):
             f.write(f"@{name}\n{seq}\n+\n{quals}\n")
 
 
-def parse_sam(path):
+def gen_pairs(rng, contigs, n_pairs, read_len, snp_rate, indel_rate,
+              insert_lo=200, insert_hi=500):
+    """wgsim-style proper pairs: R1 = fragment start (FWD),
+    R2 = RC of fragment end."""
+    names = list(contigs)
+    r1s, r2s = [], []
+    for r in range(n_pairs):
+        cname = names[rng.integers(0, len(names))]
+        seq = contigs[cname]
+        insert = int(rng.integers(insert_lo, insert_hi))
+        pos = int(rng.integers(0, len(seq) - insert - 12))
+        frag = seq[pos : pos + insert]
+        def mk(sub):
+            mut = mutate(rng, sub, snp_rate, indel_rate)[:read_len]
+            while len(mut) < read_len:
+                mut = mut + BASES[rng.integers(0, 4)]
+            return mut
+        s1 = mk(frag[: read_len + 10])
+        s2 = mk(frag[-(read_len + 10):]).translate(RC)[::-1]
+        q = lambda: "".join(chr(int(x)) for x in rng.integers(53, 74, read_len))
+        name = f"p{r}_{cname}_{pos + 1}"
+        r1s.append((name, s1, q()))
+        r2s.append((name, s2, q()))
+    return r1s, r2s
+
+
+def parse_sam(path, paired=False):
     recs = {}
     with open(path) as f:
         for line in f:
@@ -110,19 +136,28 @@ def parse_sam(path):
             for tag in t[11:]:
                 if tag.startswith("NM:i:"):
                     nm = int(tag[5:])
-            recs[t[0]] = {
-                "flag": int(t[1]),
+            flag = int(t[1])
+            key = t[0]
+            if paired:
+                key += "/1" if flag & 0x40 else "/2"
+            recs[key] = {
+                "flag": flag,
                 "rname": t[2],
                 "pos": int(t[3]),
                 "mapq": int(t[4]),
                 "cigar": t[5],
                 "nm": nm,
+                "rnext": t[6],
+                "pnext": int(t[7]),
+                "tlen": int(t[8]),
             }
     return recs
 
 
-def compare(golden, ours, verbose=False):
+def compare(golden, ours, verbose=False, paired=False):
     fields = ["rname", "pos", "flag", "cigar", "mapq", "nm"]
+    if paired:
+        fields += ["rnext", "pnext", "tlen"]
     agree = Counter()
     total = 0
     mapq_close = 0
@@ -169,18 +204,14 @@ def main():
     ap.add_argument("--seed-len", type=int, default=24)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--paired", action="store_true")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     contigs = gen_genome(rng, args.genome_size)
-    reads = gen_reads(
-        rng, contigs, args.reads, args.read_len, args.snp_rate, args.indel_rate
-    )
     fa = os.path.join(args.workdir, "genome.fa")
-    fq = os.path.join(args.workdir, "reads.fq")
     write_fasta(contigs, fa)
-    write_fastq(reads, fq)
 
     refidx = os.path.join(args.workdir, "refidx")
     golden_sam = os.path.join(args.workdir, "golden.sam")
@@ -188,36 +219,74 @@ def main():
         [args.ref_binary, "index", fa, refidx, "-s", str(args.seed_len)],
         check=True, capture_output=True,
     )
-    subprocess.run(
-        [args.ref_binary, "single", refidx, fq, "-t", "1", "-o", golden_sam],
-        check=True, capture_output=True,
-    )
+
+    if args.paired:
+        r1s, r2s = gen_pairs(
+            rng, contigs, args.reads, args.read_len, args.snp_rate,
+            args.indel_rate,
+        )
+        fq1 = os.path.join(args.workdir, "reads_1.fq")
+        fq2 = os.path.join(args.workdir, "reads_2.fq")
+        write_fastq(r1s, fq1)
+        write_fastq(r2s, fq2)
+        subprocess.run(
+            [args.ref_binary, "paired", refidx, fq1, fq2, "-t", "1",
+             "-o", golden_sam],
+            check=True, capture_output=True,
+        )
+    else:
+        reads = gen_reads(
+            rng, contigs, args.reads, args.read_len, args.snp_rate,
+            args.indel_rate,
+        )
+        fq = os.path.join(args.workdir, "reads.fq")
+        write_fastq(reads, fq)
+        subprocess.run(
+            [args.ref_binary, "single", refidx, fq, "-t", "1",
+             "-o", golden_sam],
+            check=True, capture_output=True,
+        )
 
     # ours, in process
     import snap_tpu  # noqa: F401
     from snap_tpu.align.pipeline import AlignParams
-    from snap_tpu.align.single import SingleEndAligner
     from snap_tpu.genome import load_fasta
     from snap_tpu.index.index import GenomeIndex
     from snap_tpu.io.sam import SamWriter
 
     genome = load_fasta(fa)
     index = GenomeIndex.build(genome, args.seed_len)
-    params = AlignParams(
-        seed_len=args.seed_len, max_probe=max(32, index.max_probe + 1)
-    )
     L = max(args.read_len, 101)
-    aligner = SingleEndAligner(
-        index, params, batch_size=args.batch, max_read_len=L
-    )
     ours_sam = os.path.join(args.workdir, "ours.sam")
-    with open(ours_sam, "wb") as f:
-        writer = SamWriter(out=f, genome=genome, command_line="harness")
-        aligner.align_file(fq, writer)
+    if args.paired:
+        from snap_tpu.align.paired_driver import PairedEndAligner
+        from snap_tpu.constants import DEFAULT_NUM_SEEDS_PAIRED
 
-    golden = parse_sam(golden_sam)
-    ours = parse_sam(ours_sam)
-    exact, total, diffs = compare(golden, ours, args.verbose)
+        params = AlignParams(
+            seed_len=args.seed_len, max_probe=max(32, index.max_probe + 1),
+        )
+        aligner = PairedEndAligner(
+            index, params, batch_size=args.batch, max_read_len=L
+        )
+        with open(ours_sam, "wb") as f:
+            writer = SamWriter(out=f, genome=genome, command_line="harness")
+            aligner.align_files(fq1, fq2, writer)
+    else:
+        from snap_tpu.align.single import SingleEndAligner
+
+        params = AlignParams(
+            seed_len=args.seed_len, max_probe=max(32, index.max_probe + 1)
+        )
+        aligner = SingleEndAligner(
+            index, params, batch_size=args.batch, max_read_len=L
+        )
+        with open(ours_sam, "wb") as f:
+            writer = SamWriter(out=f, genome=genome, command_line="harness")
+            aligner.align_file(fq, writer)
+
+    golden = parse_sam(golden_sam, paired=args.paired)
+    ours = parse_sam(ours_sam, paired=args.paired)
+    exact, total, diffs = compare(golden, ours, args.verbose, args.paired)
     return 0 if exact == total else 2
 
 
