@@ -60,52 +60,95 @@ def cmd_single(args: list[str]) -> int:
         )
         return 1
     index_dir, fastq = args[0], args[1]
-    out_path = "-"
-    overrides: dict = {}
-    batch_size, max_read_len, mrl = 1024, 128, 50
-    i = 2
-    while i < len(args):
-        a = args[i]
-        if a == "-o":
-            out_path = args[i + 1]; i += 2
-        elif a == "-d":
-            overrides["max_k"] = int(args[i + 1]); i += 2
-        elif a == "-n":
-            overrides["num_seeds"] = int(args[i + 1]); i += 2
-        elif a == "-h":
-            overrides["max_hits"] = int(args[i + 1]); i += 2
-        elif a == "-mrl":
-            mrl = int(args[i + 1]); i += 2
-        elif a == "-b":
-            batch_size = int(args[i + 1]); i += 2
-        elif a == "-rl":
-            max_read_len = int(args[i + 1]); i += 2
-        elif a == "-t":
-            i += 2  # thread count: parallelism is the device mesh
-        else:
-            print(f"ignoring unknown option {a}", file=sys.stderr)
-            i += 1
-
+    opts = _parse_align_options(args[2:], batch_size=1024)
     print(f"Loading index from directory... {index_dir}", file=sys.stderr)
     index = GenomeIndex.load(index_dir)
     params = AlignParams(
         seed_len=index.seed_len,
         max_probe=max(32, index.max_probe + 1),
-        **overrides,
+        **opts["overrides"],
     )
     aligner = SingleEndAligner(
-        index, params, batch_size=batch_size, max_read_len=max_read_len,
-        min_read_length=mrl,
+        index, params, batch_size=opts["batch_size"],
+        max_read_len=opts["max_read_len"], min_read_length=opts["mrl"],
+    )
+    return _run_with_writer(
+        index, "single " + " ".join(args), opts,
+        lambda writer: aligner.align_file(fastq, writer),
+    )
+
+
+def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
+    """Shared single/paired option parsing (SNAP flag names)."""
+    o = {
+        "out_path": "-", "overrides": {}, "batch_size": batch_size,
+        "max_read_len": 128, "mrl": 50, "sort": False,
+        "no_dup": False, "no_index": False, "min_sp": 0, "max_sp": 1000,
+        "force_sam": False, "force_bam": False,
+    }
+    i = 0
+    while i < len(rest):
+        a = rest[i]
+        if a == "-o":
+            o["out_path"] = rest[i + 1]; i += 2
+        elif a == "-so":
+            o["sort"] = True; i += 1
+        elif a == "-S" and i + 1 < len(rest):
+            for ch in rest[i + 1]:
+                if ch == "d":
+                    o["no_dup"] = True
+                elif ch == "i":
+                    o["no_index"] = True
+            i += 2
+        elif a == "-sam":
+            o["force_sam"] = True; i += 1
+        elif a == "-bam":
+            o["force_bam"] = True; i += 1
+        elif a == "-s" and i + 2 < len(rest):
+            o["min_sp"], o["max_sp"] = int(rest[i + 1]), int(rest[i + 2])
+            i += 3
+        elif a == "-d":
+            o["overrides"]["max_k"] = int(rest[i + 1]); i += 2
+        elif a == "-n":
+            o["overrides"]["num_seeds"] = int(rest[i + 1]); i += 2
+        elif a == "-h":
+            o["overrides"]["max_hits"] = int(rest[i + 1]); i += 2
+        elif a == "-mrl":
+            o["mrl"] = int(rest[i + 1]); i += 2
+        elif a == "-b":
+            o["batch_size"] = int(rest[i + 1]); i += 2
+        elif a == "-rl":
+            o["max_read_len"] = int(rest[i + 1]); i += 2
+        elif a == "-t":
+            i += 2  # thread count: parallelism is the device mesh
+        else:
+            print(f"ignoring unknown option {a}", file=sys.stderr)
+            i += 1
+    return o
+
+
+def _run_with_writer(index, command_line: str, opts: dict, run) -> int:
+    from .io.output import OutputWriter
+
+    out_path = opts["out_path"]
+    bam = opts["force_bam"] or (
+        out_path.endswith(".bam") and not opts["force_sam"]
     )
     out = sys.stdout.buffer if out_path == "-" else open(out_path, "wb")
     try:
-        writer = SamWriter(
+        writer = OutputWriter(
             out=out,
             genome=index.genome_meta,
-            command_line="single " + " ".join(args),
+            command_line=command_line,
+            bam=bam,
+            sort=opts["sort"],
+            mark_duplicates=(opts["sort"] and not opts["no_dup"]),
+            build_bai=(bam and opts["sort"] and not opts["no_index"]),
+            bai_path=(out_path + ".bai") if out_path != "-" else None,
         )
         print("Aligning.", file=sys.stderr)
-        stats = aligner.align_file(fastq, writer)
+        stats = run(writer)
+        writer.close()
         stats.print_table()
     finally:
         if out_path != "-":
@@ -127,33 +170,7 @@ def cmd_paired(args: list[str]) -> int:
     if i < len(args) and not args[i].startswith("-"):
         fq2 = args[i]
         i += 1
-    out_path = "-"
-    overrides: dict = {}
-    batch_size, max_read_len, mrl = 512, 128, 50
-    min_sp, max_sp = 0, 1000
-    while i < len(args):
-        a = args[i]
-        if a == "-o":
-            out_path = args[i + 1]; i += 2
-        elif a == "-s":
-            min_sp, max_sp = int(args[i + 1]), int(args[i + 2]); i += 3
-        elif a == "-d":
-            overrides["max_k"] = int(args[i + 1]); i += 2
-        elif a == "-n":
-            overrides["num_seeds"] = int(args[i + 1]); i += 2
-        elif a == "-h":
-            overrides["max_hits"] = int(args[i + 1]); i += 2
-        elif a == "-b":
-            batch_size = int(args[i + 1]); i += 2
-        elif a == "-rl":
-            max_read_len = int(args[i + 1]); i += 2
-        elif a == "-mrl":
-            mrl = int(args[i + 1]); i += 2
-        elif a == "-t":
-            i += 2
-        else:
-            print(f"ignoring unknown option {a}", file=sys.stderr)
-            i += 1
+    opts = _parse_align_options(args[i:])
 
     from .align.paired_driver import PairedEndAligner
 
@@ -162,26 +179,17 @@ def cmd_paired(args: list[str]) -> int:
     params = AlignParams(
         seed_len=index.seed_len,
         max_probe=max(32, index.max_probe + 1),
-        **overrides,
+        **opts["overrides"],
     )
     aligner = PairedEndAligner(
-        index, params, batch_size=batch_size, max_read_len=max_read_len,
-        min_read_length=mrl, min_spacing=min_sp, max_spacing=max_sp,
+        index, params, batch_size=opts["batch_size"],
+        max_read_len=opts["max_read_len"], min_read_length=opts["mrl"],
+        min_spacing=opts["min_sp"], max_spacing=opts["max_sp"],
     )
-    out = sys.stdout.buffer if out_path == "-" else open(out_path, "wb")
-    try:
-        writer = SamWriter(
-            out=out,
-            genome=index.genome_meta,
-            command_line="paired " + " ".join(args),
-        )
-        print("Aligning.", file=sys.stderr)
-        stats = aligner.align_files(fq1, fq2, writer)
-        stats.print_table()
-    finally:
-        if out_path != "-":
-            out.close()
-    return 0
+    return _run_with_writer(
+        index, "paired " + " ".join(args), opts,
+        lambda writer: aligner.align_files(fq1, fq2, writer),
+    )
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -1,0 +1,114 @@
+"""Output pipeline: BGZF, BAM encode/decode, sort order, dup marking."""
+
+import io
+
+import numpy as np
+
+from snap_tpu.genome import Genome, Contig
+from snap_tpu.constants import PAD
+from snap_tpu.io.bgzf import BgzfWriter, compress_block, decompress_all
+from snap_tpu.io.bam import encode_record, encode_tags, read_bam, reg2bin
+from snap_tpu.io.output import OutputWriter, unclipped_5prime, OutRecord
+
+
+def make_genome():
+    bases = np.full(3000, PAD, dtype=np.uint8)
+    return Genome(
+        bases=bases,
+        contigs=[
+            Contig(name="c1", start=100, length=1000, original_index=0),
+            Contig(name="c2", start=1200, length=1000, original_index=1),
+        ],
+    )
+
+
+def test_bgzf_roundtrip():
+    buf = io.BytesIO()
+    w = BgzfWriter(buf)
+    data = bytes(range(256)) * 1000
+    w.write(data)
+    w.close()
+    assert decompress_all(buf.getvalue()) == data
+
+
+def test_bgzf_eof_marker():
+    buf = io.BytesIO()
+    BgzfWriter(buf).close()
+    assert buf.getvalue().endswith(
+        bytes.fromhex("1f8b08040000000000ff0600424302001b0003000000000000000000")
+    )
+
+
+def test_reg2bin():
+    assert reg2bin(0, 1) == 4681
+    assert reg2bin(0, 1 << 14) == 4681
+    assert reg2bin(0, (1 << 14) + 1) == 585
+    assert reg2bin(-1, 0) == 4680
+
+
+def write_and_read(records, genome, sort=False, mark=False):
+    buf = io.BytesIO()
+    w = OutputWriter(
+        buf, genome, bam=True, sort=sort, mark_duplicates=mark,
+        build_bai=False,
+    )
+    for r in records:
+        w.write_record(*r)
+    w.close()
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".bam", delete=False) as f:
+        f.write(buf.getvalue())
+        path = f.name
+    try:
+        return read_bam(path)
+    finally:
+        os.unlink(path)
+
+
+def test_bam_roundtrip_and_sort():
+    g = make_genome()
+    recs = [
+        (b"r1", 0, "c2", 50, 60, "10M", b"ACGTACGTAC", b"IIIIIIIIII", 0),
+        (b"r2", 16, "c1", 200, 60, "8M2S", b"ACGTACGTAC", b"IIIIIIIIII", 1),
+        (b"r3", 4, "*", 0, 0, "*", b"ACGTACGTAC", b"IIIIIIIIII", None),
+        (b"r4", 0, "c1", 10, 60, "10M", b"ACGTACGTAC", b"IIIIIIIIII", 0),
+    ]
+    _, refs, out = write_and_read(recs, g, sort=True)
+    assert refs == ["c1", "c2"]
+    # sorted: c1:10, c1:200, c2:50, unmapped last
+    assert [r.qname for r in out] == [b"r4", b"r2", b"r1", b"r3"]
+    assert out[0].pos0 == 9
+    # RC record seq is reverse-complemented in output orientation
+    assert out[1].seq == b"GTACGTACGT"
+    assert out[3].ref_id == -1 and out[3].pos0 == -1
+
+
+def test_dup_marking():
+    g = make_genome()
+    # three exact duplicates (same 5' start, fwd), different qual sums
+    recs = [
+        (b"d0", 0, "c1", 100, 60, "10M", b"ACGTACGTAC", b"I" * 10, 0),
+        (b"d1", 0, "c1", 100, 60, "10M", b"ACGTACGTAC", b"J" * 10, 0),  # best
+        (b"d2", 0, "c1", 100, 60, "10M", b"ACGTACGTAC", b"5" * 10, 0),
+        # soft-clipped read whose unclipped start is also 100
+        (b"d3", 0, "c1", 102, 60, "2S8M", b"ACGTACGTAC", b"A" * 10, 0),
+        (b"x", 0, "c1", 500, 60, "10M", b"ACGTACGTAC", b"I" * 10, 0),
+    ]
+    _, _, out = write_and_read(recs, g, sort=True, mark=True)
+    flags = {r.qname: r.flag for r in out}
+    assert flags[b"d1"] & 0x400 == 0
+    assert flags[b"d0"] & 0x400
+    assert flags[b"d2"] & 0x400
+    assert flags[b"d3"] & 0x400
+    assert flags[b"x"] & 0x400 == 0
+
+
+def test_unclipped_5prime_rc():
+    rec = OutRecord(
+        qname=b"r", flag=16, rname="c1", pos=100, mapq=60,
+        cigar="2S8M3S", rnext="*", pnext=0, tlen=0, seq=b"A" * 13,
+        qual=b"I" * 13, nm=0,
+    )
+    # RC: 5' end = pos + refspan - 1 + back clip = 100 + 8 - 1 + 3
+    assert unclipped_5prime(rec) == 110
