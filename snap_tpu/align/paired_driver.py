@@ -22,7 +22,8 @@ from ..constants import (
     MAPQ_LIMIT_FOR_SINGLE_HIT,
 )
 from ..index.index import GenomeIndex
-from ..io.fastq import ReadBatch, paired_read_batches
+from ..io.fastq import ReadBatch
+from ..io.readers import paired_batches
 from ..io.sam import (
     FLAG_FIRST,
     FLAG_LAST,
@@ -130,7 +131,7 @@ class PairedEndAligner:
     ) -> AlignerStats:
         writer.write_header()
         t0 = time.time()
-        for b0, b1 in paired_read_batches(
+        for b0, b1 in paired_batches(
             path1, path2, self.batch_size, self.max_read_len
         ):
             for i, (r0, r1) in enumerate(self.align_batch(b0, b1)):

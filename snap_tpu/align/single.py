@@ -18,7 +18,8 @@ import numpy as np
 from ..constants import DEFAULT_MIN_READ_LENGTH, MAPQ_LIMIT_FOR_SINGLE_HIT
 from ..genome import reverse_complement_codes
 from ..index.index import GenomeIndex
-from ..io.fastq import ReadBatch, read_batches
+from ..io.fastq import ReadBatch
+from ..io.readers import single_batches
 from ..io.sam import FLAG_RC, FLAG_UNMAPPED, SamWriter
 from .agcigar import compute_ag_cigar_at
 from .cigar import compute_cigar
@@ -224,7 +225,7 @@ class SingleEndAligner:
     def align_file(self, fastq_path: str, writer: SamWriter) -> AlignerStats:
         writer.write_header()
         t0 = time.time()
-        for batch in read_batches(
+        for batch in single_batches(
             fastq_path, self.batch_size, self.max_read_len
         ):
             results = self.align_batch(batch)

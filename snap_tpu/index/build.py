@@ -177,6 +177,83 @@ def build_index(
     }
 
 
+def shard_index(
+    genome: Genome, seed_len: int, n_shards: int, load_factor: float = 0.5
+) -> dict:
+    """Build a seed-sharded index: n_shards independent hash tables.
+
+    Shard ownership = top bits of the Murmur-finalized canonical key, so
+    shards are balanced regardless of genome composition (SNAP shards by
+    seed prefix into per-prefix tables, GenomeIndex.cpp:1026-1110; the
+    hash-based split plays the same role but is uniform by construction).
+    Every shard is a complete, self-contained index over its key subset:
+    a lookup probed against a non-owning shard cleanly misses. Arrays are
+    padded to the max shard size and stacked on a leading axis for
+    jax.sharding over the 'index' mesh axis.
+    """
+    assert n_shards >= 1 and (n_shards & (n_shards - 1)) == 0
+    keys, orient, locs = extract_canonical_seeds(genome, seed_len)
+    shift = np.uint64(64 - int(np.log2(n_shards))) if n_shards > 1 else None
+    if n_shards > 1:
+        shard_of = (murmur_finalize64(keys) >> shift).astype(np.int64)
+    else:
+        shard_of = np.zeros(len(keys), dtype=np.int64)
+
+    shards = []
+    for s in range(n_shards):
+        m = shard_of == s
+        sk, so, sl = keys[m], orient[m], locs[m]
+        loc_desc = np.uint32(0xFFFFFFFF) - sl
+        order = np.lexsort((loc_desc, so, sk))
+        sk, so, sl = sk[order], so[order], sl[order]
+        unique_keys, start, counts = np.unique(
+            sk, return_index=True, return_counts=True
+        )
+        orient_cum = np.concatenate(([0], np.cumsum(so.astype(np.int64))))
+        n1 = (orient_cum[start + counts] - orient_cum[start]).astype(np.int32)
+        n0 = (counts - n1).astype(np.int32)
+        table_key_idx, capacity, max_probe = _build_hash_table(
+            unique_keys, load_factor
+        )
+        t_keys = np.full(capacity, EMPTY_KEY, dtype=np.uint64)
+        t_start = np.zeros(capacity, dtype=np.int64)
+        t_n0 = np.zeros(capacity, dtype=np.int32)
+        t_n1 = np.zeros(capacity, dtype=np.int32)
+        occ = table_key_idx >= 0
+        ki = table_key_idx[occ]
+        t_keys[occ] = unique_keys[ki]
+        t_start[occ] = start[ki]
+        t_n0[occ] = n0[ki]
+        t_n1[occ] = n1[ki]
+        shards.append(
+            {"hits": sl, "table_keys": t_keys, "table_start": t_start,
+             "table_n0": t_n0, "table_n1": t_n1, "max_probe": max_probe}
+        )
+
+    cap = max(s["table_keys"].shape[0] for s in shards)
+    hmax = max(max(s["hits"].shape[0], 1) for s in shards)
+
+    def pad_to(a, n, fill):
+        out = np.full((n,), fill, dtype=a.dtype)
+        out[: len(a)] = a
+        return out
+
+    return {
+        "seed_len": seed_len,
+        "n_shards": n_shards,
+        "max_probe": max(s["max_probe"] for s in shards),
+        "hits": np.stack([pad_to(s["hits"], hmax, 0) for s in shards]),
+        "table_keys": np.stack(
+            [pad_to(s["table_keys"], cap, EMPTY_KEY) for s in shards]
+        ),
+        "table_start": np.stack(
+            [pad_to(s["table_start"], cap, 0) for s in shards]
+        ),
+        "table_n0": np.stack([pad_to(s["table_n0"], cap, 0) for s in shards]),
+        "table_n1": np.stack([pad_to(s["table_n1"], cap, 0) for s in shards]),
+    }
+
+
 def save_index(index: dict, genome: Genome, directory: str) -> None:
     os.makedirs(directory, exist_ok=True)
     genome.save(directory)

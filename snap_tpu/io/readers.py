@@ -1,0 +1,146 @@
+"""Unified read supply: FASTQ / SAM / BAM inputs -> dense batches.
+
+Behavioral reference: SNAP's reader stack (SAMReader SAM.h:56-156,
+BAMReader Bam.h:93-398, SNAPFile input-type sniffing
+AlignerOptions.h:60-72, PairedReadMatcher.cpp:44-95). Semantics kept:
+
+- secondary (0x100) and supplementary (0x800) records are skipped;
+- RC-flagged records are un-reverse-complemented so the aligner sees
+  the read as sequenced;
+- paired SAM/BAM streams are matched by QNAME with FIRST/LAST flags
+  (PairedReadMatcher's id-hash pairing; -ku keeps unpaired... dropped
+  here, matching SNAP's default);
+- input type by extension: .sam / .bam / anything else = FASTQ
+  (optionally .gz).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from ..constants import BASE_ENCODE
+from .fastq import ReadBatch, paired_read_batches, read_batches
+from .sam import COMPLEMENT
+
+FLAG_PAIRED = 0x1
+FLAG_UNMAPPED = 0x4
+FLAG_RC = 0x10
+FLAG_FIRST = 0x40
+FLAG_LAST = 0x80
+FLAG_SECONDARY = 0x100
+FLAG_SUPPLEMENTARY = 0x800
+
+
+def input_kind(path: str) -> str:
+    p = path.lower()
+    if p.endswith(".sam"):
+        return "sam"
+    if p.endswith(".bam"):
+        return "bam"
+    return "fastq"
+
+
+def iter_sam_reads(path: str) -> Iterator[tuple[bytes, bytes, bytes, int]]:
+    """Yield (qname, seq, qual, flag) with orientation restored."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        for line in f:
+            if line.startswith(b"@"):
+                continue
+            t = line.rstrip(b"\r\n").split(b"\t")
+            if len(t) < 11:
+                continue
+            flag = int(t[1])
+            if flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY):
+                continue
+            seq, qual = t[9], t[10]
+            if flag & FLAG_RC:
+                seq = seq.translate(COMPLEMENT)[::-1]
+                qual = qual[::-1]
+            yield t[0], seq, qual, flag
+
+
+def iter_bam_reads(path: str) -> Iterator[tuple[bytes, bytes, bytes, int]]:
+    from .bam import read_bam
+
+    _, _, records = read_bam(path)
+    for r in records:
+        if r.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY):
+            continue
+        seq, qual = r.seq, r.qual
+        if r.flag & FLAG_RC:
+            seq = seq.translate(COMPLEMENT)[::-1]
+            qual = qual[::-1]
+        yield r.qname, seq, qual, r.flag
+
+
+def _to_batch(records: list[tuple[bytes, bytes, bytes]], max_len: int) -> ReadBatch:
+    n = len(records)
+    bases = np.full((n, max_len), 4, dtype=np.uint8)
+    quals = np.zeros((n, max_len), dtype=np.uint8)
+    lengths = np.zeros(n, dtype=np.int32)
+    ids = []
+    for i, (rid, seq, qual) in enumerate(records):
+        ids.append(rid)
+        L = min(len(seq), max_len)
+        lengths[i] = L
+        bases[i, :L] = BASE_ENCODE[np.frombuffer(seq[:L], dtype=np.uint8)]
+        quals[i, :L] = np.frombuffer(qual[:L], dtype=np.uint8)
+    return ReadBatch(ids=ids, bases=bases, quals=quals, lengths=lengths)
+
+
+def single_batches(
+    path: str, batch_size: int = 1024, max_len: int = 128
+) -> Iterator[ReadBatch]:
+    kind = input_kind(path)
+    if kind == "fastq":
+        yield from read_batches(path, batch_size, max_len)
+        return
+    it = iter_sam_reads(path) if kind == "sam" else iter_bam_reads(path)
+    buf = []
+    for qname, seq, qual, _flag in it:
+        buf.append((qname, seq, qual))
+        if len(buf) == batch_size:
+            yield _to_batch(buf, max_len)
+            buf = []
+    if buf:
+        yield _to_batch(buf, max_len)
+
+
+def paired_batches(
+    path1: str,
+    path2: str | None,
+    batch_size: int = 512,
+    max_len: int = 128,
+) -> Iterator[tuple[ReadBatch, ReadBatch]]:
+    kind = input_kind(path1)
+    if kind == "fastq":
+        yield from paired_read_batches(path1, path2, batch_size, max_len)
+        return
+    # SAM/BAM single stream: match mates by qname (PairedReadMatcher)
+    it = iter_sam_reads(path1) if kind == "sam" else iter_bam_reads(path1)
+    pending: dict[bytes, tuple[bytes, bytes, bytes, int]] = {}
+    buf1, buf2 = [], []
+    for qname, seq, qual, flag in it:
+        if not flag & FLAG_PAIRED:
+            continue
+        key = qname.split()[0]
+        if key in pending:
+            oseq, oqual, oflag = pending.pop(key)
+            if oflag & FLAG_FIRST:
+                buf1.append((key, oseq, oqual))
+                buf2.append((key, seq, qual))
+            else:
+                buf1.append((key, seq, qual))
+                buf2.append((key, oseq, oqual))
+            if len(buf1) == batch_size:
+                yield _to_batch(buf1, max_len), _to_batch(buf2, max_len)
+                buf1, buf2 = [], []
+        else:
+            pending[key] = (seq, qual, flag)
+    if buf1:
+        yield _to_batch(buf1, max_len), _to_batch(buf2, max_len)

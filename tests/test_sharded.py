@@ -1,0 +1,96 @@
+"""Sharded-index multi-device alignment == single-device alignment.
+
+Runs on the virtual 8-device CPU mesh (conftest). The 2D (data=4,
+index=2) sharded path must produce the same final per-read alignments
+as the single-shard single-device path.
+"""
+
+import numpy as np
+import pytest
+
+import snap_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from snap_tpu.align.pipeline import AlignParams, align_single_device
+from snap_tpu.align.post import finalize_read
+from snap_tpu.constants import PAD
+from snap_tpu.genome import Genome, Contig
+from snap_tpu.index.build import build_index, shard_index
+from snap_tpu.index.index import DeviceIndex
+from snap_tpu.parallel.mesh import (
+    align_single_sharded,
+    make_mesh,
+    sharded_device_index,
+)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_matches_single():
+    rng = np.random.default_rng(3)
+    glen = 30000
+    codes = rng.integers(0, 4, size=glen).astype(np.uint8)
+    bases_g = np.full(glen + 2000, PAD, np.uint8)
+    bases_g[1000 : 1000 + glen] = codes
+    genome = Genome(
+        bases=bases_g, contigs=[Contig(name="c1", start=1000, length=glen)]
+    )
+    seed_len = 20
+    single = build_index(genome, seed_len)
+    sharded = shard_index(genome, seed_len, n_shards=2)
+
+    B, L = 8, 64
+    starts = rng.integers(0, glen - L - 1, size=B)
+    reads = codes[starts[:, None] + np.arange(L)[None, :]].copy()
+    mut = rng.random(reads.shape) < 0.02
+    reads = np.where(mut, rng.integers(0, 4, reads.shape), reads).astype(
+        np.uint8
+    )
+    quals = np.full((B, L), ord("I"), np.uint8)
+    lens = np.full(B, L, np.int32)
+
+    params = AlignParams(
+        seed_len=seed_len,
+        max_probe=max(32, single["max_probe"], sharded["max_probe"]) + 1,
+        num_seeds=9, hit_cap=8, max_cand=8,
+    )
+
+    didx1 = DeviceIndex(
+        table_keys=jnp.asarray(single["table_keys"]),
+        table_start=jnp.asarray(single["table_start"]),
+        table_n0=jnp.asarray(single["table_n0"]),
+        table_n1=jnp.asarray(single["table_n1"]),
+        hits=jnp.asarray(single["hits"]),
+        genome=jnp.asarray(bases_g),
+    )
+    out1 = align_single_device(
+        didx1, jnp.asarray(reads), jnp.asarray(quals), jnp.asarray(lens),
+        params,
+    )
+
+    mesh = make_mesh(4, 2)
+    didx2 = sharded_device_index(sharded, bases_g, mesh)
+    out2 = align_single_sharded(
+        didx2, jnp.asarray(reads), jnp.asarray(quals), jnp.asarray(lens),
+        params, mesh,
+    )
+    assert np.asarray(out2.dist).shape == (B, 2 * params.max_cand)
+
+    for i in range(B):
+        r1 = finalize_read(
+            *(np.asarray(getattr(out1, f))[i] for f in
+              ("dist", "log_prob", "ag_score", "end_loc", "cand_loc",
+               "direction", "valid")),
+            int(np.asarray(out1.popular)[i]),
+        )
+        r2 = finalize_read(
+            *(np.asarray(getattr(out2, f))[i] for f in
+              ("dist", "log_prob", "ag_score", "end_loc", "cand_loc",
+               "direction", "valid")),
+            int(np.asarray(out2.popular)[i]),
+        )
+        assert r1.status == r2.status, i
+        assert r1.end_loc == r2.end_loc, i
+        assert r1.dist == r2.dist, i
+        assert r1.mapq == r2.mapq, i
+        assert r1.direction == r2.direction, i
