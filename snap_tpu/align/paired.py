@@ -42,6 +42,7 @@ class PairEndResult:
     dist: int = -1
     mapq: int = 0
     aligned_as_pair: bool = False
+    supplementary: bool = False  # ALT supplementary emission (-ea)
 
 
 def _pair_combos(c0: dict, c1: dict, min_spacing: int, max_spacing: int):
@@ -73,30 +74,62 @@ def finalize_pair(
     max_spacing: int = DEFAULT_MAX_SPACING,
     len_ok0: bool = True,
     len_ok1: bool = True,
-) -> tuple[PairEndResult, PairEndResult]:
-    """Pick the pair (or chimeric single) results for one read pair."""
+    first_alt_start: int | None = None,
+    alt_awareness: bool = True,
+    emit_alt: bool = False,
+    max_score_gap_to_prefer_non_alt: int = 64,
+) -> tuple[
+    PairEndResult, PairEndResult,
+    tuple[PairEndResult, PairEndResult] | None,
+]:
+    """Pick the pair (or chimeric single) results for one read pair.
+
+    Returns (end0, end1, alt_supplementary_pair | None). ALT handling
+    mirrors the intersecting aligner's dual score sets
+    (IntersectingPairedEndAligner.cpp:834,1211,1251-1257): a pair is
+    non-ALT when its location is below the first-ALT boundary; the
+    non-ALT set is emitted unless its best pair score is more than
+    max_score_gap worse, and the distinct best ALT pair becomes a
+    supplementary result under emit_alt.
+    """
     if not (len_ok0 or len_ok1):
-        return PairEndResult("filtered"), PairEndResult("filtered")
+        return PairEndResult("filtered"), PairEndResult("filtered"), None
+
+    alt_boundary = (
+        first_alt_start
+        if (first_alt_start is not None and alt_awareness)
+        else None
+    )
 
     pair_found = False
-    best = None  # (-agSum, -prob, i0, i1)
+    best = None
+    best_alt = None  # distinct best ALT pair (for emit_alt)
     p_all_pairs = 0.0
     p_best_pair = 0.0
+    alt_mapqs = (0, 0)
     if len_ok0 and len_ok1:
         i0s, i1s = _pair_combos(c0, c1, min_spacing, max_spacing)
         if i0s.size:
             pair_found = True
             ag = c0["ag_score"][i0s] + c1["ag_score"][i1s]
+            dsum = c0["dist"][i0s].astype(np.int64) + c1["dist"][i1s].astype(
+                np.int64
+            )
             lp = c0["log_prob"][i0s].astype(np.float64) + c1["log_prob"][
                 i1s
             ].astype(np.float64)
             probs = np.exp(lp)
             e0 = c0["end_loc"][i0s].astype(np.int64)
             e1 = c1["end_loc"][i1s].astype(np.int64)
+            pair_is_alt = (
+                (c0["cand_loc"][i0s].astype(np.int64) >= alt_boundary)
+                | (c1["cand_loc"][i1s].astype(np.int64) >= alt_boundary)
+                if alt_boundary is not None
+                else np.zeros(i0s.size, dtype=bool)
+            )
             # merge anchors: pairs with both ends within 50 collapse,
             # keeping the better (agScore, probability)
             order = np.lexsort((e1, e0))
-            keep = np.ones(len(order), bool)
             reps: list[int] = []
             for oi in order:
                 merged = False
@@ -112,30 +145,66 @@ def finalize_pair(
                         break
                 if not merged:
                     reps.append(oi)
-            p_all_pairs = float(np.sum(probs[reps]))
-            bi = min(reps, key=lambda r: (-ag[r], -probs[r]))
-            p_best_pair = float(probs[bi])
+            reps_arr = np.array(reps)
+            nonalt_reps = reps_arr[~pair_is_alt[reps_arr]]
+
+            def set_best(subset):
+                if subset.size == 0:
+                    return None
+                p_all = float(np.sum(probs[subset]))
+                bi = min(subset, key=lambda r: (-ag[r], -probs[r]))
+                return int(bi), float(probs[bi]), p_all
+
+            all_best = set_best(reps_arr)
+            na_best = set_best(nonalt_reps)
+            bi_all = all_best[0]
+            if na_best is None or (
+                int(dsum[na_best[0]])
+                > int(dsum[bi_all]) + max_score_gap_to_prefer_non_alt
+            ):
+                bi, p_best_pair, p_all_pairs = all_best
+            else:
+                bi, p_best_pair, p_all_pairs = na_best
+                if emit_alt:
+                    # best ALT pair as supplementary when it scores at
+                    # least as well as the non-ALT primary pair
+                    alt_best = set_best(reps_arr[pair_is_alt[reps_arr]])
+                    if alt_best is not None and int(dsum[alt_best[0]]) <= int(
+                        dsum[bi]
+                    ):
+                        amapq0 = compute_mapq(
+                            all_best[2], alt_best[1], popular0
+                        )
+                        amapq1 = compute_mapq(
+                            all_best[2], alt_best[1], popular1
+                        )
+                        alt_mapqs = (amapq0, amapq1)
+                        best_alt = (
+                            int(i0s[alt_best[0]]), int(i1s[alt_best[0]]),
+                        )
             best = (int(i0s[bi]), int(i1s[bi]))
 
     # single-end results (for fallback and the min-MAPQ rule)
-    s0 = (
-        finalize_read(
-            c0["dist"], c0["log_prob"], c0["ag_score"], c0["end_loc"],
-            c0["cand_loc"], c0["direction"], c0["valid"], popular0,
+    def single_end(c, popular, len_ok):
+        if not len_ok:
+            return ReadAlignment(status="filtered")
+        is_alt = (
+            (c["cand_loc"].astype(np.int64) >= alt_boundary)
+            if alt_boundary is not None
+            else None
         )
-        if len_ok0
-        else ReadAlignment(status="filtered")
-    )
-    s1 = (
-        finalize_read(
-            c1["dist"], c1["log_prob"], c1["ag_score"], c1["end_loc"],
-            c1["cand_loc"], c1["direction"], c1["valid"], popular1,
+        ra, _ = finalize_read(
+            c["dist"], c["log_prob"], c["ag_score"], c["end_loc"],
+            c["cand_loc"], c["direction"], c["valid"], popular,
+            is_alt=is_alt, alt_awareness=alt_awareness,
+            max_score_gap_to_prefer_non_alt=max_score_gap_to_prefer_non_alt,
         )
-        if len_ok1
-        else ReadAlignment(status="filtered")
-    )
+        return ra
 
-    def single_fallback() -> tuple[PairEndResult, PairEndResult]:
+    s0 = single_end(c0, popular0, len_ok0)
+    s1 = single_end(c1, popular1, len_ok1)
+
+    def single_fallback():
         out = []
         for s, ok in ((s0, len_ok0), (s1, len_ok1)):
             if not ok or s.status in ("notfound", "filtered"):
@@ -154,7 +223,7 @@ def finalize_pair(
                     aligned_as_pair=False,
                 )
             )
-        return out[0], out[1]
+        return out[0], out[1], None
 
     if not pair_found:
         return single_fallback()
@@ -206,4 +275,30 @@ def finalize_pair(
         mapq=mapq1,
         aligned_as_pair=True,
     )
-    return r0, r1
+
+    alt_pair = None
+    if best_alt is not None:
+        a0, a1 = best_alt
+        alt_pair = (
+            PairEndResult(
+                status="multi",
+                cand_index=a0,
+                direction=int(c0["direction"][a0]),
+                end_loc=int(c0["end_loc"][a0]),
+                dist=int(c0["dist"][a0]),
+                mapq=alt_mapqs[0],
+                aligned_as_pair=True,
+                supplementary=True,
+            ),
+            PairEndResult(
+                status="multi",
+                cand_index=a1,
+                direction=int(c1["direction"][a1]),
+                end_loc=int(c1["end_loc"][a1]),
+                dist=int(c1["dist"][a1]),
+                mapq=alt_mapqs[1],
+                aligned_as_pair=True,
+                supplementary=True,
+            ),
+        )
+    return r0, r1, alt_pair

@@ -49,10 +49,14 @@ class PairedEndAligner:
     min_read_length: int = DEFAULT_MIN_READ_LENGTH
     min_spacing: int = DEFAULT_MIN_SPACING
     max_spacing: int = DEFAULT_MAX_SPACING
+    alt_awareness: bool = True
+    emit_alt: bool = False
+    max_score_gap_to_prefer_non_alt: int = 64
     stats: AlignerStats = field(default_factory=AlignerStats)
 
     def __post_init__(self):
         self.genome_np = np.asarray(self.index.genome_meta.bases)
+        self.first_alt_start = self.index.genome_meta.first_alt_start()
 
     def _pad_two(self, b0: ReadBatch, b1: ReadBatch):
         n = len(b0)
@@ -104,15 +108,20 @@ class PairedEndAligner:
             len_ok1 = int(b1.lengths[i]) >= self.min_read_length
             c0 = {k: f[k][i] for k in per_cand}
             c1 = {k: f[k][j] for k in per_cand}
-            r0, r1 = finalize_pair(
+            r0, r1, alt_pair = finalize_pair(
                 c0, c1, int(f["popular"][i]), int(f["popular"][j]),
                 self.min_spacing, self.max_spacing, len_ok0, len_ok1,
+                first_alt_start=self.first_alt_start,
+                alt_awareness=self.alt_awareness,
+                emit_alt=self.emit_alt,
+                max_score_gap_to_prefer_non_alt=(
+                    self.max_score_gap_to_prefer_non_alt
+                ),
             )
-            recs = []
-            for (r, batch, row) in ((r0, b0, i), (r1, b1, j)):
+
+            def to_rec(r, batch, row):
                 if r.status in ("filtered", "notfound"):
-                    recs.append({"status": r.status})
-                    continue
+                    return {"status": r.status}
                 rec = winner_record(
                     self.genome_np, self.params.max_k, batch, i, arrays,
                     r.cand_index, r.direction, r.dist, r.end_loc,
@@ -121,9 +130,16 @@ class PairedEndAligner:
                 rec.update(
                     status=r.status, direction=r.direction, mapq=r.mapq,
                     dist=r.dist, aligned_as_pair=r.aligned_as_pair,
+                    supplementary=r.supplementary,
                 )
-                recs.append(rec)
-            results.append((recs[0], recs[1]))
+                return rec
+
+            rec0 = to_rec(r0, b0, i)
+            rec1 = to_rec(r1, b1, j)
+            if alt_pair is not None:
+                rec0["alt_supplementary"] = to_rec(alt_pair[0], b0, i)
+                rec1["alt_supplementary"] = to_rec(alt_pair[1], b1, j)
+            results.append((rec0, rec1))
         return results
 
     def align_files(
@@ -207,6 +223,40 @@ class PairedEndAligner:
                 batch.ids[i], flag, rname, pos, mapq, cigar, seq, qual,
                 nm=nm, rnext=rnext, pnext=pnext, tlen=tlen,
             )
+
+        # ALT supplementary pair (-ea): both ends at the best ALT pair
+        # location, flagged supplementary (0x800).
+        supp0 = r0.get("alt_supplementary")
+        supp1 = r1.get("alt_supplementary")
+        if supp0 is not None and supp1 is not None:
+            from ..io.sam import FLAG_SUPPLEMENTARY
+
+            sloc0 = writer.locate(supp0["start_loc"])
+            sloc1 = writer.locate(supp1["start_loc"])
+            for which, (supp, mate_loc, batch) in enumerate(
+                ((supp0, sloc1, b0), (supp1, sloc0, b1))
+            ):
+                sloc = sloc0 if which == 0 else sloc1
+                if sloc is None:
+                    continue
+                L = int(batch.lengths[i])
+                seq = BASE_DECODE[batch.bases[i, :L]].tobytes()
+                qual = batch.quals[i, :L].tobytes()
+                flag = (
+                    FLAG_PAIRED | FLAG_SUPPLEMENTARY
+                    | (FLAG_FIRST if which == 0 else FLAG_LAST)
+                )
+                if supp["direction"]:
+                    flag |= FLAG_RC
+                rnext, pnext = "*", 0
+                if mate_loc is not None:
+                    rnext = "=" if mate_loc[0] == sloc[0] else mate_loc[0]
+                    pnext = mate_loc[1]
+                writer.write_record(
+                    batch.ids[i], flag, sloc[0], sloc[1], supp["mapq"],
+                    supp["cigar"], seq, qual, nm=supp["nm"],
+                    rnext=rnext, pnext=pnext, tlen=0,
+                )
 
 
 def _template_length(r: dict, mate: dict, pos: int, mpos: int) -> int:

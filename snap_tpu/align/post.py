@@ -34,6 +34,7 @@ class ReadAlignment:
     mapq: int = 0
     match_prob: float = 0.0
     prob_all: float = 0.0
+    supplementary: bool = False  # ALT supplementary emission (-ea)
 
 
 def compute_mapq(p_all: float, p_best: float, popular_skipped: int) -> int:
@@ -58,7 +59,11 @@ def finalize_read(
     valid: np.ndarray,
     popular: int,
     use_affine_gap: bool = True,
-) -> ReadAlignment:
+    is_alt: np.ndarray | None = None,
+    alt_awareness: bool = True,
+    emit_alt: bool = False,
+    max_score_gap_to_prefer_non_alt: int = 64,
+) -> tuple[ReadAlignment, ReadAlignment | None]:
     """Merge scored candidates of one read and pick the primary.
 
     Merge topology mirrors SNAP's candidate hash table: candidates bin
@@ -68,23 +73,38 @@ def finalize_read(
     better rep's score < 2 (BaseAligner.cpp:1396-1407 nearby-element
     check is gated on `score < 2`), backing the loser's probability out
     of pAll.
+
+    ALT awareness (BaseAligner.cpp:1028-1056, 1766-1783): two score
+    sets accumulate in parallel — all candidates, and non-ALT only.
+    The non-ALT set is emitted unless its best score (edit distance) is
+    more than max_score_gap_to_prefer_non_alt worse than the overall
+    best. When the non-ALT set wins but the overall best is a distinct
+    ALT location and emit_alt is set, that ALT alignment is returned as
+    a supplementary result (firstALTResult).
+
+    Returns (primary, alt_supplementary | None).
     """
     sel = np.flatnonzero(valid)
     if sel.size == 0:
-        return ReadAlignment(status="notfound")
+        return ReadAlignment(status="notfound"), None
     d = dists[sel].astype(np.int64)
     lp = log_probs[sel].astype(np.float64)
     ag = ag_scores[sel].astype(np.int64)
     e = end_locs[sel].astype(np.int64)
     cl = cand_locs[sel].astype(np.int64)
     dr = directions[sel].astype(np.int64)
+    alt = (
+        is_alt[sel].astype(bool)
+        if is_alt is not None
+        else np.zeros(sel.size, dtype=bool)
+    )
     probs = np.exp(lp)
 
     bins = cl // MAX_MERGE_DIST
     order = np.lexsort((cl, bins, dr))
-    d, probs, e, cl, dr, ag, bins, sel = (
+    d, probs, e, cl, dr, ag, bins, sel, alt = (
         d[order], probs[order], e[order], cl[order], dr[order], ag[order],
-        bins[order], sel[order],
+        bins[order], sel[order], alt[order],
     )
 
     new_cluster = np.ones(len(d), dtype=bool)
@@ -117,21 +137,52 @@ def finalize_read(
                 keep[a + 1] = False
 
     reps = reps[keep]
-    p_all = float(np.sum(probs[reps]))
-    if use_affine_gap:
-        keys = np.lexsort((e[reps], -probs[reps], -ag[reps]))
-    else:
-        keys = np.lexsort((e[reps], -probs[reps], d[reps]))
-    r = reps[keys[0]]
-    p_best = float(probs[r])
-    mapq = compute_mapq(p_all, p_best, popular)
-    return ReadAlignment(
-        status="single" if mapq >= 10 else "multi",
-        cand_index=int(sel[r]),
-        direction=int(dr[r]),
-        end_loc=int(e[r]),
-        dist=int(d[r]),
-        mapq=mapq,
-        match_prob=p_best,
-        prob_all=p_all,
-    )
+
+    def pick(subset: np.ndarray):
+        """Best rep + (pBest, pAll) over a score-set subset of reps."""
+        if subset.size == 0:
+            return None
+        p_all = float(np.sum(probs[subset]))
+        if use_affine_gap:
+            keys = np.lexsort((e[subset], -probs[subset], -ag[subset]))
+        else:
+            keys = np.lexsort((e[subset], -probs[subset], d[subset]))
+        r = subset[keys[0]]
+        return r, float(probs[r]), p_all
+
+    def mk(r: int, p_best: float, p_all: float, supplementary: bool = False):
+        mapq = compute_mapq(p_all, p_best, popular)
+        return ReadAlignment(
+            status="single" if mapq >= 10 else "multi",
+            cand_index=int(sel[r]),
+            direction=int(dr[r]),
+            end_loc=int(e[r]),
+            dist=int(d[r]),
+            mapq=mapq,
+            match_prob=p_best,
+            prob_all=p_all,
+            supplementary=supplementary,
+        )
+
+    all_set = pick(reps)
+    assert all_set is not None
+    r_all, pb_all, pa_all = all_set
+    non_alt = pick(reps[~alt[reps]]) if alt_awareness else None
+
+    if non_alt is None or (
+        int(d[non_alt[0]]) > int(d[r_all]) + max_score_gap_to_prefer_non_alt
+    ):
+        # emit the all-candidates set (no usable non-ALT alignment)
+        return mk(r_all, pb_all, pa_all), None
+
+    r_na, pb_na, pa_na = non_alt
+    primary = mk(r_na, pb_na, pa_na)
+    alt_supp = None
+    if emit_alt:
+        # firstALTResult (BaseAligner.cpp:1040-1043): the best ALT
+        # alignment, emitted when it scores at least as well as the
+        # non-ALT primary. MAPQ uses the all-candidates probability mass.
+        alt_best = pick(reps[alt[reps]])
+        if alt_best is not None and int(d[alt_best[0]]) <= int(d[r_na]):
+            alt_supp = mk(alt_best[0], alt_best[1], pa_all, supplementary=True)
+    return primary, alt_supp

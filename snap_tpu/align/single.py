@@ -143,6 +143,9 @@ class SingleEndAligner:
         batch_size: int = 1024,
         max_read_len: int = 128,
         min_read_length: int = DEFAULT_MIN_READ_LENGTH,
+        alt_awareness: bool = True,
+        emit_alt: bool = False,
+        max_score_gap_to_prefer_non_alt: int = 64,
     ):
         self.index = index
         self.params = params or AlignParams(
@@ -152,6 +155,10 @@ class SingleEndAligner:
         self.max_read_len = max_read_len
         self.min_read_length = min_read_length
         self.genome_np = np.asarray(index.genome_meta.bases)
+        self.first_alt_start = index.genome_meta.first_alt_start()
+        self.alt_awareness = alt_awareness
+        self.emit_alt = emit_alt
+        self.max_score_gap = max_score_gap_to_prefer_non_alt
         self.stats = AlignerStats()
 
     def _pad(self, batch: ReadBatch):
@@ -191,26 +198,32 @@ class SingleEndAligner:
         len_eff = np.asarray(out.len_eff)
         popular = np.asarray(out.popular)
 
+        is_alt = cand_loc >= self.first_alt_start
+
         results = []
+        arrays = {
+            "len_eff": len_eff,
+            "clip_before": clip_before,
+            "clip_after": clip_after,
+            "escalated": escalated,
+            "body_loc": body_loc,
+        }
         for i in range(len(batch)):
             orig_len = int(batch.lengths[i])
             if orig_len < self.min_read_length:
                 results.append({"status": "filtered"})
                 continue
-            ra = finalize_read(
+            ra, alt_supp = finalize_read(
                 dist[i], logp[i], ag_score[i], end_loc[i], cand_loc[i],
                 direction[i], valid[i], int(popular[i]),
+                is_alt=is_alt[i],
+                alt_awareness=self.alt_awareness,
+                emit_alt=self.emit_alt,
+                max_score_gap_to_prefer_non_alt=self.max_score_gap,
             )
             if ra.status == "notfound":
                 results.append({"status": "notfound"})
                 continue
-            arrays = {
-                "len_eff": len_eff,
-                "clip_before": clip_before,
-                "clip_after": clip_after,
-                "escalated": escalated,
-                "body_loc": body_loc,
-            }
             rec = winner_record(
                 self.genome_np, self.params.max_k, batch, i, arrays,
                 ra.cand_index, ra.direction, ra.dist, int(ra.end_loc),
@@ -219,6 +232,17 @@ class SingleEndAligner:
                 status=ra.status, direction=ra.direction, mapq=ra.mapq,
                 dist=ra.dist,
             )
+            if alt_supp is not None:
+                srec = winner_record(
+                    self.genome_np, self.params.max_k, batch, i, arrays,
+                    alt_supp.cand_index, alt_supp.direction, alt_supp.dist,
+                    int(alt_supp.end_loc),
+                )
+                srec.update(
+                    status=alt_supp.status, direction=alt_supp.direction,
+                    mapq=alt_supp.mapq, dist=alt_supp.dist,
+                )
+                rec["alt_supplementary"] = srec
             results.append(rec)
         return results
 
@@ -271,3 +295,14 @@ class SingleEndAligner:
             qname, flag, rname, pos, mapq, res["cigar"], seq, qual,
             nm=res["nm"],
         )
+        supp = res.get("alt_supplementary")
+        if supp is not None:
+            sloc = writer.locate(supp["start_loc"])
+            if sloc is not None:
+                from ..io.sam import FLAG_SUPPLEMENTARY
+
+                sflag = FLAG_SUPPLEMENTARY | (FLAG_RC if supp["direction"] else 0)
+                writer.write_record(
+                    qname, sflag, sloc[0], sloc[1], supp["mapq"],
+                    supp["cigar"], seq, qual, nm=supp["nm"],
+                )

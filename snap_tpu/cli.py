@@ -27,17 +27,58 @@ def cmd_index(args: list[str]) -> int:
         return 1
     fa, outdir = args[0], args[1]
     seed_len = DEFAULT_SEED_LEN
+    alt_names: set[str] = set()
+    non_alt_names: set[str] = set()
+    auto_alt = True
+    max_alt_contig_size = 0
+    alt_liftover = None
+    padding = None
     i = 2
+
+    def read_name_file(path: str) -> set[str]:
+        with open(path) as f:
+            return {ln.strip() for ln in f if ln.strip()}
+
     while i < len(args):
-        if args[i] == "-s" and i + 1 < len(args):
-            seed_len = int(args[i + 1])
-            i += 2
+        a = args[i]
+        if a == "-s" and i + 1 < len(args):
+            seed_len = int(args[i + 1]); i += 2
+        elif a == "-p" and i + 1 < len(args):
+            padding = int(args[i + 1]); i += 2
+        elif a == "-altContigName" and i + 1 < len(args):
+            alt_names.add(args[i + 1]); i += 2
+        elif a == "-altContigFile" and i + 1 < len(args):
+            alt_names |= read_name_file(args[i + 1]); i += 2
+        elif a == "-nonAltContigName" and i + 1 < len(args):
+            non_alt_names.add(args[i + 1]); i += 2
+        elif a == "-nonAltContigFile" and i + 1 < len(args):
+            non_alt_names |= read_name_file(args[i + 1]); i += 2
+        elif a == "-maxAltContigSize" and i + 1 < len(args):
+            max_alt_contig_size = int(args[i + 1]); i += 2
+        elif a == "-AutoAlt-":
+            auto_alt = False; i += 1
+        elif a == "-altLiftoverFile" and i + 1 < len(args):
+            from .genome import parse_alt_file
+
+            alt_liftover = parse_alt_file(args[i + 1]); i += 2
         else:
-            print(f"ignoring unknown index option {args[i]}", file=sys.stderr)
+            print(f"ignoring unknown index option {a}", file=sys.stderr)
             i += 1
     t0 = time.time()
     print(f"Loading FASTA {fa}...", file=sys.stderr)
-    genome = load_fasta(fa)
+    from .constants import DEFAULT_CONTIG_PADDING
+
+    genome = load_fasta(
+        fa,
+        chromosome_padding=(
+            padding if padding is not None else DEFAULT_CONTIG_PADDING
+        ),
+        alt_names=alt_names or None,
+        non_alt_names=non_alt_names or None,
+        auto_alt=auto_alt,
+        max_alt_contig_size=max_alt_contig_size,
+        alt_liftover=alt_liftover,
+    )
     print(f"Building index (seed {seed_len})...", file=sys.stderr)
     idx = GenomeIndex.build(genome, seed_len)
     idx.save(outdir)
@@ -71,6 +112,8 @@ def cmd_single(args: list[str]) -> int:
     aligner = SingleEndAligner(
         index, params, batch_size=opts["batch_size"],
         max_read_len=opts["max_read_len"], min_read_length=opts["mrl"],
+        alt_awareness=opts["alt_awareness"], emit_alt=opts["emit_alt"],
+        max_score_gap_to_prefer_non_alt=opts["asg"],
     )
     return _run_with_writer(
         index, "single " + " ".join(args), opts,
@@ -85,6 +128,7 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         "max_read_len": 128, "mrl": 50, "sort": False,
         "no_dup": False, "no_index": False, "min_sp": 0, "max_sp": 1000,
         "force_sam": False, "force_bam": False,
+        "alt_awareness": True, "emit_alt": False, "asg": 64,
     }
     i = 0
     while i < len(rest):
@@ -119,6 +163,12 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
             o["batch_size"] = int(rest[i + 1]); i += 2
         elif a == "-rl":
             o["max_read_len"] = int(rest[i + 1]); i += 2
+        elif a == "-A-":
+            o["alt_awareness"] = False; i += 1
+        elif a == "-ea":
+            o["emit_alt"] = True; i += 1
+        elif a == "-asg":
+            o["asg"] = int(rest[i + 1]); i += 2
         elif a == "-t":
             i += 2  # thread count: parallelism is the device mesh
         else:
@@ -185,6 +235,8 @@ def cmd_paired(args: list[str]) -> int:
         index, params, batch_size=opts["batch_size"],
         max_read_len=opts["max_read_len"], min_read_length=opts["mrl"],
         min_spacing=opts["min_sp"], max_spacing=opts["max_sp"],
+        alt_awareness=opts["alt_awareness"], emit_alt=opts["emit_alt"],
+        max_score_gap_to_prefer_non_alt=opts["asg"],
     )
     return _run_with_writer(
         index, "paired " + " ".join(args), opts,

@@ -40,6 +40,13 @@ class Contig:
     length: int         # number of real bases
     is_alt: bool = False
     original_index: int = 0  # position in the input FASTA (for SAM header / sort order)
+    # ALT->primary liftover projection (ref: Genome.h:383-400, parsed from
+    # bwa-kit .alt SAM lines, GenomeIndex.cpp:315-423). proj_name is the
+    # primary-assembly contig this ALT contig projects onto; proj_offset is
+    # the 1-based position there; proj_rc marks a reverse-strand projection.
+    proj_name: str = ""
+    proj_offset: int = 0
+    proj_rc: bool = False
 
 
 @dataclass
@@ -77,6 +84,45 @@ class Genome:
     def substring(self, start: int, length: int) -> np.ndarray:
         return self.bases[start : start + length]
 
+    def first_alt_start(self) -> int:
+        """Genome-array boundary above which every location is ALT.
+
+        ALT contigs are reordered to the end of the array, so "is ALT" is
+        one comparison (ref: Genome.h:436-438 isGenomeLocationALT). Returns
+        num_bases when there are no ALT contigs.
+        """
+        for c in self.contigs:
+            if c.is_alt:
+                return c.start
+        return self.num_bases
+
+    def is_location_alt(self, location: int) -> bool:
+        return location >= self.first_alt_start()
+
+    def project_location(self, location: int, ref_span: int = 0) -> int:
+        """ALT location -> primary-assembly location via the liftover
+        projection (ref: Genome::getProjLocation, used for paired mate
+        positions, IntersectingPairedEndAligner.cpp:2907-2920). Returns
+        `location` unchanged when there is no projection."""
+        i = self.contig_index_at(location)
+        if i < 0:
+            return location
+        c = self.contigs[i]
+        if not c.is_alt or not c.proj_name:
+            return location
+        target = next((t for t in self.contigs if t.name == c.proj_name), None)
+        if target is None:
+            return location
+        off_in_alt = location - c.start
+        if c.proj_rc:
+            # projection maps the ALT contig reverse-complemented onto the
+            # primary: ALT offset o covers primary bases ending at
+            # proj_offset + (length - o)
+            return target.start + (c.proj_offset - 1) + (
+                c.length - off_in_alt - ref_span
+            )
+        return target.start + (c.proj_offset - 1) + off_in_alt
+
     def decode(self, start: int, length: int) -> str:
         return BASE_DECODE[self.substring(start, length)].tobytes().decode()
 
@@ -92,6 +138,9 @@ class Genome:
                     "length": c.length,
                     "is_alt": c.is_alt,
                     "original_index": c.original_index,
+                    "proj_name": c.proj_name,
+                    "proj_offset": c.proj_offset,
+                    "proj_rc": c.proj_rc,
                 }
                 for c in self.contigs
             ],
@@ -111,19 +160,46 @@ class Genome:
         return cls(bases=bases, contigs=contigs)
 
 
+def parse_alt_file(path: str) -> dict[str, tuple[str, int, bool]]:
+    """Parse a bwa-kit style `.alt` file (SAM lines mapping ALT contigs
+    onto the primary assembly; ref: GenomeIndex.cpp:315-423 which reads
+    the same format for -altLiftoverFile). Returns
+    {alt_contig_name: (primary_contig, 1-based pos, is_rc)}."""
+    out: dict[str, tuple[str, int, bool]] = {}
+    with open(path, "rb") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(b"@"):
+                continue
+            t = line.split(b"\t")
+            if len(t) < 4:
+                continue
+            name = t[0].decode()
+            flag = int(t[1])
+            rname = t[2].decode()
+            pos = int(t[3])
+            if rname == "*":
+                continue
+            out[name] = (rname, pos, bool(flag & 0x10))
+    return out
+
+
 def load_fasta(
     path: str,
     chromosome_padding: int = DEFAULT_CONTIG_PADDING,
     alt_names: set[str] | None = None,
+    non_alt_names: set[str] | None = None,
     auto_alt: bool = True,
     max_alt_contig_size: int = 0,
+    alt_liftover: dict[str, tuple[str, int, bool]] | None = None,
 ) -> Genome:
     """Parse a (optionally gzipped) FASTA into a padded Genome.
 
     ALT classification follows the reference's auto rule (FASTA.cpp /
     GenomeIndex.cpp:315-423): names containing '_alt' or starting 'HLA-'
-    are ALT, plus any explicitly named; ALT contigs are moved after all
-    non-ALT contigs (ref: Genome.h:436-438 comment on contig reordering).
+    are ALT, plus any explicitly named (or listed in the liftover file),
+    minus any named non-ALT; ALT contigs are moved after all non-ALT
+    contigs (ref: Genome.h:436-438 comment on contig reordering).
     """
     opener = gzip.open if path.endswith(".gz") else open
     names: list[str] = []
@@ -155,7 +231,11 @@ def load_fasta(
         raise ValueError(f"no contigs found in {path}")
 
     def is_alt(name: str, seq_len: int) -> bool:
+        if non_alt_names and name in non_alt_names:
+            return False
         if alt_names and name in alt_names:
+            return True
+        if alt_liftover and name in alt_liftover:
             return True
         if auto_alt and ("_alt" in name or name.startswith("HLA-")):
             return True
@@ -180,6 +260,7 @@ def load_fasta(
         pos += chromosome_padding
         seq = seqs[i]
         bases[pos : pos + len(seq)] = seq
+        proj = (alt_liftover or {}).get(names[i])
         contigs.append(
             Contig(
                 name=names[i],
@@ -187,6 +268,9 @@ def load_fasta(
                 length=len(seq),
                 is_alt=is_alt(names[i], len(seq)),
                 original_index=i,
+                proj_name=proj[0] if proj else "",
+                proj_offset=proj[1] if proj else 0,
+                proj_rc=proj[2] if proj else False,
             )
         )
         pos += len(seq)

@@ -77,13 +77,13 @@ def test_sharded_matches_single():
     assert np.asarray(out2.dist).shape == (B, 2 * params.max_cand)
 
     for i in range(B):
-        r1 = finalize_read(
+        r1, _ = finalize_read(
             *(np.asarray(getattr(out1, f))[i] for f in
               ("dist", "log_prob", "ag_score", "end_loc", "cand_loc",
                "direction", "valid")),
             int(np.asarray(out1.popular)[i]),
         )
-        r2 = finalize_read(
+        r2, _ = finalize_read(
             *(np.asarray(getattr(out2, f))[i] for f in
               ("dist", "log_prob", "ag_score", "end_loc", "cand_loc",
                "direction", "valid")),
