@@ -1,0 +1,296 @@
+// snapio: native host-I/O runtime for the TPU-native SNAP-class aligner.
+//
+// Role model: the reference aligner's C++ I/O stack — FASTQReader
+// (SNAPLib/FASTQ.cpp), the BGZF/gzip writer with parallel compression
+// workers (SNAPLib/GzipDataWriter.cpp:233 ParallelCoworker), and the
+// buffered DataWriter chain (SNAPLib/DataWriter.cpp). This library
+// provides the throughput-critical host-side pieces as plain C entry
+// points (loaded from Python via ctypes):
+//
+//   * snapio_parse_fastq: scan a FASTQ text buffer into dense
+//     [n, max_len] base-code / quality tensors ready for H2D transfer.
+//   * snapio_bgzf_compress: multi-threaded BGZF compression (64KB
+//     blocks, zlib raw deflate, BC extra field), the BAM output hot path.
+//   * snapio_encode_seq / snapio_reverse_complement: batch helpers for
+//     SAM/BAM record assembly.
+//
+// Build: make -C native  (g++ -O3 -shared -fPIC, links -lz -lpthread)
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <cstdio>
+#include <pthread.h>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Base encoding table (mirrors snap_tpu.constants.BASE_ENCODE: A/C/G/T ->
+// 0..3 upper or lower case, 'n' -> 5 (pad), everything else -> 4 (N)).
+// ---------------------------------------------------------------------------
+static uint8_t BASE_CODE[256];
+static bool base_code_init_done = false;
+
+static void init_base_code() {
+    if (base_code_init_done) return;
+    for (int i = 0; i < 256; i++) BASE_CODE[i] = 4;
+    BASE_CODE['A'] = 0; BASE_CODE['a'] = 0;
+    BASE_CODE['C'] = 1; BASE_CODE['c'] = 1;
+    BASE_CODE['G'] = 2; BASE_CODE['g'] = 2;
+    BASE_CODE['T'] = 3; BASE_CODE['t'] = 3;
+    BASE_CODE['n'] = 5;
+    base_code_init_done = true;
+}
+
+// ---------------------------------------------------------------------------
+// FASTQ batch scanner.
+//
+// Parses up to max_reads complete 4-line records from buf[0:len).
+// Outputs:
+//   bases  [max_reads * max_len] u8  (code 4 padding beyond each length)
+//   quals  [max_reads * max_len] u8  (0 padding)
+//   lens   [max_reads] i32           (clamped to max_len)
+//   id_off [max_reads] i64           (offset of id text, after '@')
+//   id_len [max_reads] i64
+// Returns number of records parsed; *consumed is the byte offset of the
+// first unparsed (incomplete) record, so the caller can carry the tail
+// into the next buffer. Returns -1 on malformed input.
+// ---------------------------------------------------------------------------
+int64_t snapio_parse_fastq(
+    const char* buf, int64_t len,
+    int64_t max_reads, int32_t max_len,
+    uint8_t* bases, uint8_t* quals, int32_t* lens,
+    int64_t* id_off, int64_t* id_len,
+    int64_t* consumed)
+{
+    init_base_code();
+    int64_t pos = 0;
+    int64_t n = 0;
+    *consumed = 0;
+    while (n < max_reads) {
+        int64_t rec_start = pos;
+        // skip blank lines
+        while (pos < len && (buf[pos] == '\n' || buf[pos] == '\r')) pos++;
+        if (pos >= len) { *consumed = len; break; }
+        rec_start = pos;
+        if (buf[pos] != '@') return -1;
+        // id line
+        int64_t id_start = pos + 1;
+        while (pos < len && buf[pos] != '\n') pos++;
+        if (pos >= len) break;  // incomplete
+        int64_t id_end = pos;
+        if (id_end > id_start && buf[id_end - 1] == '\r') id_end--;
+        pos++;
+        // sequence line
+        int64_t seq_start = pos;
+        while (pos < len && buf[pos] != '\n') pos++;
+        if (pos >= len) break;
+        int64_t seq_end = pos;
+        if (seq_end > seq_start && buf[seq_end - 1] == '\r') seq_end--;
+        pos++;
+        // plus line
+        if (pos >= len) break;
+        if (buf[pos] != '+') return -1;
+        while (pos < len && buf[pos] != '\n') pos++;
+        if (pos >= len) break;
+        pos++;
+        // quality line
+        int64_t q_start = pos;
+        while (pos < len && buf[pos] != '\n') pos++;
+        int64_t q_end = pos;
+        bool at_eof = (pos >= len);
+        if (q_end > q_start && buf[q_end - 1] == '\r') q_end--;
+        if (!at_eof) pos++;
+        int64_t seq_len = seq_end - seq_start;
+        int64_t q_len = q_end - q_start;
+        if (at_eof && q_len < seq_len) break;  // incomplete final record
+        if (q_len != seq_len) return -1;
+
+        int32_t L = (int32_t)(seq_len < max_len ? seq_len : max_len);
+        uint8_t* brow = bases + n * (int64_t)max_len;
+        uint8_t* qrow = quals + n * (int64_t)max_len;
+        for (int32_t i = 0; i < L; i++) {
+            brow[i] = BASE_CODE[(uint8_t)buf[seq_start + i]];
+            qrow[i] = (uint8_t)buf[q_start + i];
+        }
+        for (int32_t i = L; i < max_len; i++) { brow[i] = 4; qrow[i] = 0; }
+        lens[n] = L;
+        id_off[n] = id_start;
+        id_len[n] = id_end - id_start;
+        n++;
+        *consumed = pos;
+        (void)rec_start;
+    }
+    return n;
+}
+
+// ---------------------------------------------------------------------------
+// BGZF compression (BAM output path).
+//
+// Mirrors GzipDataWriter's chunked BGZF emission with parallel
+// compression workers (GzipDataWriter.cpp:233-340): input is split into
+// <= 65280-byte blocks, each deflated raw (windowBits=-15) and wrapped
+// in a gzip member with the 6-byte BC extra field carrying BSIZE.
+// ---------------------------------------------------------------------------
+static const int64_t BGZF_BLOCK = 65280;            // uncompressed block size
+static const int64_t BGZF_MAX_OUT = 65536 + 1024;   // worst-case per block
+
+struct BgzfJob {
+    const uint8_t* data;
+    int64_t len;
+    int level;
+    int64_t n_blocks;
+    int64_t next_block;          // work queue cursor
+    pthread_mutex_t lock;
+    uint8_t* out;                // n_blocks * BGZF_MAX_OUT scratch
+    int64_t* out_sizes;          // per-block compressed size
+    int error;
+};
+
+static int bgzf_compress_block(
+    const uint8_t* in, int64_t in_len, uint8_t* out, int64_t* out_len,
+    int level)
+{
+    // gzip member header with BC extra field (SAM spec section 4.1)
+    static const uint8_t hdr[18] = {
+        0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
+        6, 0, 'B', 'C', 2, 0, 0, 0  // XLEN=6, SI1 SI2, SLEN=2, BSIZE(lo,hi)
+    };
+    memcpy(out, hdr, 18);
+
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK) return -1;
+    zs.next_in = (Bytef*)in;
+    zs.avail_in = (uInt)in_len;
+    zs.next_out = out + 18;
+    zs.avail_out = (uInt)(BGZF_MAX_OUT - 18 - 8);
+    int ret = deflate(&zs, Z_FINISH);
+    if (ret != Z_STREAM_END) { deflateEnd(&zs); return -1; }
+    int64_t csize = (int64_t)zs.total_out;
+    deflateEnd(&zs);
+
+    int64_t bsize = 18 + csize + 8;  // total member size
+    if (bsize > 65536) return -1;
+    out[16] = (uint8_t)((bsize - 1) & 0xff);
+    out[17] = (uint8_t)(((bsize - 1) >> 8) & 0xff);
+    uint32_t crc = crc32(0, in, (uInt)in_len);
+    uint8_t* tail = out + 18 + csize;
+    tail[0] = crc & 0xff; tail[1] = (crc >> 8) & 0xff;
+    tail[2] = (crc >> 16) & 0xff; tail[3] = (crc >> 24) & 0xff;
+    uint32_t isize = (uint32_t)in_len;
+    tail[4] = isize & 0xff; tail[5] = (isize >> 8) & 0xff;
+    tail[6] = (isize >> 16) & 0xff; tail[7] = (isize >> 24) & 0xff;
+    *out_len = bsize;
+    return 0;
+}
+
+static void* bgzf_worker(void* arg) {
+    BgzfJob* job = (BgzfJob*)arg;
+    for (;;) {
+        pthread_mutex_lock(&job->lock);
+        int64_t b = job->next_block++;
+        pthread_mutex_unlock(&job->lock);
+        if (b >= job->n_blocks || job->error) return nullptr;
+        int64_t off = b * BGZF_BLOCK;
+        int64_t blen = job->len - off;
+        if (blen > BGZF_BLOCK) blen = BGZF_BLOCK;
+        int64_t osz = 0;
+        if (bgzf_compress_block(job->data + off, blen,
+                                job->out + b * BGZF_MAX_OUT, &osz,
+                                job->level) != 0) {
+            job->error = 1;
+            return nullptr;
+        }
+        job->out_sizes[b] = osz;
+    }
+}
+
+// Compress data into BGZF members. Returns total output bytes, or -1.
+// out must have room for ceil(len/BGZF_BLOCK)*BGZF_MAX_OUT bytes (+28 if
+// add_eof). add_eof appends the standard 28-byte BGZF EOF marker.
+int64_t snapio_bgzf_compress(
+    const uint8_t* data, int64_t len, int level, int n_threads,
+    uint8_t* out, int add_eof)
+{
+    static const uint8_t EOF_BLOCK[28] = {
+        0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 0x06, 0x00,
+        0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00, 0, 0, 0, 0,
+        0, 0, 0, 0
+    };
+    int64_t n_blocks = (len + BGZF_BLOCK - 1) / BGZF_BLOCK;
+    if (n_blocks == 0) {
+        if (add_eof) { memcpy(out, EOF_BLOCK, 28); return 28; }
+        return 0;
+    }
+    uint8_t* scratch = (uint8_t*)malloc(n_blocks * BGZF_MAX_OUT);
+    int64_t* sizes = (int64_t*)calloc(n_blocks, sizeof(int64_t));
+    if (!scratch || !sizes) { free(scratch); free(sizes); return -1; }
+
+    BgzfJob job;
+    job.data = data; job.len = len; job.level = level;
+    job.n_blocks = n_blocks; job.next_block = 0;
+    pthread_mutex_init(&job.lock, nullptr);
+    job.out = scratch; job.out_sizes = sizes; job.error = 0;
+
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > n_blocks) n_threads = (int)n_blocks;
+    pthread_t threads[64];
+    if (n_threads > 64) n_threads = 64;
+    int spawned = 0;
+    for (int t = 1; t < n_threads; t++) {
+        if (pthread_create(&threads[t], nullptr, bgzf_worker, &job) == 0) {
+            spawned = t;
+        } else break;
+    }
+    bgzf_worker(&job);
+    for (int t = 1; t <= spawned; t++) pthread_join(threads[t], nullptr);
+    pthread_mutex_destroy(&job.lock);
+
+    int64_t total = -1;
+    if (!job.error) {
+        total = 0;
+        for (int64_t b = 0; b < n_blocks; b++) {
+            memcpy(out + total, scratch + b * BGZF_MAX_OUT, sizes[b]);
+            total += sizes[b];
+        }
+        if (add_eof) { memcpy(out + total, EOF_BLOCK, 28); total += 28; }
+    }
+    free(scratch);
+    free(sizes);
+    return total;
+}
+
+// Worst-case output size for snapio_bgzf_compress.
+int64_t snapio_bgzf_bound(int64_t len) {
+    int64_t n_blocks = (len + BGZF_BLOCK - 1) / BGZF_BLOCK;
+    return n_blocks * BGZF_MAX_OUT + 28;
+}
+
+// ---------------------------------------------------------------------------
+// Sequence helpers for SAM/BAM assembly.
+// ---------------------------------------------------------------------------
+
+// codes (0..5) -> ASCII bases, in place batch
+void snapio_decode_seq(const uint8_t* codes, int64_t n, char* out) {
+    static const char DEC[6] = {'A', 'C', 'G', 'T', 'N', 'n'};
+    for (int64_t i = 0; i < n; i++) out[i] = DEC[codes[i] > 5 ? 4 : codes[i]];
+}
+
+// ASCII -> reverse complement ASCII
+void snapio_reverse_complement(const char* seq, int64_t n, char* out) {
+    static char RC[256];
+    static bool done = false;
+    if (!done) {
+        for (int i = 0; i < 256; i++) RC[i] = 'N';
+        RC['A'] = 'T'; RC['C'] = 'G'; RC['G'] = 'C'; RC['T'] = 'A';
+        RC['a'] = 't'; RC['c'] = 'g'; RC['g'] = 'c'; RC['t'] = 'a';
+        RC['N'] = 'N'; RC['n'] = 'n';
+        done = true;
+    }
+    for (int64_t i = 0; i < n; i++) out[i] = RC[(uint8_t)seq[n - 1 - i]];
+}
+
+}  // extern "C"

@@ -133,24 +133,51 @@ def left_normalize(
 
 
 def ops_to_cigar(
-    ops: np.ndarray, front_clip: int = 0, back_clip: int = 0, use_m: bool = True
+    ops: np.ndarray,
+    front_clip: int = 0,
+    back_clip: int = 0,
+    use_m: bool = True,
+    pattern: np.ndarray | None = None,
+    text: np.ndarray | None = None,
+    start_col: int = 0,
 ) -> str:
-    """Render ops (+ soft clips) as a CIGAR string, merging runs."""
-    names = {OP_M: "M", OP_I: "I", OP_D: "D"}
+    """Render ops (+ soft clips) as a CIGAR string, merging runs.
+
+    With use_m=False (`-=` style, SAM.cpp useM false branch), M columns
+    split into '='/'X' runs by comparing pattern vs text; requires
+    pattern/text/start_col.
+    """
     parts: list[str] = []
     if front_clip:
         parts.append(f"{front_clip}S")
+    p, t = 0, start_col
     run_op, run_len = None, 0
+
+    def flush():
+        if run_op is not None:
+            parts.append(f"{run_len}{run_op}")
+
     for op in ops:
-        ch = names[int(op)]
+        op = int(op)
+        if op == OP_M:
+            if use_m:
+                ch = "M"
+            else:
+                ch = "X" if text[t] != pattern[p] else "="
+            p += 1
+            t += 1
+        elif op == OP_I:
+            ch = "I"
+            p += 1
+        else:
+            ch = "D"
+            t += 1
         if ch == run_op:
             run_len += 1
         else:
-            if run_op is not None:
-                parts.append(f"{run_len}{run_op}")
+            flush()
             run_op, run_len = ch, 1
-    if run_op is not None:
-        parts.append(f"{run_len}{run_op}")
+    flush()
     if back_clip:
         parts.append(f"{back_clip}S")
     return "".join(parts) if parts else "*"
@@ -184,5 +211,8 @@ def compute_cigar(
     dist -= trimmed + int((ops[tail:] == OP_D).sum())
     start_col += lead
     ops = ops[lead:tail]
-    cigar = ops_to_cigar(ops, front_clip, back_clip, use_m)
+    cigar = ops_to_cigar(
+        ops, front_clip, back_clip, use_m,
+        pattern=pattern, text=text, start_col=start_col,
+    )
     return wstart + start_col, cigar, dist

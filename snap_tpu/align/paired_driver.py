@@ -35,9 +35,10 @@ from ..io.sam import (
     FLAG_UNMAPPED,
     SamWriter,
 )
+from ..stats import AlignerStats, ProgressReporter
 from .paired import finalize_pair
 from .pipeline import AlignParams, align_single_device
-from .single import AlignerStats, winner_record
+from .single import winner_record
 
 
 @dataclass
@@ -52,11 +53,15 @@ class PairedEndAligner:
     alt_awareness: bool = True
     emit_alt: bool = False
     max_score_gap_to_prefer_non_alt: int = 64
+    use_m: bool = True
+    filter_flags: int = 0
+    ignore_mismatched_ids: bool = False
     stats: AlignerStats = field(default_factory=AlignerStats)
 
     def __post_init__(self):
         self.genome_np = np.asarray(self.index.genome_meta.bases)
         self.first_alt_start = self.index.genome_meta.first_alt_start()
+        self.stats.is_paired = True
 
     def _pad_two(self, b0: ReadBatch, b1: ReadBatch):
         n = len(b0)
@@ -95,6 +100,11 @@ class PairedEndAligner:
             "dist", "log_prob", "ag_score", "end_loc", "cand_loc",
             "direction", "valid", "escalated",
         )
+        v, esc = f["valid"], f["escalated"]
+        self.stats.lv_calls += int(v[:n].sum()) + int(v[B : B + n].sum())
+        self.stats.affine_gap_calls += int((esc & v)[:n].sum()) + int(
+            (esc & v)[B : B + n].sum()
+        )
         arrays = {
             k: f[k]
             for k in ("len_eff", "clip_before", "clip_after", "escalated",
@@ -125,7 +135,7 @@ class PairedEndAligner:
                 rec = winner_record(
                     self.genome_np, self.params.max_k, batch, i, arrays,
                     r.cand_index, r.direction, r.dist, r.end_loc,
-                    arr_i=row,
+                    arr_i=row, use_m=self.use_m,
                 )
                 rec.update(
                     status=r.status, direction=r.direction, mapq=r.mapq,
@@ -147,16 +157,60 @@ class PairedEndAligner:
     ) -> AlignerStats:
         writer.write_header()
         t0 = time.time()
-        for b0, b1 in paired_batches(
-            path1, path2, self.batch_size, self.max_read_len
-        ):
-            for i, (r0, r1) in enumerate(self.align_batch(b0, b1)):
+        progress = ProgressReporter()
+        batches = iter(
+            paired_batches(path1, path2, self.batch_size, self.max_read_len)
+        )
+        while True:
+            tr = time.time()
+            item = next(batches, None)
+            self.stats.seconds_reading += time.time() - tr
+            if item is None:
+                break
+            b0, b1 = item
+            if not self.ignore_mismatched_ids:
+                self._check_ids(b0, b1)
+            ta = time.time()
+            results = self.align_batch(b0, b1)
+            self.stats.seconds_aligning += time.time() - ta
+            tw = time.time()
+            for i, (r0, r1) in enumerate(results):
                 self._emit_pair(writer, b0, b1, i, r0, r1)
+            self.stats.seconds_writing += time.time() - tw
+            progress.update(2 * len(b0))
         self.stats.align_seconds = time.time() - t0
         return self.stats
 
+    @staticmethod
+    def _check_ids(b0: ReadBatch, b1: ReadBatch) -> None:
+        """Mate read-ID agreement (PairedAligner.cpp:520-528; -I skips)."""
+        for id0, id1 in zip(b0.ids, b1.ids):
+            k0 = id0.split()[0].rstrip(b"/12")
+            k1 = id1.split()[0].rstrip(b"/12")
+            if k0 != k1:
+                raise ValueError(
+                    f"mismatched paired read IDs {id0!r} / {id1!r} "
+                    "(use -I to ignore)"
+                )
+
     def _emit_pair(self, writer, b0, b1, i, r0, r1):
         from ..constants import BASE_DECODE
+        from ..options import FILTER_BOTH_MATES_MATCH, pass_filter
+
+        if self.filter_flags:
+            # pair-level filter: with -E b both ends must pass, else either
+            # (PairedAligner.cpp:528-532)
+            p0 = pass_filter(self.filter_flags, r0["status"])
+            p1 = pass_filter(self.filter_flags, r1["status"])
+            ok = (
+                (p0 and p1)
+                if self.filter_flags & FILTER_BOTH_MATES_MATCH
+                else (p0 or p1)
+            )
+            if not ok:
+                self.stats.total += 2
+                self.stats.filtered += 2
+                return
 
         recs = (r0, r1)
         located = []
@@ -179,6 +233,8 @@ class PairedEndAligner:
                 self.stats.single += 1
             else:
                 self.stats.multi += 1
+            if r.get("aligned_as_pair"):
+                self.stats.aligned_as_pairs += 1
             self.stats.mapq_histogram[min(70, r["mapq"])] += 1
 
         for which, (r, batch) in enumerate(((r0, b0), (r1, b1))):
@@ -257,6 +313,7 @@ class PairedEndAligner:
                     supp["cigar"], seq, qual, nm=supp["nm"],
                     rnext=rnext, pnext=pnext, tlen=0,
                 )
+                self.stats.extra_alignments += 1
 
 
 def _template_length(r: dict, mate: dict, pos: int, mpos: int) -> int:

@@ -53,6 +53,9 @@ class AlignParams:
     max_k: int = DEFAULT_MAX_DIST
     max_cand: int = 32                # candidates scored per read
     max_probe: int = 32
+    explore_popular: bool = False     # -x: score popular seeds' first hits
+    extra_search_depth: int = 1       # -D (subsumed by exhaustive top-K
+                                      # scoring; kept for CLI parity)
 
     @property
     def num_lookups(self) -> int:
@@ -194,8 +197,14 @@ def align_single_device(
     popular = (
         pop_f.reshape(B, S).sum(axis=1) + pop_r.reshape(B, S).sum(axis=1)
     ).astype(jnp.int32)
-    f_n = jnp.where(found & ~pop_f, f_n, 0)
-    r_n = jnp.where(found & ~pop_r, r_n, 0)
+    if params.explore_popular:
+        # -x explorePopularSeeds: don't skip, score the top maxHits
+        # (gather cap H applies; BaseAligner.cpp:574-579 -x branch)
+        f_n = jnp.where(found, f_n, 0)
+        r_n = jnp.where(found, r_n, 0)
+    else:
+        f_n = jnp.where(found & ~pop_f, f_n, 0)
+        r_n = jnp.where(found & ~pop_r, r_n, 0)
 
     f_locs, f_valid = gather_hits(didx.hits, f_start, f_n, H)  # [B*S, H]
     r_locs, r_valid = gather_hits(didx.hits, r_start, r_n, H)

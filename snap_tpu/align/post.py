@@ -49,6 +49,84 @@ def compute_mapq(p_all: float, p_best: float, popular_skipped: int) -> int:
     return max(0, base - max(0, popular_skipped - 10) // 2)
 
 
+def collect_secondary_results(
+    dists: np.ndarray,
+    log_probs: np.ndarray,
+    ag_scores: np.ndarray,
+    end_locs: np.ndarray,
+    cand_locs: np.ndarray,
+    directions: np.ndarray,
+    valid: np.ndarray,
+    primary_cand_index: int,
+    best_dist: int,
+    max_k: int,
+    max_edit_distance_for_secondary: int,
+    max_secondary: int = 0x7FFFFFFF,
+    is_alt: np.ndarray | None = None,
+    alt_awareness: bool = True,
+) -> list[ReadAlignment]:
+    """Secondary alignments within -om edit distance of the best.
+
+    Mirrors BaseAligner::finalizeSecondaryResults (BaseAligner.cpp:
+    2423-2553): keep merged candidates scoring <= min(maxK, best + om),
+    drop the primary itself, sort by score, truncate to -omax. ALT
+    locations are flagged supplementary under ALT awareness
+    (BaseAligner.cpp:2482). The per-contig cap (-mpc) is applied by the
+    driver, which knows the contig map.
+    """
+    sel = np.flatnonzero(valid)
+    if sel.size == 0 or max_edit_distance_for_secondary < 0:
+        return []
+    d = dists[sel].astype(np.int64)
+    lp = log_probs[sel].astype(np.float64)
+    e = end_locs[sel].astype(np.int64)
+    cl = cand_locs[sel].astype(np.int64)
+    dr = directions[sel].astype(np.int64)
+    alt = (
+        is_alt[sel].astype(bool)
+        if is_alt is not None
+        else np.zeros(sel.size, dtype=bool)
+    )
+    probs = np.exp(lp)
+
+    # same bin-merge topology as finalize_read so secondaries are the
+    # non-winning merged representatives
+    bins = cl // MAX_MERGE_DIST
+    order = np.lexsort((cl, bins, dr))
+    d, probs, e, cl, dr, bins, sel2, alt = (
+        d[order], probs[order], e[order], cl[order], dr[order],
+        bins[order], sel[order], alt[order],
+    )
+    new_cluster = np.ones(len(d), dtype=bool)
+    new_cluster[1:] = (dr[1:] != dr[:-1]) | (bins[1:] != bins[:-1])
+    cluster_id = np.cumsum(new_cluster) - 1
+    reps = []
+    for c in range(cluster_id[-1] + 1):
+        idxs = np.flatnonzero(cluster_id == c)
+        reps.append(idxs[np.lexsort((-probs[idxs], d[idxs]))[0]])
+    reps = np.array(reps)
+
+    worst = min(max_k, best_dist + max_edit_distance_for_secondary)
+    out: list[ReadAlignment] = []
+    for r in reps:
+        if int(sel2[r]) == primary_cand_index or int(d[r]) > worst:
+            continue
+        out.append(
+            ReadAlignment(
+                status="multi",
+                cand_index=int(sel2[r]),
+                direction=int(dr[r]),
+                end_loc=int(e[r]),
+                dist=int(d[r]),
+                mapq=0,
+                match_prob=float(probs[r]),
+                supplementary=alt_awareness and bool(alt[r]),
+            )
+        )
+    out.sort(key=lambda ra: ra.dist)
+    return out[:max_secondary]
+
+
 def finalize_read(
     dists: np.ndarray,
     log_probs: np.ndarray,

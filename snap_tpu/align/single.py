@@ -9,9 +9,7 @@ finalized (merge/MAPQ/CIGAR/SAM) on host.
 
 from __future__ import annotations
 
-import sys
 import time
-from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -21,40 +19,12 @@ from ..index.index import GenomeIndex
 from ..io.fastq import ReadBatch
 from ..io.readers import single_batches
 from ..io.sam import FLAG_RC, FLAG_UNMAPPED, SamWriter
+from ..options import pass_filter
+from ..stats import AlignerStats, ProgressReporter
 from .agcigar import compute_ag_cigar_at
 from .cigar import compute_cigar
 from .pipeline import AlignParams, align_single_device
-from .post import finalize_read
-
-
-@dataclass
-class AlignerStats:
-    """Mirrors the reference's end-of-run table (AlignerStats.h:43-66)."""
-
-    total: int = 0
-    single: int = 0       # MAPQ >= 10
-    multi: int = 0        # MAPQ < 10
-    not_found: int = 0
-    too_short: int = 0
-    mapq_histogram: np.ndarray = field(
-        default_factory=lambda: np.zeros(71, dtype=np.int64)
-    )
-    align_seconds: float = 0.0
-
-    def print_table(self, out=sys.stderr) -> None:
-        rs = self.total / self.align_seconds if self.align_seconds else 0
-        def pct(n):
-            return f"{n} ({100.0 * n / max(1, self.total):.2f}%)"
-        print(
-            "Total Reads\tAligned, MAPQ >= 10\tAligned, MAPQ < 10\t"
-            "Unaligned\tToo Short/Too Many Ns\tReads/s",
-            file=out,
-        )
-        print(
-            f"{self.total}\t{pct(self.single)}\t{pct(self.multi)}\t"
-            f"{pct(self.not_found)}\t{pct(self.too_short)}\t{rs:,.0f}",
-            file=out,
-        )
+from .post import collect_secondary_results, finalize_read
 
 
 def winner_record(
@@ -68,6 +38,7 @@ def winner_record(
     dist: int,
     end_loc: int,
     arr_i: int | None = None,
+    use_m: bool = True,
 ) -> dict:
     """Compute (start_loc, cigar, nm) for a chosen candidate of read i.
 
@@ -101,12 +72,13 @@ def winner_record(
         if not bool(arrays["escalated"][ai, k]):
             loc0, _, _ = compute_cigar(pattern, genome_np, end_loc, max_k)
         res = compute_ag_cigar_at(
-            genome_np, loc0, body, bquals, front_clip, back_clip
+            genome_np, loc0, body, bquals, front_clip, back_clip,
+            use_m=use_m,
         )
     if res is None:
         start_loc, cigar, nm = compute_cigar(
             pattern, genome_np, end_loc, max_k,
-            front_clip=front0, back_clip=back0,
+            front_clip=front0, back_clip=back0, use_m=use_m,
         )
     else:
         start_loc, cigar, nm = res
@@ -146,6 +118,12 @@ class SingleEndAligner:
         alt_awareness: bool = True,
         emit_alt: bool = False,
         max_score_gap_to_prefer_non_alt: int = 64,
+        use_m: bool = True,
+        filter_flags: int = 0,
+        stop_on_first_hit: bool = False,
+        max_secondary_edit: int = -1,          # -om
+        max_secondary: int = 0x7FFFFFFF,       # -omax
+        max_secondary_per_contig: int = -1,    # -mpc
     ):
         self.index = index
         self.params = params or AlignParams(
@@ -159,6 +137,12 @@ class SingleEndAligner:
         self.alt_awareness = alt_awareness
         self.emit_alt = emit_alt
         self.max_score_gap = max_score_gap_to_prefer_non_alt
+        self.use_m = use_m
+        self.filter_flags = filter_flags
+        self.stop_on_first_hit = stop_on_first_hit
+        self.max_secondary_edit = max_secondary_edit
+        self.max_secondary = max_secondary
+        self.max_secondary_per_contig = max_secondary_per_contig
         self.stats = AlignerStats()
 
     def _pad(self, batch: ReadBatch):
@@ -199,6 +183,9 @@ class SingleEndAligner:
         popular = np.asarray(out.popular)
 
         is_alt = cand_loc >= self.first_alt_start
+        n = len(batch)
+        self.stats.lv_calls += int(valid[:n].sum())
+        self.stats.affine_gap_calls += int((escalated & valid)[:n].sum())
 
         results = []
         arrays = {
@@ -224,9 +211,16 @@ class SingleEndAligner:
             if ra.status == "notfound":
                 results.append({"status": "notfound"})
                 continue
+            if self.stop_on_first_hit:
+                # -f: any in-budget hit, MAPQ forced 0 / MultipleHits
+                # (BaseAligner.cpp:1490-1505)
+                ra.mapq = 0
+                ra.status = "multi"
+                alt_supp = None
             rec = winner_record(
                 self.genome_np, self.params.max_k, batch, i, arrays,
                 ra.cand_index, ra.direction, ra.dist, int(ra.end_loc),
+                use_m=self.use_m,
             )
             rec.update(
                 status=ra.status, direction=ra.direction, mapq=ra.mapq,
@@ -236,25 +230,59 @@ class SingleEndAligner:
                 srec = winner_record(
                     self.genome_np, self.params.max_k, batch, i, arrays,
                     alt_supp.cand_index, alt_supp.direction, alt_supp.dist,
-                    int(alt_supp.end_loc),
+                    int(alt_supp.end_loc), use_m=self.use_m,
                 )
                 srec.update(
                     status=alt_supp.status, direction=alt_supp.direction,
                     mapq=alt_supp.mapq, dist=alt_supp.dist,
                 )
                 rec["alt_supplementary"] = srec
+            if self.max_secondary_edit >= 0:
+                secs = collect_secondary_results(
+                    dist[i], logp[i], ag_score[i], end_loc[i], cand_loc[i],
+                    direction[i], valid[i], ra.cand_index, ra.dist,
+                    self.params.max_k, self.max_secondary_edit,
+                    self.max_secondary, is_alt=is_alt[i],
+                    alt_awareness=self.alt_awareness,
+                )
+                sec_recs = []
+                for s in secs:
+                    sr = winner_record(
+                        self.genome_np, self.params.max_k, batch, i, arrays,
+                        s.cand_index, s.direction, s.dist, int(s.end_loc),
+                        use_m=self.use_m,
+                    )
+                    sr.update(
+                        status=s.status, direction=s.direction, mapq=0,
+                        dist=s.dist, supplementary=s.supplementary,
+                    )
+                    sec_recs.append(sr)
+                if sec_recs:
+                    rec["secondaries"] = sec_recs
             results.append(rec)
         return results
 
     def align_file(self, fastq_path: str, writer: SamWriter) -> AlignerStats:
         writer.write_header()
         t0 = time.time()
-        for batch in single_batches(
-            fastq_path, self.batch_size, self.max_read_len
-        ):
+        progress = ProgressReporter()
+        batches = iter(
+            single_batches(fastq_path, self.batch_size, self.max_read_len)
+        )
+        while True:
+            tr = time.time()
+            batch = next(batches, None)
+            self.stats.seconds_reading += time.time() - tr
+            if batch is None:
+                break
+            ta = time.time()
             results = self.align_batch(batch)
+            self.stats.seconds_aligning += time.time() - ta
+            tw = time.time()
             for i, res in enumerate(results):
                 self._emit(writer, batch, i, res)
+            self.stats.seconds_writing += time.time() - tw
+            progress.update(len(batch))
         self.stats.align_seconds = time.time() - t0
         return self.stats
 
@@ -272,16 +300,22 @@ class SingleEndAligner:
                 self.stats.too_short += 1
             else:
                 self.stats.not_found += 1
-            writer.write_record(
-                qname, FLAG_UNMAPPED, "*", 0, 0, "*", seq, qual, nm=None
-            )
+            if pass_filter(self.filter_flags, status):
+                writer.write_record(
+                    qname, FLAG_UNMAPPED, "*", 0, 0, "*", seq, qual, nm=None
+                )
+            else:
+                self.stats.filtered += 1
             return
         loc = writer.locate(res["start_loc"])
         if loc is None:  # aligned into padding: emit unmapped (junk filter)
             self.stats.not_found += 1
-            writer.write_record(
-                qname, FLAG_UNMAPPED, "*", 0, 0, "*", seq, qual, nm=None
-            )
+            if pass_filter(self.filter_flags, "notfound"):
+                writer.write_record(
+                    qname, FLAG_UNMAPPED, "*", 0, 0, "*", seq, qual, nm=None
+                )
+            else:
+                self.stats.filtered += 1
             return
         rname, pos = loc
         mapq = res["mapq"]
@@ -290,11 +324,14 @@ class SingleEndAligner:
         else:
             self.stats.multi += 1
         self.stats.mapq_histogram[min(70, mapq)] += 1
-        flag = FLAG_RC if res["direction"] else 0
-        writer.write_record(
-            qname, flag, rname, pos, mapq, res["cigar"], seq, qual,
-            nm=res["nm"],
-        )
+        if pass_filter(self.filter_flags, res["status"]):
+            flag = FLAG_RC if res["direction"] else 0
+            writer.write_record(
+                qname, flag, rname, pos, mapq, res["cigar"], seq, qual,
+                nm=res["nm"],
+            )
+        else:
+            self.stats.filtered += 1
         supp = res.get("alt_supplementary")
         if supp is not None:
             sloc = writer.locate(supp["start_loc"])
@@ -306,3 +343,38 @@ class SingleEndAligner:
                     qname, sflag, sloc[0], sloc[1], supp["mapq"],
                     supp["cigar"], seq, qual, nm=supp["nm"],
                 )
+                self.stats.extra_alignments += 1
+        self._emit_secondaries(writer, qname, rname, seq, qual, res)
+
+    def _emit_secondaries(self, writer, qname, primary_rname, seq, qual, res):
+        """Secondary (-om) emission with the -mpc per-contig cap."""
+        secs = res.get("secondaries")
+        if not secs:
+            return
+        from ..io.sam import FLAG_SECONDARY, FLAG_SUPPLEMENTARY
+
+        contig_counts: dict[str, int] = {primary_rname: 1}
+        emitted = 0
+        for s in secs:
+            sloc = writer.locate(s["start_loc"])
+            if sloc is None:
+                continue
+            rname, pos = sloc
+            if self.max_secondary_per_contig > 0:
+                n = contig_counts.get(rname, 0) + 1
+                if n > self.max_secondary_per_contig + (
+                    1 if rname == primary_rname else 0
+                ):
+                    continue
+                contig_counts[rname] = n
+            if not pass_filter(self.filter_flags, "multi", secondary=True):
+                continue
+            flag = (
+                FLAG_SUPPLEMENTARY if s.get("supplementary") else FLAG_SECONDARY
+            ) | (FLAG_RC if s["direction"] else 0)
+            writer.write_record(
+                qname, flag, rname, pos, 0, s["cigar"], seq, qual,
+                nm=s["nm"],
+            )
+            emitted += 1
+        self.stats.extra_alignments += emitted

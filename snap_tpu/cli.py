@@ -114,6 +114,10 @@ def cmd_single(args: list[str]) -> int:
         max_read_len=opts["max_read_len"], min_read_length=opts["mrl"],
         alt_awareness=opts["alt_awareness"], emit_alt=opts["emit_alt"],
         max_score_gap_to_prefer_non_alt=opts["asg"],
+        use_m=opts["use_m"], filter_flags=opts["filter_flags"],
+        stop_on_first_hit=opts["stop_on_first"],
+        max_secondary_edit=opts["om"], max_secondary=opts["omax"],
+        max_secondary_per_contig=opts["mpc"],
     )
     return _run_with_writer(
         index, "single " + " ".join(args), opts,
@@ -129,6 +133,9 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         "no_dup": False, "no_index": False, "min_sp": 0, "max_sp": 1000,
         "force_sam": False, "force_bam": False,
         "alt_awareness": True, "emit_alt": False, "asg": 64,
+        "use_m": True, "filter_flags": 0, "stop_on_first": False,
+        "om": -1, "omax": 0x7FFFFFFF, "mpc": -1, "ignore_ids": False,
+        "profile": False, "perf_file": None,
     }
     i = 0
     while i < len(rest):
@@ -163,6 +170,53 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
             o["batch_size"] = int(rest[i + 1]); i += 2
         elif a == "-rl":
             o["max_read_len"] = int(rest[i + 1]); i += 2
+        elif a == "-pro":
+            o["profile"] = True; i += 1
+        elif a == "-pf":
+            o["perf_file"] = rest[i + 1]; i += 2
+        elif a == "-om":
+            o["om"] = int(rest[i + 1]); i += 2
+        elif a == "-omax":
+            o["omax"] = int(rest[i + 1]); i += 2
+        elif a == "-mpc":
+            o["mpc"] = int(rest[i + 1]); i += 2
+        elif a == "-f":
+            o["stop_on_first"] = True; i += 1
+        elif a == "-I":
+            o["ignore_ids"] = True; i += 1
+        elif a == "-=":
+            o["use_m"] = False; i += 1
+        elif a == "-M":
+            o["use_m"] = True; i += 1
+        elif a == "-x":
+            o["overrides"]["explore_popular"] = True; i += 1
+        elif a == "-D":
+            o["overrides"]["extra_search_depth"] = int(rest[i + 1]); i += 2
+        elif a == "-F" and i + 1 < len(rest):
+            from .options import FILTER_PRESETS
+
+            sel = rest[i + 1]
+            if sel in FILTER_PRESETS:
+                o["filter_flags"] |= FILTER_PRESETS[sel]
+            elif sel == "b":  # paired: both mates must match
+                from .options import FILTER_BOTH_MATES_MATCH
+
+                o["filter_flags"] |= FILTER_BOTH_MATES_MATCH
+            else:
+                print(f"Unknown option type after -F: {sel}", file=sys.stderr)
+            i += 2
+        elif a == "-E" and i + 1 < len(rest):
+            from .options import FILTER_CHARS
+
+            for ch in rest[i + 1]:
+                if ch in FILTER_CHARS:
+                    o["filter_flags"] |= FILTER_CHARS[ch]
+                else:
+                    print(
+                        f"Unrecognized filter type after -E '{ch}'",
+                        file=sys.stderr,
+                    )
+            i += 2
         elif a == "-A-":
             o["alt_awareness"] = False; i += 1
         elif a == "-ea":
@@ -199,7 +253,16 @@ def _run_with_writer(index, command_line: str, opts: dict, run) -> int:
         print("Aligning.", file=sys.stderr)
         stats = run(writer)
         writer.close()
+        stats.profile = opts["profile"]
         stats.print_table()
+        if opts["perf_file"]:
+            from .constants import DEFAULT_MAX_DIST, DEFAULT_MAX_HITS
+
+            stats.write_perf_file(
+                opts["perf_file"],
+                opts["overrides"].get("max_hits", DEFAULT_MAX_HITS),
+                opts["overrides"].get("max_k", DEFAULT_MAX_DIST),
+            )
     finally:
         if out_path != "-":
             out.close()
@@ -237,6 +300,8 @@ def cmd_paired(args: list[str]) -> int:
         min_spacing=opts["min_sp"], max_spacing=opts["max_sp"],
         alt_awareness=opts["alt_awareness"], emit_alt=opts["emit_alt"],
         max_score_gap_to_prefer_non_alt=opts["asg"],
+        use_m=opts["use_m"], filter_flags=opts["filter_flags"],
+        ignore_mismatched_ids=opts["ignore_ids"],
     )
     return _run_with_writer(
         index, "paired " + " ".join(args), opts,

@@ -53,6 +53,19 @@ class BgzfWriter:
 
     def write(self, data: bytes) -> None:
         self._buf.extend(data)
+        nfull = len(self._buf) // BGZF_BLOCK
+        if nfull >= 2:
+            from . import native
+
+            if native.available():
+                # parallel multi-block compression (the native equivalent
+                # of GzipDataWriter's ParallelCoworker threads)
+                chunk = bytes(self._buf[: nfull * BGZF_BLOCK])
+                del self._buf[: nfull * BGZF_BLOCK]
+                comp = native.bgzf_compress(chunk, self.level)
+                self.out.write(comp)
+                self._coffset += len(comp)
+                return
         while len(self._buf) >= BGZF_BLOCK:
             self._flush_block(BGZF_BLOCK)
 

@@ -80,10 +80,53 @@ def _to_batch(records: list[tuple[bytes, bytes, bytes]], max_len: int) -> ReadBa
     return ReadBatch(ids=ids, bases=bases, quals=quals, lengths=lengths)
 
 
+def _native_read_batches(
+    path: str, batch_size: int, max_len: int
+) -> Iterator[ReadBatch]:
+    """Batch scan via the native runtime (native/snapio.cpp), the
+    equivalent of SNAP's C++ FASTQReader hot loop."""
+    from . import native
+
+    CHUNK = 8 << 20
+    with _open(path) as f:
+        buf = b""
+        eof = False
+        while True:
+            while not eof and len(buf) < CHUNK:
+                chunk = f.read(CHUNK)
+                if not chunk:
+                    eof = True
+                    break
+                buf += chunk
+            if not buf:
+                return
+            n, bases, quals, lens, ids, consumed = native.parse_fastq_buffer(
+                buf, batch_size, max_len
+            )
+            if n < batch_size and not eof:
+                # grow the buffer so mid-stream batches stay full-size
+                more = f.read(CHUNK)
+                if more:
+                    buf += more
+                    continue
+                eof = True
+            if n == 0:
+                if buf.strip():
+                    raise ValueError("truncated final FASTQ record")
+                return
+            yield ReadBatch(ids=ids, bases=bases, quals=quals, lengths=lens)
+            buf = buf[consumed:]
+
+
 def read_batches(
     path: str, batch_size: int = 4096, max_len: int = 400
 ) -> Iterator[ReadBatch]:
     """Stream single-end batches. The final batch may be short."""
+    from . import native
+
+    if native.available():
+        yield from _native_read_batches(path, batch_size, max_len)
+        return
     buf: list[tuple[bytes, bytes, bytes]] = []
     for rec in iter_fastq_records(path):
         buf.append(rec)

@@ -1,0 +1,132 @@
+"""ctypes bindings for the native host-I/O runtime (native/snapio.cpp).
+
+The reference's I/O stack is C++ (FASTQ.cpp, GzipDataWriter.cpp with
+ParallelCoworker compression threads, DataWriter.cpp); this module loads
+our equivalent shared library and exposes it to the Python drivers. If
+the library is missing it is built on first use (g++ is part of the
+toolchain); if that fails, callers fall back to the pure-Python paths —
+every entry point here has a Python twin.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libsnapio.so"))
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR), "libsnapio.so"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+
+        lib.snapio_parse_fastq.restype = ctypes.c_int64
+        lib.snapio_parse_fastq.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.snapio_bgzf_compress.restype = ctypes.c_int64
+        lib.snapio_bgzf_compress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+        lib.snapio_bgzf_bound.restype = ctypes.c_int64
+        lib.snapio_bgzf_bound.argtypes = [ctypes.c_int64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def parse_fastq_buffer(
+    buf: bytes, max_reads: int, max_len: int
+) -> tuple[int, np.ndarray, np.ndarray, np.ndarray, list[bytes], int]:
+    """Parse complete FASTQ records from buf.
+
+    Returns (n, bases [n,max_len], quals, lens, ids, consumed_bytes).
+    Raises ValueError on malformed input.
+    """
+    lib = load()
+    assert lib is not None
+    bases = np.empty((max_reads, max_len), dtype=np.uint8)
+    quals = np.empty((max_reads, max_len), dtype=np.uint8)
+    lens = np.empty(max_reads, dtype=np.int32)
+    id_off = np.empty(max_reads, dtype=np.int64)
+    id_len = np.empty(max_reads, dtype=np.int64)
+    consumed = ctypes.c_int64(0)
+    n = lib.snapio_parse_fastq(
+        buf, len(buf), max_reads, max_len,
+        bases.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        quals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        id_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        id_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(consumed),
+    )
+    if n < 0:
+        raise ValueError("malformed FASTQ input (native parser)")
+    ids = [
+        buf[int(id_off[i]) : int(id_off[i]) + int(id_len[i])]
+        for i in range(n)
+    ]
+    return int(n), bases[:n], quals[:n], lens[:n], ids, int(consumed.value)
+
+
+def bgzf_compress(
+    data: bytes | np.ndarray,
+    level: int = 6,
+    n_threads: int | None = None,
+    add_eof: bool = False,
+) -> bytes:
+    """Parallel BGZF compression (GzipDataWriter.cpp:233-340 equivalent)."""
+    lib = load()
+    assert lib is not None
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
+    out = np.empty(int(lib.snapio_bgzf_bound(arr.size)), dtype=np.uint8)
+    total = lib.snapio_bgzf_compress(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), arr.size,
+        level, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        1 if add_eof else 0,
+    )
+    if total < 0:
+        raise RuntimeError("native BGZF compression failed")
+    return out[:total].tobytes()

@@ -1,0 +1,161 @@
+"""Run statistics and the end-of-run table.
+
+Behavioral reference: SNAP's AlignerStats (AlignerStats.h:43-66) and
+AlignerContext::printStats (AlignerContext.cpp:488-573): Total Reads,
+Aligned MAPQ>=10 / MAPQ<10, Unaligned, Too Short/Too Many Ns, optional
+Filtered and Extra Alignments columns, %Pairs for paired runs, Reads/s,
+Time in Aligner, and optional -pro %Read/%Align/%Write columns; the -pf
+perf-file rows mirror AlignerContext.cpp:554-573.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def _commas(n: int) -> str:
+    return f"{int(n):,}"
+
+
+def _num_pct(n: int, total: int) -> str:
+    return f"{_commas(n)} ({100.0 * n / max(1, total):.2f}%)"
+
+
+@dataclass
+class AlignerStats:
+    """Mirrors the reference's end-of-run table (AlignerStats.h:43-66)."""
+
+    total: int = 0
+    single: int = 0       # MAPQ >= 10
+    multi: int = 0        # MAPQ < 10
+    not_found: int = 0
+    too_short: int = 0
+    filtered: int = 0             # dropped by -F/-E output filters
+    extra_alignments: int = 0     # secondary/supplementary records emitted
+    aligned_as_pairs: int = 0
+    lv_calls: int = 0
+    affine_gap_calls: int = 0
+    seconds_reading: float = 0.0
+    seconds_aligning: float = 0.0
+    seconds_writing: float = 0.0
+    align_seconds: float = 0.0    # wall time of the whole align loop
+    is_paired: bool = False
+    profile: bool = False
+    mapq_histogram: np.ndarray = field(
+        default_factory=lambda: np.zeros(71, dtype=np.int64)
+    )
+
+    def add(self, other: "AlignerStats") -> None:
+        """Sum per-worker stats (AlignerContext::finishThread reduction)."""
+        for f in (
+            "total", "single", "multi", "not_found", "too_short",
+            "filtered", "extra_alignments", "aligned_as_pairs",
+            "lv_calls", "affine_gap_calls",
+        ):
+            setattr(self, f, getattr(self, f) + getattr(other, f))
+        for f in (
+            "seconds_reading", "seconds_aligning", "seconds_writing",
+            "align_seconds",
+        ):
+            setattr(self, f, getattr(self, f) + getattr(other, f))
+        self.mapq_histogram += other.mapq_histogram
+
+    def print_table(self, out=sys.stderr) -> None:
+        rs = self.total / self.align_seconds if self.align_seconds else 0
+        header = [
+            "Total Reads", "Aligned, MAPQ >= 10", "Aligned, MAPQ < 10",
+            "Unaligned", "Too Short/Too Many Ns",
+        ]
+        row = [
+            _commas(self.total),
+            _num_pct(self.single, self.total),
+            _num_pct(self.multi, self.total),
+            _num_pct(self.not_found, self.total),
+            _num_pct(self.too_short, self.total),
+        ]
+        if self.filtered > 0:
+            header.append("Filtered")
+            row.append(_num_pct(self.filtered, self.total))
+        if self.extra_alignments > 0:
+            header.append("Extra Alignments")
+            row.append(_commas(self.extra_alignments))
+        if self.is_paired:
+            header.append("%Pairs")
+            row.append(
+                f"{100.0 * self.aligned_as_pairs / max(1, self.total):0.2f}%"
+            )
+        header += ["Reads/s", "Time in Aligner (s)"]
+        row += [_commas(int(rs)), _commas(int(self.align_seconds + 0.5))]
+        if self.profile:
+            t = max(
+                1e-9,
+                self.seconds_reading + self.seconds_aligning
+                + self.seconds_writing,
+            )
+            header += ["%Read", "%Align", "%Write"]
+            row += [
+                f"{100.0 * self.seconds_reading / t:.0f}%",
+                f"{100.0 * self.seconds_aligning / t:.0f}%",
+                f"{100.0 * self.seconds_writing / t:.0f}%",
+            ]
+        print("\t".join(header), file=out)
+        print("\t".join(row), file=out)
+
+    def write_perf_file(
+        self, path: str, max_hits: int, max_dist: int
+    ) -> None:
+        """-pf: append the machine-readable row
+        (AlignerContext.cpp:554-573)."""
+        total = max(1, self.total)
+        rs = (
+            (self.total - self.too_short) / self.align_seconds
+            if self.align_seconds
+            else 0
+        )
+        with open(path, "a") as f:
+            f.write(
+                "maxHits\tmaxDist\t% reads not useless\t% reads single hit\t"
+                "% reads multi hit\t% reads not found\tLV calls\t"
+                "affine gap calls\t% aligned as pairs\ttotal reads\treads/s\n"
+            )
+            f.write(
+                f"{max_hits}\t{max_dist}\t"
+                f"{100.0 * (self.total - self.too_short) / total:0.2f}%\t"
+                f"{100.0 * self.single / total:0.2f}%\t"
+                f"{100.0 * self.multi / total:0.2f}%\t"
+                f"{100.0 * self.not_found / total:0.2f}%\t"
+                f"{_commas(self.lv_calls)}\t"
+                f"{_commas(self.affine_gap_calls)}\t"
+                f"{100.0 * self.aligned_as_pairs / total:0.2f}%\t"
+                f"{_commas(self.total)}\t{_commas(int(rs))}\n\n"
+            )
+
+
+class ProgressReporter:
+    """Status line every interval seconds
+    (SingleAligner.cpp:206-210: 'Aligned %lld reads @ %lld reads/s')."""
+
+    def __init__(self, interval: float = 10.0, out=sys.stderr):
+        import time
+
+        self.interval = interval
+        self.out = out
+        self.start = time.time()
+        self.last = self.start
+        self.count = 0
+
+    def update(self, n: int) -> None:
+        import time
+
+        self.count += n
+        now = time.time()
+        if now - self.last >= self.interval:
+            rate = self.count / max(1e-9, now - self.start)
+            print(
+                f"Aligned {self.count:,} reads @ {int(rate):,} reads/s",
+                file=self.out,
+            )
+            self.last = now
