@@ -9,6 +9,7 @@ maxHits, so argparse's default help is not an option.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -91,6 +92,24 @@ def cmd_index(args: list[str]) -> int:
     return 0
 
 
+# Loaded indexes cached across runs in one process: the daemon-mode /
+# multi-run equivalent of g_index (AlignerContext.cpp:56-59,254-288).
+_INDEX_CACHE: dict[str, GenomeIndex] = {}
+
+
+def _load_index_cached(index_dir: str) -> GenomeIndex:
+    key = os.path.abspath(index_dir)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        print(f"Loading index from directory... {index_dir}", file=sys.stderr)
+        idx = GenomeIndex.load(index_dir)
+        _INDEX_CACHE.clear()  # keep at most one index resident (like SNAP)
+        _INDEX_CACHE[key] = idx
+    else:
+        print(f"Index {index_dir} already loaded", file=sys.stderr)
+    return idx
+
+
 def cmd_single(args: list[str]) -> int:
     if len(args) < 2:
         print(
@@ -102,8 +121,7 @@ def cmd_single(args: list[str]) -> int:
         return 1
     index_dir, fastq = args[0], args[1]
     opts = _parse_align_options(args[2:], batch_size=1024)
-    print(f"Loading index from directory... {index_dir}", file=sys.stderr)
-    index = GenomeIndex.load(index_dir)
+    index = _load_index_cached(index_dir)
     params = AlignParams(
         seed_len=index.seed_len,
         max_probe=max(32, index.max_probe + 1),
@@ -135,7 +153,7 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         "alt_awareness": True, "emit_alt": False, "asg": 64,
         "use_m": True, "filter_flags": 0, "stop_on_first": False,
         "om": -1, "omax": 0x7FFFFFFF, "mpc": -1, "ignore_ids": False,
-        "profile": False, "perf_file": None,
+        "profile": False, "perf_file": None, "read_group": None,
     }
     i = 0
     while i < len(rest):
@@ -170,6 +188,34 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
             o["batch_size"] = int(rest[i + 1]); i += 2
         elif a == "-rl":
             o["max_read_len"] = int(rest[i + 1]); i += 2
+        elif a == "-rg":
+            # read-group name, keeping the default @RG attributes
+            # (AlignerOptions defaultReadGroup)
+            from .io.sam import ReadGroup
+
+            rg = o["read_group"] or ReadGroup()
+            o["read_group"] = ReadGroup(rg_id=rest[i + 1], attrs=rg.attrs)
+            i += 2
+        elif a == "-R":
+            # full @RG header line, '\t' escapes or literal tabs
+            # (AlignerOptions rgLineContents)
+            from .io.sam import ReadGroup
+
+            line = rest[i + 1].replace("\\t", "\t")
+            fields = line.split("\t")
+            if not fields or fields[0] != "@RG":
+                print("-R line must start with @RG", file=sys.stderr)
+            else:
+                rg_id = "FASTQ"
+                attrs = []
+                for fld in fields[1:]:
+                    k, _, v = fld.partition(":")
+                    if k == "ID":
+                        rg_id = v
+                    else:
+                        attrs.append((k, v))
+                o["read_group"] = ReadGroup(rg_id=rg_id, attrs=tuple(attrs))
+            i += 2
         elif a == "-pro":
             o["profile"] = True; i += 1
         elif a == "-pf":
@@ -244,6 +290,7 @@ def _run_with_writer(index, command_line: str, opts: dict, run) -> int:
             out=out,
             genome=index.genome_meta,
             command_line=command_line,
+            read_group=opts["read_group"],
             bam=bam,
             sort=opts["sort"],
             mark_duplicates=(opts["sort"] and not opts["no_dup"]),
@@ -287,8 +334,7 @@ def cmd_paired(args: list[str]) -> int:
 
     from .align.paired_driver import PairedEndAligner
 
-    print(f"Loading index from directory... {index_dir}", file=sys.stderr)
-    index = GenomeIndex.load(index_dir)
+    index = _load_index_cached(index_dir)
     params = AlignParams(
         seed_len=index.seed_len,
         max_probe=max(32, index.max_probe + 1),
@@ -309,12 +355,9 @@ def cmd_paired(args: list[str]) -> int:
     )
 
 
-def main(argv: list[str] | None = None) -> int:
-    argv = argv if argv is not None else sys.argv[1:]
-    print("Welcome to snap-tpu, a TPU-native SNAP-capability aligner.",
-          file=sys.stderr)
+def run_one_command(argv: list[str]) -> int:
+    """Dispatch one top-level command (also the daemon's entry point)."""
     if not argv:
-        print("usage: snap-tpu {index,single} ...", file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "index":
@@ -323,8 +366,47 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_single(rest)
     if cmd == "paired":
         return cmd_paired(rest)
+    from . import apps
+
+    if cmd == "tofastq":
+        return apps.cmd_tofastq(rest)
+    if cmd == "roc":
+        return apps.cmd_roc(rest)
+    if cmd == "daemon":
+        return apps.cmd_daemon(rest)
+    if cmd == "command":
+        return apps.cmd_command(rest)
     print(f"unknown command {cmd}", file=sys.stderr)
     return 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    print("Welcome to snap-tpu, a TPU-native SNAP-capability aligner.",
+          file=sys.stderr)
+    if not argv:
+        print(
+            "usage: snap-tpu {index,single,paired,tofastq,roc,daemon,"
+            "command} ... [ , <next command> ...]",
+            file=sys.stderr,
+        )
+        return 1
+    # comma-separated multi-run syntax (CommandProcessor.cpp:69-85): the
+    # loaded index stays cached between runs.
+    runs: list[list[str]] = [[]]
+    for a in argv:
+        if a == ",":
+            runs.append([])
+        else:
+            runs[-1].append(a)
+    code = 0
+    for run in runs:
+        if not run:
+            continue
+        code = run_one_command(run)
+        if code != 0:
+            return code
+    return code
 
 
 if __name__ == "__main__":
