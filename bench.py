@@ -34,7 +34,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     glen = 1_000_000  # representative bacterial-scale genome
     read_len = 100
-    batch = 512
+    batch = 1024
 
     codes = rng.integers(0, 4, size=glen).astype(np.uint8)
     bases = np.full(glen + 2000, PAD, dtype=np.uint8)

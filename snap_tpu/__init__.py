@@ -16,8 +16,26 @@ anti-diagonal DP wavefront over thousands of (read, window) pairs.
 
 # 64-bit integers are required for packed seeds (up to 32 bases x 2 bits)
 # and for genome-scale sort keys. We opt in before any other jax import.
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the align wavefront is one large program
+# and a cold compile through a tunneled device is minutes; caching makes
+# repeat CLI/daemon/bench invocations start instantly (the moral
+# equivalent of the reference daemon keeping state warm across runs).
+_cache_dir = _os.environ.get(
+    "SNAP_TPU_COMPILE_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "snap_tpu_xla"),
+)
+if _cache_dir and _cache_dir != "0":
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
 __version__ = "0.1.0"
