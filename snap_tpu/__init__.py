@@ -20,6 +20,14 @@ import os as _os
 
 import jax
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here
+# so JAX_PLATFORMS=cpu really runs on CPU (tests, verification).
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the align wavefront is one large program

@@ -78,6 +78,7 @@ def finalize_pair(
     alt_awareness: bool = True,
     emit_alt: bool = False,
     max_score_gap_to_prefer_non_alt: int = 64,
+    force_spacing: bool = False,
 ) -> tuple[
     PairEndResult, PairEndResult,
     tuple[PairEndResult, PairEndResult] | None,
@@ -226,6 +227,10 @@ def finalize_pair(
         return out[0], out[1], None
 
     if not pair_found:
+        if force_spacing:
+            # -fs: either both ends align as a pair or neither does
+            # (PairedAligner.cpp:826-834; the chimeric fallback is off)
+            return PairEndResult("notfound"), PairEndResult("notfound"), None
         return single_fallback()
 
     i0, i1 = best
@@ -235,8 +240,13 @@ def finalize_pair(
     esc1 = bool(c1["escalated"][i1])
     sc0, sc1 = int(c0["dist"][i0]), int(c1["dist"][i1])
 
-    # chimeric double-check (ChimericPairedEndAligner.cpp:230-243, 404-412)
-    compare_single = (esc0 or esc1) and max(sc0, sc1) >= MIN_SCORE_REALIGNMENT
+    # chimeric double-check (ChimericPairedEndAligner.cpp:230-243, 404-412;
+    # disabled under -fs, which bypasses the chimeric aligner entirely)
+    compare_single = (
+        not force_spacing
+        and (esc0 or esc1)
+        and max(sc0, sc1) >= MIN_SCORE_REALIGNMENT
+    )
     if compare_single:
         pair_ag = int(c0["ag_score"][i0]) + int(c1["ag_score"][i1])
         single_ag = 0

@@ -56,12 +56,46 @@ class PairedEndAligner:
     use_m: bool = True
     filter_flags: int = 0
     ignore_mismatched_ids: bool = False
+    force_spacing: bool = False              # -fs
+    infer_spacing: bool = False              # -ins
+    infer_spacing_batch: int = 256 * 1024    # DEFAULT_BATCH_SIZE_IS_ESTIMATION
     stats: AlignerStats = field(default_factory=AlignerStats)
 
     def __post_init__(self):
         self.genome_np = np.asarray(self.index.genome_meta.bases)
         self.first_alt_start = self.index.genome_meta.first_alt_start()
+        cs = sorted(self.index.genome_meta.contigs, key=lambda c: c.start)
+        self.contig_bounds = (
+            np.array([c.start for c in cs], dtype=np.int64),
+            np.array([c.start + c.length for c in cs], dtype=np.int64),
+        )
         self.stats.is_paired = True
+        self._spacing_samples: list[int] = []
+
+    def _update_spacing(self, samples: list[int]) -> None:
+        """-ins adaptive insert-size inference: after every
+        infer_spacing_batch aligned pairs, recompute [min,max] spacing
+        from quartiles + stddev (PairedAligner.cpp:424-456 with
+        OUTLIER_BOUND=2, MAPPING_BOUND=3, MAX_STDDEV=4)."""
+        self._spacing_samples.extend(samples)
+        n = self.infer_spacing_batch
+        if len(self._spacing_samples) < n:
+            return
+        s = np.sort(np.asarray(self._spacing_samples[:n], dtype=np.int64))
+        self._spacing_samples = self._spacing_samples[n:]
+        s25, s75 = int(s[int(0.25 * n)]), int(s[int(0.75 * n)])
+        iqr = s75 - s25
+        lo = max(s25 - 2 * iqr, 1)
+        hi = s75 + 2 * iqr
+        inliers = s[(s >= lo) & (s <= hi)]
+        if inliers.size == 0:
+            return
+        avg = float(inliers.mean())
+        stddev = float(inliers.std())
+        new_min = min(int(s25 - 3 * iqr), int(avg - 4 * stddev))
+        new_max = max(int(s75 + 3 * iqr), int(avg + 4 * stddev))
+        self.min_spacing = max(new_min, 1)
+        self.max_spacing = new_max
 
     def _pad_two(self, b0: ReadBatch, b1: ReadBatch):
         n = len(b0)
@@ -112,6 +146,7 @@ class PairedEndAligner:
         }
 
         results = []
+        spacing_samples: list[int] = []
         for i in range(n):
             j = B + i
             len_ok0 = int(b0.lengths[i]) >= self.min_read_length
@@ -127,7 +162,19 @@ class PairedEndAligner:
                 max_score_gap_to_prefer_non_alt=(
                     self.max_score_gap_to_prefer_non_alt
                 ),
+                force_spacing=self.force_spacing,
             )
+            if (
+                self.infer_spacing
+                and r0.aligned_as_pair
+                and r0.cand_index >= 0
+                and r1.cand_index >= 0
+            ):
+                spacing = abs(
+                    int(c0["cand_loc"][r0.cand_index])
+                    - int(c1["cand_loc"][r1.cand_index])
+                )
+                spacing_samples.append(spacing)
 
             def to_rec(r, batch, row):
                 if r.status in ("filtered", "notfound"):
@@ -136,6 +183,7 @@ class PairedEndAligner:
                     self.genome_np, self.params.max_k, batch, i, arrays,
                     r.cand_index, r.direction, r.dist, r.end_loc,
                     arr_i=row, use_m=self.use_m,
+                    contig_bounds=self.contig_bounds,
                 )
                 rec.update(
                     status=r.status, direction=r.direction, mapq=r.mapq,
@@ -150,6 +198,8 @@ class PairedEndAligner:
                 rec0["alt_supplementary"] = to_rec(alt_pair[0], b0, i)
                 rec1["alt_supplementary"] = to_rec(alt_pair[1], b1, j)
             results.append((rec0, rec1))
+        if self.infer_spacing:
+            self._update_spacing(spacing_samples)
         return results
 
     def align_files(

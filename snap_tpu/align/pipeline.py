@@ -56,6 +56,12 @@ class AlignParams:
     explore_popular: bool = False     # -x: score popular seeds' first hits
     extra_search_depth: int = 1       # -D (subsumed by exhaustive top-K
                                       # scoring; kept for CLI parity)
+    max_k_indels: int = 0             # -i: widens the DP window so large
+                                      # indels stay in-range for AG rescoring
+                                      # (maxKForIndels, BaseAligner.cpp)
+    use_affine_gap: bool = True       # -G- disables AG escalation
+    clip_back: bool = True            # default ClipBack (Read.h:88-108);
+                                      # ClipFront is host-side (apply_front_clip)
 
     @property
     def num_lookups(self) -> int:
@@ -120,6 +126,33 @@ def clip_back(quals: jax.Array, lens: jax.Array) -> jax.Array:
     return (last_good + 1).astype(jnp.int32)
 
 
+def apply_front_clip(
+    bases: np.ndarray, quals: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side ClipFront (ReadClippingType ClipFront/ClipBoth,
+    Read.h:88-108): shift each read left past its leading run of
+    '#'-quality bases. Returns (bases, quals, lens, front_clip) —
+    fresh arrays, the inputs are not modified."""
+    B, L = bases.shape
+    pos = np.arange(L, dtype=np.int32)[None, :]
+    good = (quals != QUAL_CLIP) & (pos < lens[:, None])
+    first_good = np.where(
+        good.any(axis=1), good.argmax(axis=1), lens
+    ).astype(np.int32)
+    fc = np.minimum(first_good, lens)
+    src = pos + fc[:, None]
+    srcc = np.minimum(src, L - 1)
+    valid = src < lens[:, None]
+    out_b = np.where(valid, np.take_along_axis(bases, srcc, axis=1), 4)
+    out_q = np.where(valid, np.take_along_axis(quals, srcc, axis=1), 0)
+    return (
+        out_b.astype(np.uint8),
+        out_q.astype(np.uint8),
+        (lens - fc).astype(np.int32),
+        fc,
+    )
+
+
 def reverse_complement_reads(
     bases: jax.Array, quals: jax.Array, len_eff: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
@@ -149,10 +182,12 @@ def align_single_device(
     H = params.hit_cap
     K = params.max_cand
     seed = params.seed_len
-    margin = params.max_k + 1
+    margin = max(params.max_k, params.max_k_indels) + 1
     W = L + 2 * margin
 
-    len_eff = clip_back(quals, lens)
+    len_eff = (
+        clip_back(quals, lens) if params.clip_back else lens.astype(jnp.int32)
+    )
     rc_bases, rc_quals = reverse_complement_reads(bases, quals, len_eff)
 
     # ---- seed offsets in SNAP probe order (first pass 0, s, 2s, ...,
@@ -368,7 +403,10 @@ def align_single_device(
     )
     ag_body_loc = flat_loc + (flat_off - head.text_used).astype(jnp.int64)
 
-    esc = lv_ok & (lv_dist > max_k_for_same_alignment())
+    if params.use_affine_gap:
+        esc = lv_ok & (lv_dist > max_k_for_same_alignment())
+    else:  # -G-: never escalate to affine gap
+        esc = jnp.zeros_like(lv_ok)
     dist = jnp.where(esc, ag_edits, lv_dist)
     log_prob = jnp.where(esc, ag_logp, lv_logp)
     agsc = jnp.where(esc, ag_score, plen - 5 * lv_dist)

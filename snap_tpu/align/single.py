@@ -39,27 +39,33 @@ def winner_record(
     end_loc: int,
     arr_i: int | None = None,
     use_m: bool = True,
+    front_extra: int = 0,
+    contig_bounds: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> dict:
     """Compute (start_loc, cigar, nm) for a chosen candidate of read i.
 
     arrays: numpy views of SingleAlignOut fields (len_eff, clip_before,
     clip_after, escalated, body_loc). Mirrors the SAM-write path: AG
     CIGAR for any nonzero score (SAM.cpp:1653,2678), LV traceback start
-    recovery for non-escalated winners.
+    recovery for non-escalated winners. contig_bounds = (starts, ends)
+    sorted arrays enabling the AlignmentAdjuster contig-edge re-clip
+    (AlignmentAdjuster.h:33-41); a fully-off-contig alignment comes back
+    with start_loc -1 (the writer emits it unmapped).
     """
     ai = i if arr_i is None else arr_i
     orig_len = int(batch.lengths[i])
     plen = int(arrays["len_eff"][ai])
-    qual_clip = orig_len - plen
-    clipped = batch.bases[i, :plen]
+    back_q = orig_len - front_extra - plen  # trailing quality clip
+    clipped = batch.bases[i, front_extra : front_extra + plen]
+    cquals = batch.quals[i, front_extra : front_extra + plen]
     if direction:
         pattern = reverse_complement_codes(clipped.copy())
-        oquals = batch.quals[i, :plen][::-1].copy()
-        front0, back0 = qual_clip, 0
+        oquals = cquals[::-1].copy()
+        front0, back0 = back_q, front_extra
     else:
         pattern = np.ascontiguousarray(clipped)
-        oquals = batch.quals[i, :plen].copy()
-        front0, back0 = 0, qual_clip
+        oquals = cquals.copy()
+        front0, back0 = front_extra, back_q
     cb = int(arrays["clip_before"][ai, k])
     ca = int(arrays["clip_after"][ai, k])
     body = pattern[cb : plen - ca]
@@ -80,8 +86,37 @@ def winner_record(
             pattern, genome_np, end_loc, max_k,
             front_clip=front0, back_clip=back0, use_m=use_m,
         )
+        used_body = pattern
     else:
         start_loc, cigar, nm = res
+        used_body = body
+
+    if contig_bounds is not None:
+        from .adjust import adjust_to_contig
+
+        starts, ends = contig_bounds
+        span = _ref_span(cigar)
+        ci = int(np.searchsorted(starts, start_loc, side="right")) - 1
+        best, best_ov = None, 0
+        for j in (ci, ci + 1):
+            if 0 <= j < len(starts):
+                ov = min(int(ends[j]), start_loc + span) - max(
+                    int(starts[j]), start_loc
+                )
+                if ov > best_ov:
+                    best, best_ov = j, ov
+        if best is None:
+            return {"start_loc": -1, "cigar": "*", "nm": None,
+                    "front_soft": 0, "ref_span": 0}
+        adj = adjust_to_contig(
+            start_loc, cigar, used_body, genome_np,
+            int(starts[best]), int(ends[best]), use_m=use_m,
+        )
+        if adj is None:
+            return {"start_loc": -1, "cigar": "*", "nm": None,
+                    "front_soft": 0, "ref_span": 0}
+        start_loc, cigar, nm = adj
+
     return {
         "start_loc": start_loc,
         "cigar": cigar,
@@ -124,6 +159,8 @@ class SingleEndAligner:
         max_secondary_edit: int = -1,          # -om
         max_secondary: int = 0x7FFFFFFF,       # -omax
         max_secondary_per_contig: int = -1,    # -mpc
+        clip_front: bool = False,              # -C x- / -C xx
+        max_dist_fraction: float = 0.0,        # -dp (long reads)
     ):
         self.index = index
         self.params = params or AlignParams(
@@ -143,6 +180,13 @@ class SingleEndAligner:
         self.max_secondary_edit = max_secondary_edit
         self.max_secondary = max_secondary
         self.max_secondary_per_contig = max_secondary_per_contig
+        self.clip_front = clip_front
+        self.max_dist_fraction = max_dist_fraction
+        cs = sorted(index.genome_meta.contigs, key=lambda c: c.start)
+        self.contig_bounds = (
+            np.array([c.start for c in cs], dtype=np.int64),
+            np.array([c.start + c.length for c in cs], dtype=np.int64),
+        )
         self.stats = AlignerStats()
 
     def _pad(self, batch: ReadBatch):
@@ -161,6 +205,14 @@ class SingleEndAligner:
         import jax.numpy as jnp
 
         bases, quals, lens = self._pad(batch)
+        if self.clip_front:
+            from .pipeline import apply_front_clip
+
+            bases, quals, lens, front_clips = apply_front_clip(
+                bases, quals, lens
+            )
+        else:
+            front_clips = np.zeros(len(lens), dtype=np.int32)
         out = align_single_device(
             self.index.device,
             jnp.asarray(bases),
@@ -183,6 +235,16 @@ class SingleEndAligner:
         popular = np.asarray(out.popular)
 
         is_alt = cand_loc >= self.first_alt_start
+        if self.max_dist_fraction > 0.0:
+            # -dp: per-read edit-distance cap of fraction * read length
+            # (SingleAligner.cpp:243-248, LONG_READS builds)
+            limit = np.minimum(
+                self.params.max_k,
+                (len_eff.astype(np.float64) * self.max_dist_fraction).astype(
+                    np.int64
+                ),
+            )
+            valid = valid & (dist <= limit[:, None])
         n = len(batch)
         self.stats.lv_calls += int(valid[:n].sum())
         self.stats.affine_gap_calls += int((escalated & valid)[:n].sum())
@@ -220,7 +282,8 @@ class SingleEndAligner:
             rec = winner_record(
                 self.genome_np, self.params.max_k, batch, i, arrays,
                 ra.cand_index, ra.direction, ra.dist, int(ra.end_loc),
-                use_m=self.use_m,
+                use_m=self.use_m, front_extra=int(front_clips[i]),
+                contig_bounds=self.contig_bounds,
             )
             rec.update(
                 status=ra.status, direction=ra.direction, mapq=ra.mapq,
@@ -231,6 +294,8 @@ class SingleEndAligner:
                     self.genome_np, self.params.max_k, batch, i, arrays,
                     alt_supp.cand_index, alt_supp.direction, alt_supp.dist,
                     int(alt_supp.end_loc), use_m=self.use_m,
+                    front_extra=int(front_clips[i]),
+                    contig_bounds=self.contig_bounds,
                 )
                 srec.update(
                     status=alt_supp.status, direction=alt_supp.direction,
@@ -250,7 +315,8 @@ class SingleEndAligner:
                     sr = winner_record(
                         self.genome_np, self.params.max_k, batch, i, arrays,
                         s.cand_index, s.direction, s.dist, int(s.end_loc),
-                        use_m=self.use_m,
+                        use_m=self.use_m, front_extra=int(front_clips[i]),
+                        contig_bounds=self.contig_bounds,
                     )
                     sr.update(
                         status=s.status, direction=s.direction, mapq=0,

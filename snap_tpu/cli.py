@@ -119,9 +119,26 @@ def cmd_single(args: list[str]) -> int:
             file=sys.stderr,
         )
         return 1
-    index_dir, fastq = args[0], args[1]
-    opts = _parse_align_options(args[2:], batch_size=1024)
+    index_dir = args[0]
+    # multiple input files round-robin through one run
+    # (MultiInputReadSupplier, MultiInputReadSupplier.h:28-83); '-' is stdin
+    inputs = []
+    i = 1
+    while i < len(args) and (args[i] == "-" or not args[i].startswith("-")):
+        inputs.append(args[i])
+        i += 1
+    if not inputs:
+        print("single: no input files", file=sys.stderr)
+        return 1
+    opts = _parse_align_options(args[i:], batch_size=1024)
     index = _load_index_cached(index_dir)
+    if opts["seed_coverage"] > 0 and "num_seeds" not in opts["overrides"]:
+        # -sc: seeds from coverage = readLen * coverage / seedLen
+        # (BaseAligner.cpp:2389)
+        opts["overrides"]["num_seeds"] = max(
+            1, int(opts["max_read_len"] * opts["seed_coverage"]
+                   / index.seed_len)
+        )
     params = AlignParams(
         seed_len=index.seed_len,
         max_probe=max(32, index.max_probe + 1),
@@ -136,10 +153,18 @@ def cmd_single(args: list[str]) -> int:
         stop_on_first_hit=opts["stop_on_first"],
         max_secondary_edit=opts["om"], max_secondary=opts["omax"],
         max_secondary_per_contig=opts["mpc"],
+        clip_front=opts["clip_front"],
+        max_dist_fraction=opts["dp"],
     )
+
+    def run_all(writer):
+        stats = None
+        for path in inputs:
+            stats = aligner.align_file(path, writer)
+        return stats
+
     return _run_with_writer(
-        index, "single " + " ".join(args), opts,
-        lambda writer: aligner.align_file(fastq, writer),
+        index, "single " + " ".join(args), opts, run_all,
     )
 
 
@@ -154,7 +179,17 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         "use_m": True, "filter_flags": 0, "stop_on_first": False,
         "om": -1, "omax": 0x7FFFFFFF, "mpc": -1, "ignore_ids": False,
         "profile": False, "perf_file": None, "read_group": None,
+        "force_spacing": False, "infer_spacing": False, "pfc": False,
+        "seed_coverage": 0.0, "dp": 0.0, "clip_front": False,
+        "clip_back": True,
     }
+    # Performance knobs whose concerns don't exist in this design
+    # (mmap/prefetch/huge pages/processor binding/write buffers are
+    # handled by numpy-mmap, XLA, and the async output path):
+    noop_flags = {"-map", "-map-", "-pre", "-pre-", "-hp", "-b-", "-P",
+                  "-di", "-kts", "-lp", "-sa", "-nu", "-no", "-nt", "-ne",
+                  "-nb", "-B"}
+    noop_with_arg = {"-wbs", "-sid", "-sm", "-ms", "-mcp", "-xf", "-hdp"}
     i = 0
     while i < len(rest):
         a = rest[i]
@@ -188,6 +223,17 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
             o["batch_size"] = int(rest[i + 1]); i += 2
         elif a == "-rl":
             o["max_read_len"] = int(rest[i + 1]); i += 2
+        elif a == "-fs":
+            o["force_spacing"] = True; i += 1
+        elif a == "-ins":
+            o["infer_spacing"] = True; i += 1
+        elif a == "-ku":
+            # keep unpaired reads pending for late mates; our SAM/BAM
+            # pair matcher never drops pending mates, so this is the
+            # default behavior (PairedAligner.cpp:311-313)
+            i += 1
+        elif a == "-pfc":
+            o["pfc"] = True; i += 1
         elif a == "-rg":
             # read-group name, keeping the default @RG attributes
             # (AlignerOptions defaultReadGroup)
@@ -271,6 +317,26 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
             o["asg"] = int(rest[i + 1]); i += 2
         elif a == "-t":
             i += 2  # thread count: parallelism is the device mesh
+        elif a == "-sc":
+            o["seed_coverage"] = float(rest[i + 1]); i += 2
+        elif a == "-dp":
+            o["dp"] = float(rest[i + 1]); i += 2
+        elif a == "-i":
+            o["overrides"]["max_k_indels"] = int(rest[i + 1]); i += 2
+        elif a == "-G-":
+            o["overrides"]["use_affine_gap"] = False; i += 1
+        elif a.startswith("-C") and len(a) == 4 and set(a[2:]) <= {"+", "-"}:
+            # -C<front><back> with '+' = clip low-quality bases from that
+            # end, '-' = don't; default back only, -C-+
+            # (AlignerOptions.cpp:988-1010)
+            o["clip_front"] = a[2] == "+"
+            o["clip_back"] = a[3] == "+"
+            o["overrides"]["clip_back"] = a[3] == "+"
+            i += 1
+        elif a in noop_flags:
+            i += 1
+        elif a in noop_with_arg:
+            i += 2
         else:
             print(f"ignoring unknown option {a}", file=sys.stderr)
             i += 1
@@ -291,6 +357,7 @@ def _run_with_writer(index, command_line: str, opts: dict, run) -> int:
             genome=index.genome_meta,
             command_line=command_line,
             read_group=opts["read_group"],
+            preserve_fastq_comments=opts["pfc"],
             bam=bam,
             sort=opts["sort"],
             mark_duplicates=(opts["sort"] and not opts["no_dup"]),
@@ -348,6 +415,8 @@ def cmd_paired(args: list[str]) -> int:
         max_score_gap_to_prefer_non_alt=opts["asg"],
         use_m=opts["use_m"], filter_flags=opts["filter_flags"],
         ignore_mismatched_ids=opts["ignore_ids"],
+        force_spacing=opts["force_spacing"],
+        infer_spacing=opts["infer_spacing"],
     )
     return _run_with_writer(
         index, "paired " + " ".join(args), opts,

@@ -45,6 +45,7 @@ class OutRecord:
     seq: bytes          # FORWARD orientation as read from input
     qual: bytes
     nm: int | None
+    comment: bytes = b""  # FASTQ comment, emitted under -pfc
 
 
 def _clips(cigar: str) -> tuple[int, int]:
@@ -84,6 +85,7 @@ class OutputWriter:
         bai_path: str | None = None,
         program_id: str = "SNAP",
         program_version: str = "2.0.5-tpu",
+        preserve_fastq_comments: bool = False,
     ):
         self.out = out
         self.genome = genome
@@ -96,6 +98,7 @@ class OutputWriter:
         self.bai_path = bai_path
         self.program_id = program_id
         self.program_version = program_version
+        self.preserve_fastq_comments = preserve_fastq_comments
         self._records: list[OutRecord] = []
         self._stream_sam = not (bam or sort)
         self._contig_order = {
@@ -143,10 +146,18 @@ class OutputWriter:
         self, qname, flag, rname, pos, mapq, cigar, seq, qual, nm,
         rnext="*", pnext=0, tlen=0,
     ) -> None:
+        # QNAME truncates at the first space (SAM.cpp:1750-1753); the
+        # remainder is the FASTQ comment, kept under -pfc
+        parts = qname.split(None, 1)
+        comment = (
+            parts[1]
+            if self.preserve_fastq_comments and len(parts) > 1
+            else b""
+        )
         rec = OutRecord(
-            qname=qname.split()[0], flag=flag, rname=rname, pos=pos,
-            mapq=mapq, cigar=cigar, rnext=rnext, pnext=pnext, tlen=tlen,
-            seq=seq, qual=qual, nm=nm,
+            qname=parts[0] if parts else qname, flag=flag, rname=rname,
+            pos=pos, mapq=mapq, cigar=cigar, rnext=rnext, pnext=pnext,
+            tlen=tlen, seq=seq, qual=qual, nm=nm, comment=comment,
         )
         if self._stream_sam:
             self.out.write(self._format_sam(rec))
@@ -173,11 +184,14 @@ class OutputWriter:
     def _format_sam(self, rec: OutRecord) -> bytes:
         seq, qual = self._oriented(rec)
         tags = "\t".join(self._tags(rec))
+        # -pfc: the preserved FASTQ comment trails the tags
+        # (SAM.cpp record assembly, preserveFASTQComments)
+        tail = b"\t" + rec.comment if rec.comment else b""
         return (
             rec.qname
             + f"\t{rec.flag}\t{rec.rname}\t{rec.pos}\t{rec.mapq}\t"
               f"{rec.cigar}\t{rec.rnext}\t{rec.pnext}\t{rec.tlen}\t".encode()
-            + seq + b"\t" + qual + b"\t" + tags.encode() + b"\n"
+            + seq + b"\t" + qual + b"\t" + tags.encode() + tail + b"\n"
         )
 
     # -- close: sort, dup-mark, emit -------------------------------------
