@@ -87,11 +87,24 @@ def winner_record(
             front_clip=front0, back_clip=back0, use_m=use_m,
         )
         used_body = pattern
+        base_front, base_back = front0, back0
     else:
         start_loc, cigar, nm = res
         used_body = body
+        base_front, base_back = front_clip, back_clip
 
     if contig_bounds is not None:
+        # the AG fixup loop may have soft-clipped extra leading/trailing
+        # pattern bases beyond the known clips; derive the body actually
+        # consumed by the CIGAR from its final soft-clip counts
+        lead_s = _leading_soft(cigar)
+        import re as _re
+
+        m = _re.search(r"(\d+)S(?:\d+H)?$", cigar)
+        tail_s = int(m.group(1)) if m else 0
+        k_front = max(0, lead_s - base_front)
+        k_back = max(0, tail_s - base_back)
+        used_body = used_body[k_front : len(used_body) - k_back or None]
         from .adjust import adjust_to_contig
 
         starts, ends = contig_bounds

@@ -1,0 +1,94 @@
+"""SAM-record parity vs the reference snap-aligner binary.
+
+The correctness metric from BASELINE.md: per-field agreement on
+generated genomes + wgsim-style reads, replicating the reference's own
+golden-diff methodology (tests/datatest.py:93-103). Thresholds leave
+headroom for known tie-break divergences (seed-anchor-dependent AG soft
+clips; pairs the reference's heuristics miss but we find).
+
+Skipped when the reference binary can't be built.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+BUILD = "/tmp/snapbuild"
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+@pytest.fixture(scope="module")
+def snap_binary():
+    binary = os.path.join(BUILD, "snap-aligner")
+    if not os.path.exists(binary):
+        if not os.path.exists(REF) or shutil.which("make") is None:
+            pytest.skip("reference source or make unavailable")
+        if not os.path.exists(BUILD):
+            shutil.copytree(REF, BUILD)
+        r = subprocess.run(
+            ["make", "-C", BUILD, "snap-aligner", "-j2"],
+            capture_output=True, timeout=900,
+        )
+        if r.returncode != 0:
+            pytest.skip("reference build failed")
+    return binary
+
+
+def _run_harness(tmp_path, snap_binary, extra):
+    import golden_harness as gh
+
+    argv = [
+        "golden_harness.py", "--reads", "120", "--genome-size", "60000",
+        "--seed", "7", "--ref-binary", snap_binary,
+        "--workdir", str(tmp_path), "--batch", "128",
+    ] + extra
+    old = sys.argv
+    sys.argv = argv
+    try:
+        # main() returns 0 on full exactness, 2 otherwise; we recompute
+        # the ratio from its own compare() by re-parsing the SAMs
+        gh.main()
+    except SystemExit:
+        pass
+    finally:
+        sys.argv = old
+    paired = "--paired" in extra
+    golden = gh.parse_sam(str(tmp_path / "golden.sam"), paired=paired)
+    ours = gh.parse_sam(str(tmp_path / "ours.sam"), paired=paired)
+    fields = ["rname", "pos", "flag", "cigar", "mapq", "nm"]
+    total = exact = 0
+    for q, g in golden.items():
+        o = ours.get(q)
+        if o is None:
+            total += 1
+            continue
+        total += 1
+        if all(g[f] == o[f] for f in fields):
+            exact += 1
+    return exact, total
+
+
+def test_single_end_parity(snap_binary, tmp_path):
+    exact, total = _run_harness(tmp_path, snap_binary, [])
+    assert total >= 120
+    assert exact / total >= 0.99, (exact, total)
+
+
+def test_single_end_indel_parity(snap_binary, tmp_path):
+    exact, total = _run_harness(
+        tmp_path, snap_binary, ["--indel-rate", "0.003"]
+    )
+    assert total >= 120
+    assert exact / total >= 0.97, (exact, total)
+
+
+def test_paired_parity(snap_binary, tmp_path):
+    exact, total = _run_harness(tmp_path, snap_binary, ["--paired"])
+    assert total >= 200
+    assert exact / total >= 0.97, (exact, total)
