@@ -43,6 +43,9 @@ def main() -> None:
         bases=bases, contigs=[Contig(name="chr1", start=1000, length=glen)]
     )
     idx = build_index(genome, seed_len=24)
+    from snap_tpu.index.index import pack_genome_words
+
+    _packed, _bad = pack_genome_words(bases)
     didx = DeviceIndex(
         table_keys=jnp.asarray(idx["table_keys"]),
         table_start=jnp.asarray(idx["table_start"]),
@@ -50,6 +53,8 @@ def main() -> None:
         table_n1=jnp.asarray(idx["table_n1"]),
         hits=jnp.asarray(idx["hits"]),
         genome=jnp.asarray(bases),
+        genome_packed=jnp.asarray(_packed),
+        genome_bad=jnp.asarray(_bad),
     )
     params = AlignParams(
         seed_len=24, max_probe=max(32, idx["max_probe"] + 1), num_seeds=14,
@@ -67,14 +72,17 @@ def main() -> None:
     q = jnp.asarray(quals)
     l = jnp.asarray(lens)
 
-    out = align_single_device(didx, b, q, l, params)  # compile
-    jax.block_until_ready(out)
+    # NB: sync via device_get, not block_until_ready — the axon plugin's
+    # block_until_ready can return before execution completes, which
+    # makes dispatch-only loops look absurdly fast. Materializing the
+    # outputs on the host is the honest timing (and is what the real
+    # driver does every batch anyway).
+    jax.device_get(align_single_device(didx, b, q, l, params))  # compile
 
     n_iters = 8
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = align_single_device(didx, b, q, l, params)
-    jax.block_until_ready(out)
+        jax.device_get(align_single_device(didx, b, q, l, params))
     dt = time.perf_counter() - t0
 
     reads_per_sec = batch * n_iters / dt

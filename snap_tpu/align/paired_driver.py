@@ -122,12 +122,15 @@ class PairedEndAligner:
             jnp.asarray(lens),
             self.params,
         )
+        import jax
+
+        out = jax.device_get(out)  # one batched D2H transfer
         f = {
             name: np.asarray(getattr(out, name))
             for name in (
-                "dist", "log_prob", "ag_score", "end_loc", "cand_loc",
-                "body_loc", "escalated", "clip_before", "clip_after",
-                "direction", "valid", "len_eff", "popular",
+                "dist", "indels", "log_prob", "ag_score", "end_loc",
+                "cand_loc", "body_loc", "escalated", "clip_before",
+                "clip_after", "direction", "valid", "len_eff", "popular",
             )
         }
         per_cand = (
@@ -142,7 +145,7 @@ class PairedEndAligner:
         arrays = {
             k: f[k]
             for k in ("len_eff", "clip_before", "clip_after", "escalated",
-                      "body_loc")
+                      "body_loc", "indels")
         }
 
         results = []

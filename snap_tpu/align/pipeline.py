@@ -101,6 +101,8 @@ class SingleAlignOut(NamedTuple):
     """
 
     dist: jax.Array      # [B, K] int32 edit distance (AG edits if escalated)
+    indels: jax.Array    # [B, K] int32 indel bases on the LV path (0 =>
+                         # gapless winner, fast CIGAR emission)
     log_prob: jax.Array  # [B, K] float32 ln match probability
     ag_score: jax.Array  # [B, K] int32 affine-gap score (selection key)
     end_loc: jax.Array   # [B, K] int64 exclusive LV alignment end in genome
@@ -289,6 +291,7 @@ def align_single_device(
     wv, wi = jax.lax.top_k(weight, K)  # [B, K]
     cand_keys = jnp.take_along_axis(keys, wi.astype(jnp.int64), axis=1)
     cand_valid = wv > 0
+    cand_weight = jnp.maximum(wv, 0).astype(jnp.int32)
     cand_dir = (cand_keys >= BIG).astype(jnp.int32)
     stripped = jnp.where(cand_dir == 1, cand_keys - BIG, cand_keys)
     cand_probe = (stripped & ((1 << OFF_BITS) - 1)).astype(jnp.int64)
@@ -304,8 +307,30 @@ def align_single_device(
     ).astype(jnp.int32)
     cand_off = jnp.where(cand_valid, jnp.maximum(cand_off, 0), 0)
 
-    # ---- scoring wavefront ----
+    # =====================================================================
+    # Scoring. Two tiers, like SNAP's own split between the 64-bit XOR
+    # perfect-match scan and the full DP (LandauVishkin.h:377-407):
+    #
+    #   Tier 1 (every candidate): GAPLESS score at the anchored offset,
+    #   read against the 2-bit-packed genome — pure elementwise VPU work,
+    #   no per-base gathers.
+    #
+    #   Tier 2 (compacted subset): candidates whose gapless distance
+    #   exceeds maxKForSameAlignment get the full fitting DP and the
+    #   affine-gap head/tail extensions. In real data only a small
+    #   fraction of candidates need this, so the expensive kernels run
+    #   on BK/DP_COMPACT rows instead of BK.
+    # =====================================================================
+    from ..constants import (
+        AG_END_BONUS_3,
+        AG_END_BONUS_5,
+        max_k_for_same_alignment,
+    )
+    from ..ops.affine import affine_extend
+    from ..ops.dp import LOG_PERFECT
+
     logq_table = jnp.asarray(log_phred_error_table())
+    BK = B * K
     flat_dir = cand_dir.reshape(-1)  # [B*K]
     read_ix = jnp.repeat(jnp.arange(B, dtype=jnp.int64), K)
     pat = jnp.where(
@@ -315,40 +340,107 @@ def align_single_device(
         (flat_dir == 1)[:, None], rc_quals[read_ix], quals[read_ix]
     )
     pat_logq = logq_table[patq.astype(jnp.int64)].astype(jnp.float32)
-
-    win_start = cand_loc.reshape(-1) - margin
-    cols = jnp.arange(W, dtype=jnp.int64)[None, :]
-    tpos = win_start[:, None] + cols
-    in_bounds = (tpos >= 0) & (tpos < didx.genome.shape[0])
-    text = jnp.where(
-        in_bounds, didx.genome[jnp.clip(tpos, 0, didx.genome.shape[0] - 1)], np.uint8(5)
-    )
-
     plen = len_eff[read_ix]
-    res = fitting_edit_distance(pat, pat_logq, plen, text)
-    lv_dist = res.dist
-    lv_logp = res.log_prob
-    end_loc = win_start + res.end_col.astype(jnp.int64)
-    lv_ok = cand_valid.reshape(-1) & (lv_dist <= params.max_k)
-
-    # ---- affine-gap rescoring (BaseAligner.cpp:1203-1290) ----
-    # Escalate when LV distance exceeds maxKForSameAlignment; run the
-    # kernel on every candidate (fixed shapes) and select the results
-    # where escalation applies.
-    from ..constants import (
-        AG_END_BONUS_3,
-        AG_END_BONUS_5,
-        max_k_for_same_alignment,
-    )
-    from ..ops.affine import affine_extend
-    from ..ops.dp import LOG_PERFECT
-
-    seed = params.seed_len
-    flat_off = cand_off.reshape(-1)           # [BK]
     flat_loc = cand_loc.reshape(-1)           # [BK]
-    tail_start = (flat_off + seed).astype(jnp.int32)
-    jj = jnp.arange(L, dtype=jnp.int32)[None, :]
-    TW = L + params.max_k + 1
+    flat_off = cand_off.reshape(-1)
+    flat_valid = cand_valid.reshape(-1)
+
+    # ---- Tier 1: gapless prescreen over packed words ----
+    if didx.genome_packed is not None:
+        G = didx.genome.shape[0]
+        loc_c = jnp.clip(flat_loc, 0, G - 1)
+        w0 = loc_c // 16
+        phase = (loc_c % 16).astype(jnp.int32)
+        WW = L // 16 + 2
+        words = didx.genome_packed[
+            jnp.clip(w0[:, None] + jnp.arange(WW, dtype=jnp.int64)[None, :],
+                     0, didx.genome_packed.shape[0] - 1)
+        ]  # [BK, WW] uint32
+        lanes = (
+            words[:, :, None] >> (2 * jnp.arange(16, dtype=jnp.uint32))
+        ) & np.uint32(3)
+        codes16 = lanes.reshape(BK, WW * 16).astype(jnp.uint8)
+        b0w = loc_c // 32
+        bphase = (loc_c % 32).astype(jnp.int32)
+        BW = L // 32 + 2
+        bwords = didx.genome_bad[
+            jnp.clip(b0w[:, None] + jnp.arange(BW, dtype=jnp.int64)[None, :],
+                     0, didx.genome_bad.shape[0] - 1)
+        ]
+        badlanes = (
+            bwords[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)
+        ) & np.uint32(1)
+        bad32 = badlanes.reshape(BK, BW * 32)
+
+        def select_phase(arr, ph, nphases):
+            out = jnp.zeros((BK, L), dtype=arr.dtype)
+            for s in range(nphases):
+                out = jnp.where(
+                    (ph == s)[:, None], arr[:, s : s + L], out
+                )
+            return out
+
+        text_g = select_phase(codes16, phase, 16)
+        text_bad = select_phase(bad32, bphase, 32).astype(bool)
+        jl = jnp.arange(L, dtype=jnp.int32)[None, :]
+        in_read = jl < plen[:, None]
+        in_genome = (flat_loc[:, None] + jl) < G
+        mism = (
+            ((text_g != pat) | text_bad | (pat >= 4) | ~in_genome) & in_read
+        )
+        gapless_dist = mism.sum(axis=1).astype(jnp.int32)
+        gapless_logp = (
+            jnp.where(mism, pat_logq, 0.0).sum(axis=1)
+            + (plen - gapless_dist).astype(jnp.float32)
+            * np.float32(LOG_PERFECT)
+        )
+    else:  # no packed genome available: force everything through the DP
+        gapless_dist = jnp.full((BK,), np.int32(1 << 20))
+        gapless_logp = jnp.zeros((BK,), jnp.float32)
+
+    # ---- Tier 2: compact candidates that need gaps ----
+    GAPLESS_OK = max_k_for_same_alignment()  # 2 with default penalties
+    flat_weight = cand_weight.reshape(-1)
+    # Which candidates justify the full DP? Gapless failures that more
+    # than one seed voted for — SNAP's weight-ordered candidate scoring
+    # (BaseAligner.h:356, weight lists): a real indel locus collects the
+    # seeds from both sides of the indel (two nearby high-weight bins),
+    # while random spurious seed hits are weight-1 and score gapless.
+    needs_dp = flat_valid & (gapless_dist > GAPLESS_OK)
+    if didx.genome_packed is None:
+        M = BK  # no prescreen possible: run the full DP everywhere
+        sel_key = needs_dp.astype(jnp.int32)
+    else:
+        # per-read guarantee: when a read has NO good gapless candidate
+        # (indel reads, junk), its top-2 weight-ranked candidates get the
+        # DP regardless of weight — otherwise weight-1 indel loci would
+        # never be scored (candidates come out of top_k weight-sorted,
+        # so k < 2 IS the top-2 rank)
+        read_min_gapless = jnp.min(
+            jnp.where(
+                cand_valid, gapless_dist.reshape(B, K), np.int32(1 << 20)
+            ),
+            axis=1,
+        )
+        read_needs = (read_min_gapless > GAPLESS_OK)[:, None]
+        kpos = jnp.arange(K, dtype=jnp.int32)[None, :]
+        promote = (read_needs & (kpos < 2)).reshape(-1)
+        needs_dp = needs_dp & ((flat_weight >= 2) | promote)
+        M = max(BK // 8, min(BK, 64))
+        # overflow priority: promoted top-2 first, then by weight
+        sel_key = jnp.where(
+            needs_dp, flat_weight + jnp.where(promote, 1 << 20, 0), 0
+        )
+    _, sel_idx = jax.lax.top_k(sel_key, M)
+    sel_idx = sel_idx.astype(jnp.int64)
+    sel_live = needs_dp[sel_idx]
+
+    s_pat = pat[sel_idx]
+    s_logq = pat_logq[sel_idx]
+    s_plen = plen[sel_idx]
+    s_loc = flat_loc[sel_idx]
+    s_off = flat_off[sel_idx]
+    s_dir = flat_dir[sel_idx]
 
     def gather_genome(pos):
         inb = (pos >= 0) & (pos < didx.genome.shape[0])
@@ -357,66 +449,97 @@ def align_single_device(
             np.uint8(5),
         )
 
-    # tail: pattern rows tail_start..plen-1, text from loc+tail_start
-    t_idx = (jj + tail_start[:, None]).astype(jnp.int64)
-    t_ok = t_idx < plen[:, None]
-    t_idxc = jnp.clip(t_idx, 0, L - 1)
-    tail_pat = jnp.where(t_ok, jnp.take_along_axis(pat, t_idxc, axis=1), np.uint8(4))
-    tail_logq = jnp.where(t_ok, jnp.take_along_axis(pat_logq, t_idxc, axis=1), 0.0)
-    tail_plen = jnp.maximum(plen - tail_start, 0).astype(jnp.int32)
+    win_start = s_loc - margin
+    cols = jnp.arange(W, dtype=jnp.int64)[None, :]
+    text = gather_genome(win_start[:, None] + cols)
+
+    res = fitting_edit_distance(s_pat, s_logq, s_plen, text)
+    s_lv_dist = res.dist
+    s_lv_logp = res.log_prob
+    s_end = win_start + res.end_col.astype(jnp.int64)
+
+    # affine-gap head/tail extensions (BaseAligner.cpp:1203-1290) on the
+    # same subset: escalation only ever applies to candidates here
+    seed = params.seed_len
+    tail_start = (s_off + seed).astype(jnp.int32)
+    jj = jnp.arange(L, dtype=jnp.int32)[None, :]
+    TW = L + params.max_k + 1
     tcols = jnp.arange(TW, dtype=jnp.int64)[None, :]
-    tail_text = gather_genome(flat_loc[:, None] + tail_start[:, None] + tcols)
+
+    t_idx = (jj + tail_start[:, None]).astype(jnp.int64)
+    t_ok = t_idx < s_plen[:, None]
+    t_idxc = jnp.clip(t_idx, 0, L - 1)
+    tail_pat = jnp.where(t_ok, jnp.take_along_axis(s_pat, t_idxc, axis=1), np.uint8(4))
+    tail_logq = jnp.where(t_ok, jnp.take_along_axis(s_logq, t_idxc, axis=1), 0.0)
+    tail_plen = jnp.maximum(s_plen - tail_start, 0).astype(jnp.int32)
+    tail_text = gather_genome(s_loc[:, None] + tail_start[:, None] + tcols)
     tail_tlen = (tail_plen + params.max_k).astype(jnp.int32)
     ebonus_tail = jnp.where(
-        flat_dir == 1, np.int32(AG_END_BONUS_5), np.int32(AG_END_BONUS_3)
+        s_dir == 1, np.int32(AG_END_BONUS_5), np.int32(AG_END_BONUS_3)
     )
     tail = affine_extend(
         tail_pat, tail_logq, tail_plen, tail_text, tail_tlen,
-        plen.astype(jnp.int32), ebonus_tail,
+        s_plen.astype(jnp.int32), ebonus_tail,
     )
 
-    # head: reversed pattern[0:seed_off], text leftward from loc+seed_off
-    h_idx = (flat_off[:, None] - 1 - jj).astype(jnp.int64)
+    h_idx = (s_off[:, None] - 1 - jj).astype(jnp.int64)
     h_ok = h_idx >= 0
     h_idxc = jnp.clip(h_idx, 0, L - 1)
-    head_pat = jnp.where(h_ok, jnp.take_along_axis(pat, h_idxc, axis=1), np.uint8(4))
-    head_logq = jnp.where(h_ok, jnp.take_along_axis(pat_logq, h_idxc, axis=1), 0.0)
-    head_plen = flat_off.astype(jnp.int32)
-    head_text = gather_genome(
-        flat_loc[:, None] + flat_off[:, None] - 1 - tcols
-    )
+    head_pat = jnp.where(h_ok, jnp.take_along_axis(s_pat, h_idxc, axis=1), np.uint8(4))
+    head_logq = jnp.where(h_ok, jnp.take_along_axis(s_logq, h_idxc, axis=1), 0.0)
+    head_plen = s_off.astype(jnp.int32)
+    head_text = gather_genome(s_loc[:, None] + s_off[:, None] - 1 - tcols)
     head_tlen = (head_plen + params.max_k).astype(jnp.int32)
     ebonus_head = jnp.where(
-        flat_dir == 1, np.int32(AG_END_BONUS_3), np.int32(AG_END_BONUS_5)
+        s_dir == 1, np.int32(AG_END_BONUS_3), np.int32(AG_END_BONUS_5)
     )
     head = affine_extend(
         head_pat, head_logq, head_plen, head_text, head_tlen,
-        plen.astype(jnp.int32), ebonus_head,
+        s_plen.astype(jnp.int32), ebonus_head,
     )
 
+    s_lv_ok = sel_live & (s_lv_dist <= params.max_k)
     ag_ok = tail.valid & head.valid
-    ag_score = tail.score + head.score + seed - 2 * plen
+    ag_score = tail.score + head.score + seed - 2 * s_plen
     ag_edits = tail.edits + head.edits
     ag_logp = (
         tail.log_prob + head.log_prob
         + np.float32(seed) * np.float32(LOG_PERFECT)
     )
-    ag_body_loc = flat_loc + (flat_off - head.text_used).astype(jnp.int64)
+    ag_body_loc = s_loc + (s_off - head.text_used).astype(jnp.int64)
 
     if params.use_affine_gap:
-        esc = lv_ok & (lv_dist > max_k_for_same_alignment())
+        s_esc = s_lv_ok & (s_lv_dist > max_k_for_same_alignment())
     else:  # -G-: never escalate to affine gap
-        esc = jnp.zeros_like(lv_ok)
-    dist = jnp.where(esc, ag_edits, lv_dist)
-    log_prob = jnp.where(esc, ag_logp, lv_logp)
-    agsc = jnp.where(esc, ag_score, plen - 5 * lv_dist)
-    ok = lv_ok & jnp.where(esc, ag_ok, True)
-    clip_b = jnp.where(esc, head.pattern_clip, 0)
-    clip_a = jnp.where(esc, tail.pattern_clip, 0)
-    body_loc = jnp.where(esc, ag_body_loc, flat_loc)
+        s_esc = jnp.zeros_like(s_lv_ok)
+    s_dist = jnp.where(s_esc, ag_edits, s_lv_dist)
+    s_logp = jnp.where(s_esc, ag_logp, s_lv_logp)
+    s_agsc = jnp.where(s_esc, ag_score, s_plen - 5 * s_lv_dist)
+    s_ok = s_lv_ok & jnp.where(s_esc, ag_ok, True)
+    s_clip_b = jnp.where(s_esc, head.pattern_clip, 0)
+    s_clip_a = jnp.where(s_esc, tail.pattern_clip, 0)
+    s_body = jnp.where(s_esc, ag_body_loc, s_loc)
+    s_indels = jnp.where(s_esc, jnp.int32(1 << 20), res.indels)
+
+    # ---- combine tiers: scatter the subset results over the gapless ----
+    def scatter(base, vals):
+        return base.at[sel_idx].set(jnp.where(sel_live, vals, base[sel_idx]))
+
+    gl_ok = flat_valid & ~needs_dp & (gapless_dist <= params.max_k)
+    dist = scatter(gapless_dist, s_dist)
+    log_prob = scatter(gapless_logp, s_logp)
+    agsc = scatter(plen - 5 * gapless_dist, s_agsc)
+    end_loc = scatter(flat_loc + plen.astype(jnp.int64), s_end)
+    body_loc = scatter(flat_loc, s_body)
+    ok = scatter(gl_ok, s_ok)
+    esc = scatter(jnp.zeros_like(gl_ok), s_esc)
+    clip_b = scatter(jnp.zeros((BK,), jnp.int32), s_clip_b)
+    clip_a = scatter(jnp.zeros((BK,), jnp.int32), s_clip_a)
+    indels = scatter(jnp.zeros((BK,), jnp.int32), s_indels)
 
     return SingleAlignOut(
         dist=dist.reshape(B, K),
+        indels=indels.reshape(B, K),
         log_prob=log_prob.reshape(B, K),
         ag_score=agsc.reshape(B, K),
         end_loc=end_loc.reshape(B, K),

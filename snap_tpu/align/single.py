@@ -56,6 +56,53 @@ def winner_record(
     orig_len = int(batch.lengths[i])
     plen = int(arrays["len_eff"][ai])
     back_q = orig_len - front_extra - plen  # trailing quality clip
+
+    # fast path: a GAPLESS alignment (no indels on the LV path, no
+    # aligner soft clips) needs no traceback — the CIGAR is fully
+    # determined and NM equals the edit distance. This is the
+    # overwhelmingly common case for short reads.
+    indels = arrays.get("indels")
+    if (
+        indels is not None
+        and int(indels[ai, k]) == 0
+        and int(arrays["clip_before"][ai, k]) == 0
+        and int(arrays["clip_after"][ai, k]) == 0
+    ):
+        start_loc = end_loc - plen
+        if contig_bounds is None or _inside_one_contig(
+            start_loc, plen, contig_bounds
+        ):
+            if direction:
+                fs, bs = back_q, front_extra
+            else:
+                fs, bs = front_extra, back_q
+            if use_m:
+                body_cig = f"{plen}M"
+            else:
+                cl2 = batch.bases[i, front_extra : front_extra + plen]
+                pat = (
+                    reverse_complement_codes(cl2.copy())
+                    if direction
+                    else cl2
+                )
+                from .adjust import _split_eq_x, render_cigar
+
+                body_cig = render_cigar(
+                    _split_eq_x(
+                        [[plen, "M"]], start_loc, pat, genome_np
+                    )
+                )
+            cigar = (
+                (f"{fs}S" if fs else "") + body_cig + (f"{bs}S" if bs else "")
+            )
+            return {
+                "start_loc": start_loc,
+                "cigar": cigar,
+                "nm": dist,
+                "front_soft": fs,
+                "ref_span": plen,
+            }
+
     clipped = batch.bases[i, front_extra : front_extra + plen]
     cquals = batch.quals[i, front_extra : front_extra + plen]
     if direction:
@@ -139,6 +186,16 @@ def winner_record(
     }
 
 
+def _inside_one_contig(start_loc: int, span: int, contig_bounds) -> bool:
+    starts, ends = contig_bounds
+    ci = int(np.searchsorted(starts, start_loc, side="right")) - 1
+    return (
+        0 <= ci < len(starts)
+        and start_loc >= int(starts[ci])
+        and start_loc + span <= int(ends[ci])
+    )
+
+
 def _leading_soft(cigar: str) -> int:
     import re
 
@@ -213,8 +270,8 @@ class SingleEndAligner:
         lens[:n] = np.minimum(batch.lengths, L)
         return bases, quals, lens
 
-    def align_batch(self, batch: ReadBatch):
-        """Returns a list of per-read dicts ready for SAM emission."""
+    def _submit(self, batch: ReadBatch):
+        """Dispatch one batch to the device (async); returns handles."""
         import jax.numpy as jnp
 
         bases, quals, lens = self._pad(batch)
@@ -233,6 +290,19 @@ class SingleEndAligner:
             jnp.asarray(lens),
             self.params,
         )
+        return out, front_clips
+
+    def align_batch(self, batch: ReadBatch):
+        """Returns a list of per-read dicts ready for SAM emission."""
+        out, front_clips = self._submit(batch)
+        return self._finalize(batch, out, front_clips)
+
+    def _finalize(self, batch: ReadBatch, out, front_clips):
+        import jax
+
+        # one batched async D2H transfer for all outputs (per-leaf
+        # np.asarray would pay the device round trip 13 times)
+        out = jax.device_get(out)
         dist = np.asarray(out.dist)
         logp = np.asarray(out.log_prob)
         ag_score = np.asarray(out.ag_score)
@@ -269,20 +339,36 @@ class SingleEndAligner:
             "clip_after": clip_after,
             "escalated": escalated,
             "body_loc": body_loc,
+            "indels": np.asarray(out.indels),
         }
+        # vectorized batch finalization when no per-read extras are on
+        batch_finalized = None
+        if not self.emit_alt:
+            from .post import finalize_batch
+
+            batch_finalized = finalize_batch(
+                dist[:n], logp[:n], ag_score[:n], end_loc[:n], cand_loc[:n],
+                direction[:n], valid[:n], popular[:n],
+                is_alt=is_alt[:n],
+                alt_awareness=self.alt_awareness,
+                max_score_gap_to_prefer_non_alt=self.max_score_gap,
+            )
         for i in range(len(batch)):
             orig_len = int(batch.lengths[i])
             if orig_len < self.min_read_length:
                 results.append({"status": "filtered"})
                 continue
-            ra, alt_supp = finalize_read(
-                dist[i], logp[i], ag_score[i], end_loc[i], cand_loc[i],
-                direction[i], valid[i], int(popular[i]),
-                is_alt=is_alt[i],
-                alt_awareness=self.alt_awareness,
-                emit_alt=self.emit_alt,
-                max_score_gap_to_prefer_non_alt=self.max_score_gap,
-            )
+            if batch_finalized is not None:
+                ra, alt_supp = batch_finalized[i]
+            else:
+                ra, alt_supp = finalize_read(
+                    dist[i], logp[i], ag_score[i], end_loc[i], cand_loc[i],
+                    direction[i], valid[i], int(popular[i]),
+                    is_alt=is_alt[i],
+                    alt_awareness=self.alt_awareness,
+                    emit_alt=self.emit_alt,
+                    max_score_gap_to_prefer_non_alt=self.max_score_gap,
+                )
             if ra.status == "notfound":
                 results.append({"status": "notfound"})
                 continue
@@ -348,20 +434,33 @@ class SingleEndAligner:
         batches = iter(
             single_batches(fastq_path, self.batch_size, self.max_read_len)
         )
+        # pipelined loop: batch i+1 is dispatched to the device before
+        # batch i's host finalization/emission (double-buffered, the
+        # moral equivalent of SNAP's reader/aligner thread decoupling)
+        pending = None
         while True:
             tr = time.time()
             batch = next(batches, None)
             self.stats.seconds_reading += time.time() - tr
-            if batch is None:
+            if batch is not None:
+                ta = time.time()
+                sub = (batch, *self._submit(batch))
+                self.stats.seconds_aligning += time.time() - ta
+            else:
+                sub = None
+            if pending is not None:
+                pbatch, pout, pfc = pending
+                ta = time.time()
+                results = self._finalize(pbatch, pout, pfc)
+                self.stats.seconds_aligning += time.time() - ta
+                tw = time.time()
+                for i, res in enumerate(results):
+                    self._emit(writer, pbatch, i, res)
+                self.stats.seconds_writing += time.time() - tw
+                progress.update(len(pbatch))
+            if sub is None:
                 break
-            ta = time.time()
-            results = self.align_batch(batch)
-            self.stats.seconds_aligning += time.time() - ta
-            tw = time.time()
-            for i, res in enumerate(results):
-                self._emit(writer, batch, i, res)
-            self.stats.seconds_writing += time.time() - tw
-            progress.update(len(batch))
+            pending = sub
         self.stats.align_seconds = time.time() - t0
         return self.stats
 

@@ -29,6 +29,31 @@ class DeviceIndex(NamedTuple):
     table_n1: jax.Array     # [C] int32  orientation-1 count
     hits: jax.Array         # [T] uint32 locations (desc per list)
     genome: jax.Array       # [G] uint8 base codes
+    # 2-bit-packed genome (16 bases / u32 word, base i at bits 2*(i%16))
+    # + per-base invalid mask (N/pad, 32 bases / u32 word): the gapless
+    # XOR prescreen reads these instead of byte-gathering windows — the
+    # TPU equivalent of SNAP's 64-bit XOR scan (LandauVishkin.h:377-407).
+    genome_packed: jax.Array | None = None  # [ceil(G/16)] uint32
+    genome_bad: jax.Array | None = None     # [ceil(G/32)] uint32
+
+
+def pack_genome_words(bases: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side packing of a byte-code genome into (packed, badmask)."""
+    g = np.asarray(bases)
+    G = g.shape[0]
+    n16 = (G + 15) // 16
+    packed = np.zeros(n16 + 1, dtype=np.uint32)  # +1 pad word for windows
+    codes = np.where(g < 4, g, 0).astype(np.uint32)
+    for i in range(16):
+        lane = codes[i::16]
+        packed[: len(lane)] |= lane << np.uint32(2 * i)
+    n32 = (G + 31) // 32
+    bad = np.zeros(n32 + 1, dtype=np.uint32)
+    isbad = (g >= 4).astype(np.uint32)
+    for i in range(32):
+        lane = isbad[i::32]
+        bad[: len(lane)] |= lane << np.uint32(i)
+    return packed, bad
 
 
 def murmur_finalize64(k: jax.Array) -> jax.Array:
@@ -126,13 +151,17 @@ class GenomeIndex:
         self.genome_meta = genome
         self.seed_len: int = arrays["seed_len"]
         self.max_probe: int = arrays["max_probe"]
+        gb = np.asarray(genome.bases)
+        packed, bad = pack_genome_words(gb)
         self.device = DeviceIndex(
             table_keys=jnp.asarray(arrays["table_keys"]),
             table_start=jnp.asarray(arrays["table_start"]),
             table_n0=jnp.asarray(arrays["table_n0"]),
             table_n1=jnp.asarray(arrays["table_n1"]),
             hits=jnp.asarray(arrays["hits"]),
-            genome=jnp.asarray(np.asarray(genome.bases)),
+            genome=jnp.asarray(gb),
+            genome_packed=jnp.asarray(packed),
+            genome_bad=jnp.asarray(bad),
         )
 
     @classmethod

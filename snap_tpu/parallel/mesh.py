@@ -41,6 +41,9 @@ def sharded_device_index(arrays: dict, genome_bases: np.ndarray, mesh: Mesh):
     sharded over 'index', genome replicated."""
     idx_spec = NamedSharding(mesh, P("index"))
     repl = NamedSharding(mesh, P())
+    from ..index.index import pack_genome_words
+
+    packed, bad = pack_genome_words(genome_bases)
     return DeviceIndex(
         table_keys=jax.device_put(jnp.asarray(arrays["table_keys"]), idx_spec),
         table_start=jax.device_put(jnp.asarray(arrays["table_start"]), idx_spec),
@@ -48,6 +51,8 @@ def sharded_device_index(arrays: dict, genome_bases: np.ndarray, mesh: Mesh):
         table_n1=jax.device_put(jnp.asarray(arrays["table_n1"]), idx_spec),
         hits=jax.device_put(jnp.asarray(arrays["hits"]), idx_spec),
         genome=jax.device_put(jnp.asarray(genome_bases), repl),
+        genome_packed=jax.device_put(jnp.asarray(packed), repl),
+        genome_bad=jax.device_put(jnp.asarray(bad), repl),
     )
 
 
@@ -71,6 +76,8 @@ def align_single_sharded(
             table_n1=didx_local.table_n1[0],
             hits=didx_local.hits[0],
             genome=didx_local.genome,
+            genome_packed=didx_local.genome_packed,
+            genome_bad=didx_local.genome_bad,
         )
         out = align_single_device(local_idx, b, q, l, params)
         # a seed's hits live wholly in one shard, so popular-seed skips
@@ -85,10 +92,13 @@ def align_single_sharded(
         table_n1=P("index"),
         hits=P("index"),
         genome=P(),
+        genome_packed=P(),
+        genome_bad=P(),
     )
     cand2d = P("data", "index")  # [B, K*n_shards] concat across shards
     out_specs = SingleAlignOut(
-        dist=cand2d, log_prob=cand2d, ag_score=cand2d, end_loc=cand2d,
+        dist=cand2d, indels=cand2d, log_prob=cand2d, ag_score=cand2d,
+        end_loc=cand2d,
         body_loc=cand2d, cand_loc=cand2d, escalated=cand2d,
         clip_before=cand2d, clip_after=cand2d, seed_off=cand2d,
         direction=cand2d, valid=cand2d,

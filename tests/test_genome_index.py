@@ -103,7 +103,7 @@ def test_index_lookup_matches_brute_force():
         table_n1=jnp.asarray(idx["table_n1"]),
         hits=jnp.asarray(idx["hits"]),
         genome=jnp.asarray(np.asarray(g.bases)),
-    )
+    )  # no packed genome: exercises the full-DP fallback path
 
     bases = np.asarray(g.bases)
     test_positions = rng.integers(16, 16 + len(seq) - seed_len, size=40)

@@ -55,6 +55,9 @@ def test_sharded_matches_single():
         num_seeds=9, hit_cap=8, max_cand=8,
     )
 
+    from snap_tpu.index.index import pack_genome_words
+
+    _p1, _b1 = pack_genome_words(bases_g)
     didx1 = DeviceIndex(
         table_keys=jnp.asarray(single["table_keys"]),
         table_start=jnp.asarray(single["table_start"]),
@@ -62,6 +65,8 @@ def test_sharded_matches_single():
         table_n1=jnp.asarray(single["table_n1"]),
         hits=jnp.asarray(single["hits"]),
         genome=jnp.asarray(bases_g),
+        genome_packed=jnp.asarray(_p1),
+        genome_bad=jnp.asarray(_b1),
     )
     out1 = align_single_device(
         didx1, jnp.asarray(reads), jnp.asarray(quals), jnp.asarray(lens),
