@@ -72,17 +72,22 @@ def main() -> None:
     q = jnp.asarray(quals)
     l = jnp.asarray(lens)
 
-    # NB: sync via device_get, not block_until_ready — the axon plugin's
-    # block_until_ready can return before execution completes, which
-    # makes dispatch-only loops look absurdly fast. Materializing the
-    # outputs on the host is the honest timing (and is what the real
-    # driver does every batch anyway).
-    jax.device_get(align_single_device(didx, b, q, l, params))  # compile
+    # Measure the production two-phase path: tier-1 wavefront
+    # (candidates + gapless prescreen) plus the host-triggered DP tier
+    # on whatever subset actually needs gaps. Timing materializes every
+    # output on the host (device_get): the axon plugin's
+    # block_until_ready can return before execution completes, so
+    # dispatch-only loops would look absurdly fast.
+    from snap_tpu.align.pipeline import align_tier1, two_phase_merge
+
+    t1 = align_tier1(didx, b, q, l, params)
+    two_phase_merge(didx, t1, b, q, params)  # compile both phases
 
     n_iters = 8
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        jax.device_get(align_single_device(didx, b, q, l, params))
+        t1 = align_tier1(didx, b, q, l, params)
+        two_phase_merge(didx, t1, b, q, params)
     dt = time.perf_counter() - t0
 
     reads_per_sec = batch * n_iters / dt

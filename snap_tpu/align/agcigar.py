@@ -60,13 +60,17 @@ def ag_global_alignment(text: np.ndarray, pattern: np.ndarray):
     h_prev = -(OPEN + np.arange(L, dtype=np.int64) * EXT)  # row -1
     e = np.full(L, NEG, dtype=np.int64)
     best, best_row = NEG, -1
+    jix = np.arange(L, dtype=np.int64)
     for i in range(T):
         h_init = 0 if i == 0 else -(OPEN + (i - 1) * EXT)
         hdiag = np.concatenate(([h_init], h_prev[:-1]))
         m = hdiag + _tscore(pattern, text[i])
+        # F recurrence f[j] = max(f[j-1]-EXT, m[j-1]-OPEN) as a prefix
+        # max: f[j] = max_{l<j}(m[l] - OPEN + l*EXT) - (j-1)*EXT
         f = np.full(L, NEG, dtype=np.int64)
-        for j in range(1, L):
-            f[j] = max(f[j - 1] - EXT, m[j - 1] - OPEN)
+        if L > 1:
+            p = np.maximum.accumulate(m - OPEN + jix * EXT)
+            f[1:] = p[:-1] - (jix[1:] - 1) * EXT
         h = np.maximum(np.maximum(m, e), f)
         Mm[i] = m
         Ee[i] = e

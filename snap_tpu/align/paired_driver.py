@@ -37,7 +37,7 @@ from ..io.sam import (
 )
 from ..stats import AlignerStats, ProgressReporter
 from .paired import finalize_pair
-from .pipeline import AlignParams, align_single_device
+from .pipeline import AlignParams, align_tier1, two_phase_merge
 from .single import winner_record
 
 
@@ -115,24 +115,15 @@ class PairedEndAligner:
         n = len(b0)
         B = self.batch_size
         bases, quals, lens = self._pad_two(b0, b1)
-        out = align_single_device(
-            self.index.device,
-            jnp.asarray(bases),
-            jnp.asarray(quals),
-            jnp.asarray(lens),
+        dev_bases = jnp.asarray(bases)
+        dev_quals = jnp.asarray(quals)
+        t1 = align_tier1(
+            self.index.device, dev_bases, dev_quals, jnp.asarray(lens),
             self.params,
         )
-        import jax
-
-        out = jax.device_get(out)  # one batched D2H transfer
-        f = {
-            name: np.asarray(getattr(out, name))
-            for name in (
-                "dist", "indels", "log_prob", "ag_score", "end_loc",
-                "cand_loc", "body_loc", "escalated", "clip_before",
-                "clip_after", "direction", "valid", "len_eff", "popular",
-            )
-        }
+        f = two_phase_merge(
+            self.index.device, t1, dev_bases, dev_quals, self.params
+        )
         per_cand = (
             "dist", "log_prob", "ag_score", "end_loc", "cand_loc",
             "direction", "valid", "escalated",

@@ -171,14 +171,159 @@ def reverse_complement_reads(
     return rc_bases, rc_quals
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def align_single_device(
+def _score_rows(
+    didx: DeviceIndex,
+    s_pat: jax.Array,    # [M, L] oriented pattern codes
+    s_logq: jax.Array,   # [M, L] f32 ln P(error)
+    s_plen: jax.Array,   # [M] i32 clipped lengths
+    s_loc: jax.Array,    # [M] i64 candidate locations
+    s_off: jax.Array,    # [M] i32 anchoring seed offsets
+    s_dir: jax.Array,    # [M] i32 directions
+    sel_live: jax.Array, # [M] bool
+    params: AlignParams,
+    L: int,
+    margin: int,
+    W: int,
+) -> SubsetOut:
+    """Tier 2: full fitting DP + affine-gap head/tail on M rows."""
+    from ..constants import (
+        AG_END_BONUS_3,
+        AG_END_BONUS_5,
+        max_k_for_same_alignment,
+    )
+    from ..ops.affine import affine_extend
+    from ..ops.dp import LOG_PERFECT
+
+
+    def gather_genome(pos):
+        inb = (pos >= 0) & (pos < didx.genome.shape[0])
+        return jnp.where(
+            inb, didx.genome[jnp.clip(pos, 0, didx.genome.shape[0] - 1)],
+            np.uint8(5),
+        )
+
+    win_start = s_loc - margin
+    cols = jnp.arange(W, dtype=jnp.int64)[None, :]
+    text = gather_genome(win_start[:, None] + cols)
+
+    res = fitting_edit_distance(s_pat, s_logq, s_plen, text)
+    s_lv_dist = res.dist
+    s_lv_logp = res.log_prob
+    s_end = win_start + res.end_col.astype(jnp.int64)
+
+    # affine-gap head/tail extensions (BaseAligner.cpp:1203-1290) on the
+    # same subset: escalation only ever applies to candidates here
+    seed = params.seed_len
+    tail_start = (s_off + seed).astype(jnp.int32)
+    jj = jnp.arange(L, dtype=jnp.int32)[None, :]
+    TW = L + params.max_k + 1
+    tcols = jnp.arange(TW, dtype=jnp.int64)[None, :]
+
+    t_idx = (jj + tail_start[:, None]).astype(jnp.int64)
+    t_ok = t_idx < s_plen[:, None]
+    t_idxc = jnp.clip(t_idx, 0, L - 1)
+    tail_pat = jnp.where(t_ok, jnp.take_along_axis(s_pat, t_idxc, axis=1), np.uint8(4))
+    tail_logq = jnp.where(t_ok, jnp.take_along_axis(s_logq, t_idxc, axis=1), 0.0)
+    tail_plen = jnp.maximum(s_plen - tail_start, 0).astype(jnp.int32)
+    tail_text = gather_genome(s_loc[:, None] + tail_start[:, None] + tcols)
+    tail_tlen = (tail_plen + params.max_k).astype(jnp.int32)
+    ebonus_tail = jnp.where(
+        s_dir == 1, np.int32(AG_END_BONUS_5), np.int32(AG_END_BONUS_3)
+    )
+    tail = affine_extend(
+        tail_pat, tail_logq, tail_plen, tail_text, tail_tlen,
+        s_plen.astype(jnp.int32), ebonus_tail,
+    )
+
+    h_idx = (s_off[:, None] - 1 - jj).astype(jnp.int64)
+    h_ok = h_idx >= 0
+    h_idxc = jnp.clip(h_idx, 0, L - 1)
+    head_pat = jnp.where(h_ok, jnp.take_along_axis(s_pat, h_idxc, axis=1), np.uint8(4))
+    head_logq = jnp.where(h_ok, jnp.take_along_axis(s_logq, h_idxc, axis=1), 0.0)
+    head_plen = s_off.astype(jnp.int32)
+    head_text = gather_genome(s_loc[:, None] + s_off[:, None] - 1 - tcols)
+    head_tlen = (head_plen + params.max_k).astype(jnp.int32)
+    ebonus_head = jnp.where(
+        s_dir == 1, np.int32(AG_END_BONUS_3), np.int32(AG_END_BONUS_5)
+    )
+    head = affine_extend(
+        head_pat, head_logq, head_plen, head_text, head_tlen,
+        s_plen.astype(jnp.int32), ebonus_head,
+    )
+
+    s_lv_ok = sel_live & (s_lv_dist <= params.max_k)
+    ag_ok = tail.valid & head.valid
+    ag_score = tail.score + head.score + seed - 2 * s_plen
+    ag_edits = tail.edits + head.edits
+    ag_logp = (
+        tail.log_prob + head.log_prob
+        + np.float32(seed) * np.float32(LOG_PERFECT)
+    )
+    ag_body_loc = s_loc + (s_off - head.text_used).astype(jnp.int64)
+
+    if params.use_affine_gap:
+        s_esc = s_lv_ok & (s_lv_dist > max_k_for_same_alignment())
+    else:  # -G-: never escalate to affine gap
+        s_esc = jnp.zeros_like(s_lv_ok)
+    s_dist = jnp.where(s_esc, ag_edits, s_lv_dist)
+    s_logp = jnp.where(s_esc, ag_logp, s_lv_logp)
+    s_agsc = jnp.where(s_esc, ag_score, s_plen - 5 * s_lv_dist)
+    s_ok = s_lv_ok & jnp.where(s_esc, ag_ok, True)
+    s_clip_b = jnp.where(s_esc, head.pattern_clip, 0)
+    s_clip_a = jnp.where(s_esc, tail.pattern_clip, 0)
+    s_body = jnp.where(s_esc, ag_body_loc, s_loc)
+    s_indels = jnp.where(s_esc, jnp.int32(1 << 20), res.indels)
+    return SubsetOut(
+        dist=s_dist, indels=s_indels, log_prob=s_logp, ag_score=s_agsc,
+        end_loc=s_end, body_loc=s_body, escalated=s_esc,
+        clip_before=s_clip_b, clip_after=s_clip_a, valid=s_ok,
+    )
+
+
+class Tier1Out(NamedTuple):
+    """Candidate generation + gapless prescreen results (two-phase API).
+
+    The host inspects gapless_dist/weight, decides which candidates need
+    the expensive DP tier, and calls score_rows on just those — so clean
+    batches never pay for the DP/affine kernels at all (the dynamic
+    equivalent of SNAP never calling LV when the XOR scan says perfect).
+    """
+
+    cand_loc: jax.Array      # [B, K] int64
+    seed_off: jax.Array      # [B, K] int32
+    direction: jax.Array     # [B, K] int32
+    valid: jax.Array         # [B, K] bool candidate exists
+    weight: jax.Array        # [B, K] int32 seed votes
+    gapless_dist: jax.Array  # [B, K] int32 mismatches at anchored offset
+    gapless_logp: jax.Array  # [B, K] float32
+    len_eff: jax.Array       # [B] int32
+    popular: jax.Array       # [B] int32
+    n_lookups: jax.Array     # [B] int32
+
+
+class SubsetOut(NamedTuple):
+    """Full DP + affine-gap results for a compacted row subset."""
+
+    dist: jax.Array
+    indels: jax.Array
+    log_prob: jax.Array
+    ag_score: jax.Array
+    end_loc: jax.Array
+    body_loc: jax.Array
+    escalated: jax.Array
+    clip_before: jax.Array
+    clip_after: jax.Array
+    valid: jax.Array
+
+
+def _align_impl(
     didx: DeviceIndex,
     bases: jax.Array,   # [B, L] uint8
     quals: jax.Array,   # [B, L] uint8
     lens: jax.Array,    # [B] int32
     params: AlignParams,
-) -> SingleAlignOut:
+    tier1_only: bool = False,
+):
     B, L = bases.shape
     S = params.num_lookups
     H = params.hit_cap
@@ -398,6 +543,20 @@ def align_single_device(
         gapless_dist = jnp.full((BK,), np.int32(1 << 20))
         gapless_logp = jnp.zeros((BK,), jnp.float32)
 
+    if tier1_only:
+        return Tier1Out(
+            cand_loc=cand_loc,
+            seed_off=cand_off,
+            direction=cand_dir,
+            valid=cand_valid,
+            weight=cand_weight,
+            gapless_dist=gapless_dist.reshape(B, K),
+            gapless_logp=gapless_logp.reshape(B, K),
+            len_eff=len_eff,
+            popular=popular,
+            n_lookups=seed_ok.sum(axis=1).astype(jnp.int32),
+        )
+
     # ---- Tier 2: compact candidates that need gaps ----
     GAPLESS_OK = max_k_for_same_alignment()  # 2 with default penalties
     flat_weight = cand_weight.reshape(-1)
@@ -435,91 +594,17 @@ def align_single_device(
     sel_idx = sel_idx.astype(jnp.int64)
     sel_live = needs_dp[sel_idx]
 
-    s_pat = pat[sel_idx]
-    s_logq = pat_logq[sel_idx]
-    s_plen = plen[sel_idx]
-    s_loc = flat_loc[sel_idx]
-    s_off = flat_off[sel_idx]
-    s_dir = flat_dir[sel_idx]
-
-    def gather_genome(pos):
-        inb = (pos >= 0) & (pos < didx.genome.shape[0])
-        return jnp.where(
-            inb, didx.genome[jnp.clip(pos, 0, didx.genome.shape[0] - 1)],
-            np.uint8(5),
-        )
-
-    win_start = s_loc - margin
-    cols = jnp.arange(W, dtype=jnp.int64)[None, :]
-    text = gather_genome(win_start[:, None] + cols)
-
-    res = fitting_edit_distance(s_pat, s_logq, s_plen, text)
-    s_lv_dist = res.dist
-    s_lv_logp = res.log_prob
-    s_end = win_start + res.end_col.astype(jnp.int64)
-
-    # affine-gap head/tail extensions (BaseAligner.cpp:1203-1290) on the
-    # same subset: escalation only ever applies to candidates here
-    seed = params.seed_len
-    tail_start = (s_off + seed).astype(jnp.int32)
-    jj = jnp.arange(L, dtype=jnp.int32)[None, :]
-    TW = L + params.max_k + 1
-    tcols = jnp.arange(TW, dtype=jnp.int64)[None, :]
-
-    t_idx = (jj + tail_start[:, None]).astype(jnp.int64)
-    t_ok = t_idx < s_plen[:, None]
-    t_idxc = jnp.clip(t_idx, 0, L - 1)
-    tail_pat = jnp.where(t_ok, jnp.take_along_axis(s_pat, t_idxc, axis=1), np.uint8(4))
-    tail_logq = jnp.where(t_ok, jnp.take_along_axis(s_logq, t_idxc, axis=1), 0.0)
-    tail_plen = jnp.maximum(s_plen - tail_start, 0).astype(jnp.int32)
-    tail_text = gather_genome(s_loc[:, None] + tail_start[:, None] + tcols)
-    tail_tlen = (tail_plen + params.max_k).astype(jnp.int32)
-    ebonus_tail = jnp.where(
-        s_dir == 1, np.int32(AG_END_BONUS_5), np.int32(AG_END_BONUS_3)
+    sub = _score_rows(
+        didx, pat[sel_idx], pat_logq[sel_idx], plen[sel_idx],
+        flat_loc[sel_idx], flat_off[sel_idx], flat_dir[sel_idx],
+        sel_live, params, L, margin, W,
     )
-    tail = affine_extend(
-        tail_pat, tail_logq, tail_plen, tail_text, tail_tlen,
-        s_plen.astype(jnp.int32), ebonus_tail,
+    (s_dist, s_indels, s_logp, s_agsc, s_end, s_body, s_esc, s_clip_b,
+     s_clip_a, s_ok) = (
+        sub.dist, sub.indels, sub.log_prob, sub.ag_score, sub.end_loc,
+        sub.body_loc, sub.escalated, sub.clip_before, sub.clip_after,
+        sub.valid,
     )
-
-    h_idx = (s_off[:, None] - 1 - jj).astype(jnp.int64)
-    h_ok = h_idx >= 0
-    h_idxc = jnp.clip(h_idx, 0, L - 1)
-    head_pat = jnp.where(h_ok, jnp.take_along_axis(s_pat, h_idxc, axis=1), np.uint8(4))
-    head_logq = jnp.where(h_ok, jnp.take_along_axis(s_logq, h_idxc, axis=1), 0.0)
-    head_plen = s_off.astype(jnp.int32)
-    head_text = gather_genome(s_loc[:, None] + s_off[:, None] - 1 - tcols)
-    head_tlen = (head_plen + params.max_k).astype(jnp.int32)
-    ebonus_head = jnp.where(
-        s_dir == 1, np.int32(AG_END_BONUS_3), np.int32(AG_END_BONUS_5)
-    )
-    head = affine_extend(
-        head_pat, head_logq, head_plen, head_text, head_tlen,
-        s_plen.astype(jnp.int32), ebonus_head,
-    )
-
-    s_lv_ok = sel_live & (s_lv_dist <= params.max_k)
-    ag_ok = tail.valid & head.valid
-    ag_score = tail.score + head.score + seed - 2 * s_plen
-    ag_edits = tail.edits + head.edits
-    ag_logp = (
-        tail.log_prob + head.log_prob
-        + np.float32(seed) * np.float32(LOG_PERFECT)
-    )
-    ag_body_loc = s_loc + (s_off - head.text_used).astype(jnp.int64)
-
-    if params.use_affine_gap:
-        s_esc = s_lv_ok & (s_lv_dist > max_k_for_same_alignment())
-    else:  # -G-: never escalate to affine gap
-        s_esc = jnp.zeros_like(s_lv_ok)
-    s_dist = jnp.where(s_esc, ag_edits, s_lv_dist)
-    s_logp = jnp.where(s_esc, ag_logp, s_lv_logp)
-    s_agsc = jnp.where(s_esc, ag_score, s_plen - 5 * s_lv_dist)
-    s_ok = s_lv_ok & jnp.where(s_esc, ag_ok, True)
-    s_clip_b = jnp.where(s_esc, head.pattern_clip, 0)
-    s_clip_a = jnp.where(s_esc, tail.pattern_clip, 0)
-    s_body = jnp.where(s_esc, ag_body_loc, s_loc)
-    s_indels = jnp.where(s_esc, jnp.int32(1 << 20), res.indels)
 
     # ---- combine tiers: scatter the subset results over the gapless ----
     def scatter(base, vals):
@@ -555,3 +640,154 @@ def align_single_device(
         popular=popular,
         n_lookups=seed_ok.sum(axis=1).astype(jnp.int32),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def align_single_device(
+    didx: DeviceIndex,
+    bases: jax.Array,   # [B, L] uint8
+    quals: jax.Array,   # [B, L] uint8
+    lens: jax.Array,    # [B] int32
+    params: AlignParams,
+) -> SingleAlignOut:
+    """Monolithic single-call wavefront (mesh / dryrun / tests path)."""
+    return _align_impl(didx, bases, quals, lens, params, tier1_only=False)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def align_tier1(
+    didx: DeviceIndex,
+    bases: jax.Array,
+    quals: jax.Array,
+    lens: jax.Array,
+    params: AlignParams,
+) -> Tier1Out:
+    """Phase 1 of the two-phase driver path: candidates + gapless."""
+    return _align_impl(didx, bases, quals, lens, params, tier1_only=True)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def score_rows(
+    didx: DeviceIndex,
+    bases: jax.Array,     # [B, L] (possibly front-clipped) read codes
+    quals: jax.Array,
+    len_eff: jax.Array,   # [B] i32 from Tier1Out
+    read_ix: jax.Array,   # [M] i64 row index per selected candidate
+    dirs: jax.Array,      # [M] i32
+    locs: jax.Array,      # [M] i64
+    offs: jax.Array,      # [M] i32
+    live: jax.Array,      # [M] bool
+    params: AlignParams,
+) -> SubsetOut:
+    """Phase 2: DP + AG scoring of host-selected candidate rows.
+
+    The host buckets M to a power of two so recurring subset sizes hit
+    the jit cache; dead rows (live=False) are padding.
+    """
+    B, L = bases.shape
+    margin = max(params.max_k, params.max_k_indels) + 1
+    W = L + 2 * margin
+    rc_bases, rc_quals = reverse_complement_reads(bases, quals, len_eff)
+    logq_table = jnp.asarray(log_phred_error_table())
+    pat = jnp.where((dirs == 1)[:, None], rc_bases[read_ix], bases[read_ix])
+    patq = jnp.where((dirs == 1)[:, None], rc_quals[read_ix], quals[read_ix])
+    pat_logq = logq_table[patq.astype(jnp.int64)].astype(jnp.float32)
+    plen = len_eff[read_ix]
+    return _score_rows(
+        didx, pat, pat_logq, plen, locs, offs, dirs, live, params,
+        L, margin, W,
+    )
+
+
+def two_phase_merge(
+    didx: DeviceIndex,
+    t1,                 # Tier1Out (device pytree)
+    dev_bases,          # [B, L] device array from the tier-1 dispatch
+    dev_quals,
+    params: AlignParams,
+) -> dict:
+    """Host half of the two-phase path: pull tier-1 results, decide which
+    candidates need the DP tier (same rule the monolithic kernel applies
+    on device), run score_rows on a power-of-two-padded subset, and merge
+    into flat numpy [B, K] arrays for the record writers.
+
+    Clean batches (no candidate needing gaps) never dispatch tier 2 —
+    the dynamic analogue of SNAP skipping LV when the XOR scan says the
+    extension is perfect.
+    """
+    import jax
+
+    from ..constants import max_k_for_same_alignment
+
+    t1_np = jax.device_get(t1)
+    cand_loc = np.asarray(t1_np.cand_loc)
+    B, K = cand_loc.shape
+    seed_off = np.asarray(t1_np.seed_off)
+    direction = np.asarray(t1_np.direction)
+    valid = np.asarray(t1_np.valid)
+    weight = np.asarray(t1_np.weight)
+    gd = np.asarray(t1_np.gapless_dist)
+    glp = np.asarray(t1_np.gapless_logp)
+    len_eff = np.asarray(t1_np.len_eff)
+    popular = np.asarray(t1_np.popular)
+
+    GOK = max_k_for_same_alignment()
+    needs = valid & (gd > GOK)
+    if didx.genome_packed is not None:
+        read_min = np.min(
+            np.where(valid, gd, np.int32(1 << 20)), axis=1
+        )
+        promote = (read_min > GOK)[:, None] & (
+            np.arange(K, dtype=np.int32)[None, :] < 2
+        )
+        needs &= (weight >= 2) | promote
+
+    plen2 = len_eff[:, None].astype(np.int64)
+    merged = {
+        "dist": gd.astype(np.int64).copy(),
+        "indels": np.zeros((B, K), np.int32),
+        "log_prob": glp.astype(np.float64).copy(),
+        "ag_score": (plen2 - 5 * gd).astype(np.int64),
+        "end_loc": cand_loc + plen2,
+        "body_loc": cand_loc.copy(),
+        "cand_loc": cand_loc,
+        "escalated": np.zeros((B, K), bool),
+        "clip_before": np.zeros((B, K), np.int32),
+        "clip_after": np.zeros((B, K), np.int32),
+        "seed_off": seed_off,
+        "direction": direction,
+        "valid": valid & ~needs & (gd <= params.max_k),
+        "len_eff": len_eff,
+        "popular": popular,
+        "weight": weight,
+    }
+
+    idx = np.flatnonzero(needs.reshape(-1))
+    if idx.size:
+        M = 1 << max(5, int(np.ceil(np.log2(idx.size))))
+        M = min(M, B * K)
+        sel = np.zeros(M, dtype=np.int64)
+        sel[: idx.size] = idx[:M]
+        live = np.zeros(M, dtype=bool)
+        live[: min(idx.size, M)] = True
+        flat = lambda a: a.reshape(-1)[sel]
+        sub = score_rows(
+            didx, dev_bases, dev_quals, t1.len_eff,
+            jnp.asarray(sel // K), jnp.asarray(flat(direction)),
+            jnp.asarray(flat(cand_loc)), jnp.asarray(flat(seed_off)),
+            jnp.asarray(live), params,
+        )
+        sub = jax.device_get(sub)
+        n = min(idx.size, M)
+        rows, cols = idx[:n] // K, idx[:n] % K
+        merged["dist"][rows, cols] = np.asarray(sub.dist)[:n]
+        merged["indels"][rows, cols] = np.asarray(sub.indels)[:n]
+        merged["log_prob"][rows, cols] = np.asarray(sub.log_prob)[:n]
+        merged["ag_score"][rows, cols] = np.asarray(sub.ag_score)[:n]
+        merged["end_loc"][rows, cols] = np.asarray(sub.end_loc)[:n]
+        merged["body_loc"][rows, cols] = np.asarray(sub.body_loc)[:n]
+        merged["escalated"][rows, cols] = np.asarray(sub.escalated)[:n]
+        merged["clip_before"][rows, cols] = np.asarray(sub.clip_before)[:n]
+        merged["clip_after"][rows, cols] = np.asarray(sub.clip_after)[:n]
+        merged["valid"][rows, cols] = np.asarray(sub.valid)[:n]
+    return merged

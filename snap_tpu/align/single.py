@@ -23,7 +23,7 @@ from ..options import pass_filter
 from ..stats import AlignerStats, ProgressReporter
 from .agcigar import compute_ag_cigar_at
 from .cigar import compute_cigar
-from .pipeline import AlignParams, align_single_device
+from .pipeline import AlignParams, align_single_device, two_phase_merge
 from .post import collect_secondary_results, finalize_read
 
 
@@ -156,7 +156,7 @@ def winner_record(
 
         starts, ends = contig_bounds
         span = _ref_span(cigar)
-        ci = int(np.searchsorted(starts, start_loc, side="right")) - 1
+        ci = int(starts.searchsorted(start_loc, side="right")) - 1
         best, best_ov = None, 0
         for j in (ci, ci + 1):
             if 0 <= j < len(starts):
@@ -188,7 +188,9 @@ def winner_record(
 
 def _inside_one_contig(start_loc: int, span: int, contig_bounds) -> bool:
     starts, ends = contig_bounds
-    ci = int(np.searchsorted(starts, start_loc, side="right")) - 1
+    # ndarray.searchsorted avoids the np.searchsorted dispatch overhead
+    # (this runs once per aligned read)
+    ci = int(starts.searchsorted(start_loc, side="right")) - 1
     return (
         0 <= ci < len(starts)
         and start_loc >= int(starts[ci])
@@ -271,8 +273,10 @@ class SingleEndAligner:
         return bases, quals, lens
 
     def _submit(self, batch: ReadBatch):
-        """Dispatch one batch to the device (async); returns handles."""
+        """Dispatch tier 1 (candidates + gapless) async; returns handles."""
         import jax.numpy as jnp
+
+        from .pipeline import align_tier1
 
         bases, quals, lens = self._pad(batch)
         if self.clip_front:
@@ -283,39 +287,38 @@ class SingleEndAligner:
             )
         else:
             front_clips = np.zeros(len(lens), dtype=np.int32)
-        out = align_single_device(
-            self.index.device,
-            jnp.asarray(bases),
-            jnp.asarray(quals),
-            jnp.asarray(lens),
+        dev_bases = jnp.asarray(bases)
+        dev_quals = jnp.asarray(quals)
+        t1 = align_tier1(
+            self.index.device, dev_bases, dev_quals, jnp.asarray(lens),
             self.params,
         )
-        return out, front_clips
+        return (t1, dev_bases, dev_quals), front_clips
 
     def align_batch(self, batch: ReadBatch):
         """Returns a list of per-read dicts ready for SAM emission."""
         out, front_clips = self._submit(batch)
         return self._finalize(batch, out, front_clips)
 
-    def _finalize(self, batch: ReadBatch, out, front_clips):
-        import jax
+    def _finalize(self, batch: ReadBatch, handles, front_clips):
+        (t1, dev_bases, dev_quals) = handles
+        merged = two_phase_merge(
+            self.index.device, t1, dev_bases, dev_quals, self.params
+        )
+        dist = merged["dist"]
+        logp = merged["log_prob"]
+        ag_score = merged["ag_score"]
+        end_loc = merged["end_loc"]
+        body_loc = merged["body_loc"]
+        cand_loc = merged["cand_loc"]
+        clip_before = merged["clip_before"]
+        clip_after = merged["clip_after"]
+        escalated = merged["escalated"]
+        direction = merged["direction"]
+        valid = merged["valid"]
+        len_eff = merged["len_eff"]
+        popular = merged["popular"]
 
-        # one batched async D2H transfer for all outputs (per-leaf
-        # np.asarray would pay the device round trip 13 times)
-        out = jax.device_get(out)
-        dist = np.asarray(out.dist)
-        logp = np.asarray(out.log_prob)
-        ag_score = np.asarray(out.ag_score)
-        end_loc = np.asarray(out.end_loc)
-        body_loc = np.asarray(out.body_loc)
-        cand_loc = np.asarray(out.cand_loc)
-        clip_before = np.asarray(out.clip_before)
-        clip_after = np.asarray(out.clip_after)
-        escalated = np.asarray(out.escalated)
-        direction = np.asarray(out.direction)
-        valid = np.asarray(out.valid)
-        len_eff = np.asarray(out.len_eff)
-        popular = np.asarray(out.popular)
 
         is_alt = cand_loc >= self.first_alt_start
         if self.max_dist_fraction > 0.0:
@@ -339,7 +342,7 @@ class SingleEndAligner:
             "clip_after": clip_after,
             "escalated": escalated,
             "body_loc": body_loc,
-            "indels": np.asarray(out.indels),
+            "indels": merged["indels"],
         }
         # vectorized batch finalization when no per-read extras are on
         batch_finalized = None
