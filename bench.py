@@ -34,7 +34,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     glen = 1_000_000  # representative bacterial-scale genome
     read_len = 100
-    batch = 1024
+    batch = 16384
 
     codes = rng.integers(0, 4, size=glen).astype(np.uint8)
     bases = np.full(glen + 2000, PAD, dtype=np.uint8)
@@ -57,7 +57,7 @@ def main() -> None:
         genome_bad=jnp.asarray(_bad),
     )
     params = AlignParams(
-        seed_len=24, max_probe=max(32, idx["max_probe"] + 1), num_seeds=14,
+        seed_len=24, max_probe=idx["max_probe"], num_seeds=14,
         hit_cap=8, max_cand=16,
     )
 

@@ -544,13 +544,17 @@ def _align_impl(
         gapless_logp = jnp.zeros((BK,), jnp.float32)
 
     if tier1_only:
+        # compact dtypes: tier-1 outputs cross device->host every batch,
+        # and the transport (HBM, PCIe, or a tunnel) charges per byte
         return Tier1Out(
-            cand_loc=cand_loc,
-            seed_off=cand_off,
-            direction=cand_dir,
+            cand_loc=cand_loc.astype(jnp.uint32),
+            seed_off=cand_off.astype(jnp.int16),
+            direction=cand_dir.astype(jnp.uint8),
             valid=cand_valid,
-            weight=cand_weight,
-            gapless_dist=gapless_dist.reshape(B, K),
+            weight=jnp.minimum(cand_weight, 255).astype(jnp.uint8),
+            gapless_dist=jnp.minimum(
+                gapless_dist.reshape(B, K), 1 << 14
+            ).astype(jnp.int16),
             gapless_logp=gapless_logp.reshape(B, K),
             len_eff=len_eff,
             popular=popular,
@@ -720,13 +724,13 @@ def two_phase_merge(
     from ..constants import max_k_for_same_alignment
 
     t1_np = jax.device_get(t1)
-    cand_loc = np.asarray(t1_np.cand_loc)
+    cand_loc = np.asarray(t1_np.cand_loc).astype(np.int64)
     B, K = cand_loc.shape
-    seed_off = np.asarray(t1_np.seed_off)
-    direction = np.asarray(t1_np.direction)
+    seed_off = np.asarray(t1_np.seed_off).astype(np.int32)
+    direction = np.asarray(t1_np.direction).astype(np.int32)
     valid = np.asarray(t1_np.valid)
-    weight = np.asarray(t1_np.weight)
-    gd = np.asarray(t1_np.gapless_dist)
+    weight = np.asarray(t1_np.weight).astype(np.int32)
+    gd = np.asarray(t1_np.gapless_dist).astype(np.int32)
     glp = np.asarray(t1_np.gapless_logp)
     len_eff = np.asarray(t1_np.len_eff)
     popular = np.asarray(t1_np.popular)

@@ -236,7 +236,7 @@ class SingleEndAligner:
     ):
         self.index = index
         self.params = params or AlignParams(
-            seed_len=index.seed_len, max_probe=max(32, index.max_probe + 1)
+            seed_len=index.seed_len, max_probe=index.max_probe
         )
         self.batch_size = batch_size
         self.max_read_len = max_read_len

@@ -141,7 +141,7 @@ def cmd_single(args: list[str]) -> int:
         )
     params = AlignParams(
         seed_len=index.seed_len,
-        max_probe=max(32, index.max_probe + 1),
+        max_probe=index.max_probe,
         **opts["overrides"],
     )
     aligner = SingleEndAligner(
@@ -404,7 +404,7 @@ def cmd_paired(args: list[str]) -> int:
     index = _load_index_cached(index_dir)
     params = AlignParams(
         seed_len=index.seed_len,
-        max_probe=max(32, index.max_probe + 1),
+        max_probe=index.max_probe,
         **opts["overrides"],
     )
     aligner = PairedEndAligner(

@@ -92,41 +92,40 @@ def extract_canonical_seeds(
     )
 
 
+BUCKET_SLOTS = 8  # slots per hash bucket; a probe gathers whole buckets
+
+
 def _build_hash_table(unique_keys: np.ndarray, load_factor: float = 0.5):
-    """Vectorized open-addressed insert: rounds of first-wins placement."""
+    """Bucketed placement: each key's home bucket is hash & mask; keys
+    overflow into following buckets (greedy fill). The lookup gathers
+    `max_probe` CONSECUTIVE buckets in one contiguous [N, span*8] gather
+    instead of a sequential probe loop — the TPU-friendly layout.
+
+    Returns (table_key_idx [capacity], capacity, span). capacity
+    includes span trailing spill buckets so slots never wrap.
+
+    The greedy fill is fully vectorized: with keys sorted by home
+    bucket, slot_k = max(slot_{k-1}+1, home_k*8) unrolls to
+    k + running_max(home_k*8 - k).
+    """
     u = len(unique_keys)
-    capacity = 1
-    while capacity < max(16, int(u / load_factor)):
-        capacity <<= 1
-    mask = np.uint64(capacity - 1)
+    n_buckets = 1
+    while n_buckets * BUCKET_SLOTS < max(16, int(u / load_factor)):
+        n_buckets <<= 1
+    mask = np.uint64(n_buckets - 1)
 
-    slot_of_key = np.full(u, -1, dtype=np.int64)
+    home = (murmur_finalize64(unique_keys) & mask).astype(np.int64)
+    order = np.argsort(home, kind="stable")
+    home_sorted = home[order]
+    k = np.arange(u, dtype=np.int64)
+    slots = k + np.maximum.accumulate(home_sorted * BUCKET_SLOTS - k)
+    span = (
+        int(np.max(slots // BUCKET_SLOTS - home_sorted)) + 1 if u else 1
+    )
+    capacity = (n_buckets + span) * BUCKET_SLOTS
     table_key_idx = np.full(capacity, -1, dtype=np.int64)
-
-    pending = np.arange(u, dtype=np.int64)
-    idx = (murmur_finalize64(unique_keys) & mask).astype(np.int64)
-    probe = 0
-    max_probe = 0
-    while len(pending):
-        cand = (idx[pending] + probe) & int(mask)
-        free = table_key_idx[cand] == -1
-        # among pending rows targeting the same free slot, first wins
-        order = np.argsort(cand[free], kind="stable")
-        cf = cand[free][order]
-        pf = pending[free][order]
-        first = np.ones(len(cf), dtype=bool)
-        first[1:] = cf[1:] != cf[:-1]
-        winners_slots = cf[first]
-        winners_keys = pf[first]
-        table_key_idx[winners_slots] = winners_keys
-        slot_of_key[winners_keys] = winners_slots
-        if len(winners_keys):
-            max_probe = probe
-        pending = pending[slot_of_key[pending] == -1]
-        probe += 1
-        if probe > capacity:
-            raise RuntimeError("hash table build failed to converge")
-    return table_key_idx, capacity, max_probe
+    table_key_idx[slots] = order
+    return table_key_idx, capacity, span
 
 
 def build_index(
@@ -268,7 +267,7 @@ def save_index(index: dict, genome: Genome, directory: str) -> None:
     with open(os.path.join(directory, "index_meta.json"), "w") as f:
         json.dump(
             {
-                "format_version": 1,
+                "format_version": 2,  # bucketed hash layout (BUCKET_SLOTS)
                 "seed_len": index["seed_len"],
                 "max_probe": index["max_probe"],
             },
@@ -279,6 +278,12 @@ def save_index(index: dict, genome: Genome, directory: str) -> None:
 def load_index_arrays(directory: str) -> dict:
     with open(os.path.join(directory, "index_meta.json")) as f:
         meta = json.load(f)
+    if meta.get("format_version", 1) != 2:
+        raise ValueError(
+            f"index at {directory} uses format version "
+            f"{meta.get('format_version', 1)}; this build reads version 2 "
+            "(bucketed hash layout) — please rebuild the index"
+        )
     arrs = np.load(os.path.join(directory, "index_arrays.npz"))
     return {
         "seed_len": meta["seed_len"],

@@ -71,36 +71,33 @@ def probe(
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Hash-probe a batch of canonical seed keys.
 
-    queries: [N] uint64. Returns (found [N] bool, start [N] int64,
-    n0 [N] int32, n1 [N] int32). Missing keys return counts of 0.
+    queries: [N] uint64. max_probe = the index's bucket span: a key
+    lives within `span` consecutive 8-slot buckets starting at its home
+    bucket (see build._build_hash_table), so lookup is ONE contiguous
+    [N, span*8] gather + a parallel compare — no sequential probe loop.
+
+    Returns (found [N] bool, start [N] int64, n0 [N] int32,
+    n1 [N] int32). Missing keys return counts of 0.
     """
+    from .build import BUCKET_SLOTS
+
+    span = max(1, max_probe)
     capacity = idx.table_keys.shape[0]
-    mask = jnp.int64(capacity - 1)
-    pos = (murmur_finalize64(queries) & mask.astype(jnp.uint64)).astype(jnp.int64)
-
-    found = jnp.zeros(queries.shape, dtype=bool)
-    dead = jnp.zeros(queries.shape, dtype=bool)  # hit an empty slot => absent
-    start = jnp.zeros(queries.shape, dtype=jnp.int64)
-    n0 = jnp.zeros(queries.shape, dtype=jnp.int32)
-    n1 = jnp.zeros(queries.shape, dtype=jnp.int32)
-
-    def body(_, state):
-        pos, found, dead, start, n0, n1 = state
-        k = idx.table_keys[pos]
-        live = ~(found | dead)
-        is_match = live & (k == queries)
-        is_empty = live & (k == EMPTY_KEY)
-        start = jnp.where(is_match, idx.table_start[pos], start)
-        n0 = jnp.where(is_match, idx.table_n0[pos], n0)
-        n1 = jnp.where(is_match, idx.table_n1[pos], n1)
-        found = found | is_match
-        dead = dead | is_empty
-        pos = jnp.where(found | dead, pos, (pos + 1) & mask)
-        return pos, found, dead, start, n0, n1
-
-    state = (pos, found, dead, start, n0, n1)
-    state = jax.lax.fori_loop(0, max_probe + 1, body, state)
-    _, found, _, start, n0, n1 = state
+    n_buckets = capacity // BUCKET_SLOTS - span
+    mask = jnp.uint64(n_buckets - 1)
+    home = (murmur_finalize64(queries) & mask).astype(jnp.int64)
+    width = span * BUCKET_SLOTS
+    slots = home[:, None] * BUCKET_SLOTS + jnp.arange(
+        width, dtype=jnp.int64
+    )[None, :]
+    keys = idx.table_keys[slots]                      # [N, width]
+    hit = keys == queries[:, None]
+    found = hit.any(axis=1)
+    slot_in = jnp.argmax(hit, axis=1).astype(jnp.int64)
+    slot = jnp.where(found, home * BUCKET_SLOTS + slot_in, 0)
+    start = jnp.where(found, idx.table_start[slot], 0)
+    n0 = jnp.where(found, idx.table_n0[slot], 0)
+    n1 = jnp.where(found, idx.table_n1[slot], 0)
     return found, start, n0, n1
 
 

@@ -63,7 +63,7 @@ def _align_one(idx, read_codes):
     lens = np.full(B, L, dtype=np.int32)
     bases[0] = read_codes
     params = AlignParams(
-        seed_len=idx.seed_len, max_probe=max(32, idx.max_probe + 1),
+        seed_len=idx.seed_len, max_probe=idx.max_probe,
         num_seeds=14, hit_cap=8, max_cand=16,
     )
     out = align_single_device(

@@ -51,7 +51,7 @@ def test_sharded_matches_single():
 
     params = AlignParams(
         seed_len=seed_len,
-        max_probe=max(32, single["max_probe"], sharded["max_probe"]) + 1,
+        max_probe=max(single["max_probe"], sharded["max_probe"]),
         num_seeds=9, hit_cap=8, max_cand=8,
     )
 

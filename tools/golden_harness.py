@@ -263,7 +263,7 @@ def main():
         from snap_tpu.constants import DEFAULT_NUM_SEEDS_PAIRED
 
         params = AlignParams(
-            seed_len=args.seed_len, max_probe=max(32, index.max_probe + 1),
+            seed_len=args.seed_len, max_probe=index.max_probe,
         )
         aligner = PairedEndAligner(
             index, params, batch_size=args.batch, max_read_len=L
@@ -275,7 +275,7 @@ def main():
         from snap_tpu.align.single import SingleEndAligner
 
         params = AlignParams(
-            seed_len=args.seed_len, max_probe=max(32, index.max_probe + 1)
+            seed_len=args.seed_len, max_probe=index.max_probe
         )
         aligner = SingleEndAligner(
             index, params, batch_size=args.batch, max_read_len=L
