@@ -58,6 +58,7 @@ class PairedEndAligner:
     ignore_mismatched_ids: bool = False
     force_spacing: bool = False              # -fs
     infer_spacing: bool = False              # -ins
+    internal_score_tag: str | None = None    # -is
     infer_spacing_batch: int = 256 * 1024    # DEFAULT_BATCH_SIZE_IS_ESTIMATION
     stats: AlignerStats = field(default_factory=AlignerStats)
 
@@ -319,9 +320,21 @@ class PairedEndAligner:
                         tlen = _template_length(
                             r, mate, pos, mpos
                         )
+            from ..io.output import quality_sum
+
+            mate_batch = b1 if which == 0 else b0
+            mate_qual = mate_batch.quals[i, : int(mate_batch.lengths[i])]
+            # QS:i: = mate's Picard-style quality sum, the input to the
+            # streaming duplicate marker (SAM.cpp:1826-1837); LB already
+            # rides in the @RG attribute block
+            extra = [f"QS:i:{quality_sum(bytes(mate_qual))}"]
+            if self.internal_score_tag:
+                sc = r.get("dist", -1) if my_located is not None else -1
+                extra.insert(0, f"{self.internal_score_tag}:i:{sc}")
             writer.write_record(
                 batch.ids[i], flag, rname, pos, mapq, cigar, seq, qual,
                 nm=nm, rnext=rnext, pnext=pnext, tlen=tlen,
+                extra_tags=extra,
             )
 
         # ALT supplementary pair (-ea): both ends at the best ALT pair

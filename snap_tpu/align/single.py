@@ -233,6 +233,7 @@ class SingleEndAligner:
         max_secondary_per_contig: int = -1,    # -mpc
         clip_front: bool = False,              # -C x- / -C xx
         max_dist_fraction: float = 0.0,        # -dp (long reads)
+        internal_score_tag: str | None = None, # -is
     ):
         self.index = index
         self.params = params or AlignParams(
@@ -254,6 +255,7 @@ class SingleEndAligner:
         self.max_secondary_per_contig = max_secondary_per_contig
         self.clip_front = clip_front
         self.max_dist_fraction = max_dist_fraction
+        self.internal_score_tag = internal_score_tag
         cs = sorted(index.genome_meta.contigs, key=lambda c: c.start)
         self.contig_bounds = (
             np.array([c.start for c in cs], dtype=np.int64),
@@ -507,9 +509,14 @@ class SingleEndAligner:
         self.stats.mapq_histogram[min(70, mapq)] += 1
         if pass_filter(self.filter_flags, res["status"]):
             flag = FLAG_RC if res["direction"] else 0
+            extra = (
+                [f"{self.internal_score_tag}:i:{res['dist']}"]
+                if self.internal_score_tag
+                else ()
+            )
             writer.write_record(
                 qname, flag, rname, pos, mapq, res["cigar"], seq, qual,
-                nm=res["nm"],
+                nm=res["nm"], extra_tags=extra,
             )
         else:
             self.stats.filtered += 1

@@ -155,6 +155,7 @@ def cmd_single(args: list[str]) -> int:
         max_secondary_per_contig=opts["mpc"],
         clip_front=opts["clip_front"],
         max_dist_fraction=opts["dp"],
+        internal_score_tag=opts["is_tag"],
     )
 
     def run_all(writer):
@@ -181,7 +182,8 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         "profile": False, "perf_file": None, "read_group": None,
         "force_spacing": False, "infer_spacing": False, "pfc": False,
         "seed_coverage": 0.0, "dp": 0.0, "clip_front": False,
-        "clip_back": True,
+        "clip_back": True, "sort_memory_mb": None, "sort_tmp_dir": None,
+        "is_tag": None,
     }
     # Performance knobs whose concerns don't exist in this design
     # (mmap/prefetch/huge pages/processor binding/write buffers are
@@ -189,7 +191,7 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
     noop_flags = {"-map", "-map-", "-pre", "-pre-", "-hp", "-b-", "-P",
                   "-di", "-kts", "-lp", "-sa", "-nu", "-no", "-nt", "-ne",
                   "-nb", "-B"}
-    noop_with_arg = {"-wbs", "-sid", "-sm", "-ms", "-mcp", "-xf", "-hdp"}
+    noop_with_arg = {"-wbs", "-ms", "-mcp", "-xf", "-hdp"}
     i = 0
     while i < len(rest):
         a = rest[i]
@@ -262,6 +264,14 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
                         attrs.append((k, v))
                 o["read_group"] = ReadGroup(rg_id=rg_id, attrs=tuple(attrs))
             i += 2
+        elif a == "-is":
+            o["is_tag"] = rest[i + 1]; i += 2
+        elif a == "-sm":
+            # sort memory budget in GB (AlignerOptions.h:119): beyond it
+            # sorted blocks spill to temp files and merge at close
+            o["sort_memory_mb"] = int(float(rest[i + 1]) * 1024); i += 2
+        elif a == "-sid":
+            o["sort_tmp_dir"] = rest[i + 1]; i += 2
         elif a == "-pro":
             o["profile"] = True; i += 1
         elif a == "-pf":
@@ -358,6 +368,8 @@ def _run_with_writer(index, command_line: str, opts: dict, run) -> int:
             command_line=command_line,
             read_group=opts["read_group"],
             preserve_fastq_comments=opts["pfc"],
+            sort_memory_mb=opts["sort_memory_mb"],
+            sort_tmp_dir=opts["sort_tmp_dir"],
             bam=bam,
             sort=opts["sort"],
             mark_duplicates=(opts["sort"] and not opts["no_dup"]),
@@ -417,6 +429,7 @@ def cmd_paired(args: list[str]) -> int:
         ignore_mismatched_ids=opts["ignore_ids"],
         force_spacing=opts["force_spacing"],
         infer_spacing=opts["infer_spacing"],
+        internal_score_tag=opts["is_tag"],
     )
     return _run_with_writer(
         index, "paired " + " ".join(args), opts,

@@ -46,6 +46,7 @@ class OutRecord:
     qual: bytes
     nm: int | None
     comment: bytes = b""  # FASTQ comment, emitted under -pfc
+    extra_tags: tuple = ()  # -is / AT:i: / QS:i: / LB:Z: etc.
 
 
 def _clips(cigar: str) -> tuple[int, int]:
@@ -86,6 +87,8 @@ class OutputWriter:
         program_id: str = "SNAP",
         program_version: str = "2.0.5-tpu",
         preserve_fastq_comments: bool = False,
+        sort_memory_mb: int | None = None,
+        sort_tmp_dir: str | None = None,
     ):
         self.out = out
         self.genome = genome
@@ -99,6 +102,14 @@ class OutputWriter:
         self.program_id = program_id
         self.program_version = program_version
         self.preserve_fastq_comments = preserve_fastq_comments
+        # -sm: spill-to-disk external sort (SortedDataWriter.cpp's
+        # SortBlock temp file + merge design). None = fully in-memory.
+        self.sort_memory_mb = sort_memory_mb
+        self.sort_tmp_dir = sort_tmp_dir
+        self._spill_files: list = []
+        self._approx_bytes = 0
+        self._ordinal = 0
+        self._dup_sigs: list = []  # per-record (hash128-hi, lo, qualsum, ordinal)
         self._records: list[OutRecord] = []
         self._stream_sam = not (bam or sort)
         self._contig_order = {
@@ -144,7 +155,7 @@ class OutputWriter:
     # -- records --------------------------------------------------------
     def write_record(
         self, qname, flag, rname, pos, mapq, cigar, seq, qual, nm,
-        rnext="*", pnext=0, tlen=0,
+        rnext="*", pnext=0, tlen=0, extra_tags=(),
     ) -> None:
         # QNAME truncates at the first space (SAM.cpp:1750-1753); the
         # remainder is the FASTQ comment, kept under -pfc
@@ -158,21 +169,115 @@ class OutputWriter:
             qname=parts[0] if parts else qname, flag=flag, rname=rname,
             pos=pos, mapq=mapq, cigar=cigar, rnext=rnext, pnext=pnext,
             tlen=tlen, seq=seq, qual=qual, nm=nm, comment=comment,
+            extra_tags=tuple(extra_tags),
         )
         if self._stream_sam:
             self.out.write(self._format_sam(rec))
-        else:
-            self._records.append(rec)
+            return
+        self._records.append(rec)
+        if self.sort_memory_mb is not None and self.sort:
+            self._approx_bytes += (
+                64 + len(rec.qname) + 2 * len(rec.seq) + len(rec.cigar)
+            )
+            if self._approx_bytes >= self.sort_memory_mb * (1 << 20):
+                self._spill_block()
+
+    # -- external sort spill (the SortBlock/mergeSort pipeline,
+    #    SortedDataWriter.cpp:98-196,942-1235) ------------------------------
+    def _record_dup_sig(self, rec: OutRecord, ordinal: int) -> None:
+        """Compact duplicate signature so spilled dup marking doesn't
+        need all records in memory: 128-bit key hash + quality sum."""
+        import hashlib
+
+        key = self._dup_key(rec)
+        if key is None:
+            return
+        h = hashlib.blake2b(repr(key).encode(), digest_size=16).digest()
+        self._dup_sigs.append((
+            int.from_bytes(h[:8], "little"),
+            int.from_bytes(h[8:], "little"),
+            quality_sum(rec.qual),
+            ordinal,
+        ))
+
+    def _spill_block(self) -> None:
+        import pickle
+        import tempfile
+
+        recs = self._records
+        self._records = []
+        self._approx_bytes = 0
+        if self.mark_duplicates:
+            base = self._ordinal
+            for local_i, rec in enumerate(recs):
+                self._record_dup_sig(rec, base + local_i)
+        tagged = sorted(
+            ((self._sort_key(r), self._ordinal + i, r)
+             for i, r in enumerate(recs)),
+            key=lambda t: t[0],
+        )
+        self._ordinal += len(recs)
+        f = tempfile.TemporaryFile(dir=self.sort_tmp_dir)
+        for item in tagged:  # one object per record so merge can stream
+            pickle.dump(item, f, protocol=pickle.HIGHEST_PROTOCOL)
+        f.flush()
+        f.seek(0)
+        self._spill_files.append(f)
+
+    @staticmethod
+    def _iter_spill(f):
+        import pickle
+
+        while True:
+            try:
+                yield pickle.load(f)
+            except EOFError:
+                f.close()
+                return
+
+    def _dup_key(self, rec: OutRecord):
+        """The DuplicateReadKey / DuplicateFragmentKey (Bam.cpp:2398-2468)."""
+        if rec.flag & FLAG_UNMAPPED or rec.rname == "*":
+            return None
+        if rec.flag & 0x100 or rec.flag & 0x800:
+            return None
+        self_5p = unclipped_5prime(rec)
+        if rec.flag & 0x1 and rec.rnext != "*" and not rec.flag & 0x8:
+            mate_rname = rec.rname if rec.rnext == "=" else rec.rnext
+            a = (rec.rname, self_5p, bool(rec.flag & FLAG_RC))
+            b = (mate_rname, rec.pnext, bool(rec.flag & 0x20))
+            return ("P",) + (a + b if a <= b else b + a)
+        return ("F", rec.rname, self_5p, bool(rec.flag & FLAG_RC))
+
+    def _spilled_dup_ordinals(self) -> np.ndarray:
+        """Ordinals to flag 0x400, from the compact signatures.
+
+        Sort so each duplicate-key group's best member (highest quality
+        sum, then lowest ordinal — the DuplicateMateInfo rule) comes
+        first; every later member of the group is a duplicate.
+        """
+        if not self._dup_sigs:
+            return np.empty(0, dtype=np.int64)
+        sig = np.array(self._dup_sigs, dtype=np.uint64)
+        inv_qs = np.uint64(0xFFFFFFFFFFFFFFFF) - sig[:, 2]
+        order = np.lexsort((sig[:, 3], inv_qs, sig[:, 1], sig[:, 0]))
+        s = sig[order]
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = (s[1:, 0] != s[:-1, 0]) | (s[1:, 1] != s[:-1, 1])
+        return np.sort(s[~first][:, 3].astype(np.int64))
 
     def _tags(self, rec: OutRecord, bam: bool = False) -> list[str]:
         rg = [f"RG:Z:{self.read_group.rg_id}"]
         rg += [f"{k}:Z:{v}" for k, v in self.read_group.attrs]
         pg = f"PG:Z:{self.program_id}"
         nm = f"NM:i:{-1 if rec.nm is None else rec.nm}"
+        extra = list(rec.extra_tags)
         if bam:
             # the reference's BAM records order tags RG-block, PG, NM
-            return rg + [pg, nm]
-        return [pg, nm] + rg
+            return rg + [pg, nm] + extra
+        # tag order: PG, NM, RG block, then the optional tail tags
+        # (internal score, AT:i:, QS:i:, LB:Z:; SAM.cpp:1854-1875)
+        return [pg, nm] + rg + extra
 
     def _oriented(self, rec: OutRecord) -> tuple[bytes, bytes]:
         seq, qual = rec.seq, rec.qual
@@ -232,17 +337,48 @@ class OutputWriter:
     def close(self) -> None:
         if self._stream_sam:
             return
+        if self._spill_files:
+            # external merge: stream every sorted block + dup marking by
+            # precomputed ordinal (SortedDataWriter's merge phase)
+            import heapq
+
+            if self._records:
+                self._spill_block()
+            dup_ords = (
+                self._spilled_dup_ordinals()
+                if self.mark_duplicates
+                else np.empty(0, dtype=np.int64)
+            )
+            merged = heapq.merge(
+                *[self._iter_spill(f) for f in self._spill_files],
+                key=lambda t: t[0],
+            )
+
+            def stream():
+                for _key, ordinal, rec in merged:
+                    if dup_ords.size:
+                        j = int(np.searchsorted(dup_ords, ordinal))
+                        if j < dup_ords.size and dup_ords[j] == ordinal:
+                            rec.flag |= FLAG_DUPLICATE
+                    yield rec
+
+            self._emit_all(stream())
+            self._spill_files = []
+            return
         if self.sort:
             self._records.sort(key=self._sort_key)
             if self.mark_duplicates:
                 self._mark_dups()
+        self._emit_all(self._records)
+
+    def _emit_all(self, records) -> None:
         if self.bam:
             bw = BamWriter(
                 self.out, self.genome, self.header_text(),
                 build_index=self.build_bai,
             )
             ref_ids = bw.ref_ids
-            for rec in self._records:
+            for rec in records:
                 seq, qual = self._oriented(rec)
                 rid = ref_ids.get(rec.rname, -1)
                 nrid = (
@@ -258,5 +394,5 @@ class OutputWriter:
             bw.close(self.bai_path)
         else:
             self.out.write(self.header_text().encode())
-            for rec in self._records:
+            for rec in records:
                 self.out.write(self._format_sam(rec))

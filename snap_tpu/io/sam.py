@@ -116,6 +116,7 @@ class SamWriter:
         rnext: str = "*",
         pnext: int = 0,
         tlen: int = 0,
+        extra_tags=(),
     ) -> None:
         qname = qname.split()[0]
         if flag & FLAG_RC and not flag & FLAG_UNMAPPED:
@@ -125,6 +126,7 @@ class SamWriter:
         # unmapped reads carry NM:i:-1 in the reference's output
         tags.append(f"NM:i:{-1 if nm is None else nm}")
         tags.append(self.read_group.record_tags())
+        tags.extend(extra_tags)
         line = (
             qname
             + f"\t{flag}\t{rname}\t{pos}\t{mapq}\t{cigar}\t{rnext}\t{pnext}\t{tlen}\t".encode()
