@@ -206,7 +206,14 @@ def _score_rows(
     cols = jnp.arange(W, dtype=jnp.int64)[None, :]
     text = gather_genome(win_start[:, None] + cols)
 
-    res = fitting_edit_distance(s_pat, s_logq, s_plen, text)
+    if jax.default_backend() == "tpu":
+        # Pallas kernel: whole DP resident in VMEM (the jnp fallback
+        # round-trips state through HBM per pattern row)
+        from ..ops.dp_pallas import fitting_edit_distance_pallas
+
+        res = fitting_edit_distance_pallas(s_pat, s_logq, s_plen, text)
+    else:
+        res = fitting_edit_distance(s_pat, s_logq, s_plen, text)
     s_lv_dist = res.dist
     s_lv_logp = res.log_prob
     s_end = win_start + res.end_col.astype(jnp.int64)
