@@ -395,8 +395,19 @@ def _align_impl(
         f_n = jnp.where(found & ~pop_f, f_n, 0)
         r_n = jnp.where(found & ~pop_r, r_n, 0)
 
+    # Stage barriers: without them XLA fuses the cheap index math into
+    # several expensive consumers and recomputes the [B*S, H] expansions
+    # repeatedly — the monolithic graph measured 2x slower than the same
+    # stages compiled separately.
+    f_start, f_n, r_start, r_n = jax.lax.optimization_barrier(
+        (f_start, f_n, r_start, r_n)
+    )
+
     f_locs, f_valid = gather_hits(didx.hits, f_start, f_n, H)  # [B*S, H]
     r_locs, r_valid = gather_hits(didx.hits, r_start, r_n, H)
+    f_locs, f_valid, r_locs, r_valid = jax.lax.optimization_barrier(
+        (f_locs, f_valid, r_locs, r_valid)
+    )
 
     # ---- candidate locations ----
     off_flat = offsets.reshape(-1, 1).astype(jnp.int64)
@@ -458,6 +469,11 @@ def _align_impl(
         off_of_probe,
     ).astype(jnp.int32)
     cand_off = jnp.where(cand_valid, jnp.maximum(cand_off, 0), 0)
+    cand_loc, cand_off, cand_dir, cand_valid, cand_weight = (
+        jax.lax.optimization_barrier(
+            (cand_loc, cand_off, cand_dir, cand_valid, cand_weight)
+        )
+    )
 
     # =====================================================================
     # Scoring. Two tiers, like SNAP's own split between the 64-bit XOR
@@ -488,10 +504,14 @@ def _align_impl(
     pat = jnp.where(
         (flat_dir == 1)[:, None], rc_bases[read_ix], bases[read_ix]
     )
-    patq = jnp.where(
-        (flat_dir == 1)[:, None], rc_quals[read_ix], quals[read_ix]
+    # phred->log-error lookup per READ ([B, L] element gathers), then a
+    # row gather to candidates: the naive logq_table[patq] is a [B*K, L]
+    # random-element gather and dominated the whole tier-1 step
+    logq_f = logq_table[quals.astype(jnp.int64)].astype(jnp.float32)
+    logq_r = logq_table[rc_quals.astype(jnp.int64)].astype(jnp.float32)
+    pat_logq = jnp.where(
+        (flat_dir == 1)[:, None], logq_r[read_ix], logq_f[read_ix]
     )
-    pat_logq = logq_table[patq.astype(jnp.int64)].astype(jnp.float32)
     plen = len_eff[read_ix]
     flat_loc = cand_loc.reshape(-1)           # [BK]
     flat_off = cand_off.reshape(-1)
@@ -508,10 +528,24 @@ def _align_impl(
             jnp.clip(w0[:, None] + jnp.arange(WW, dtype=jnp.int64)[None, :],
                      0, didx.genome_packed.shape[0] - 1)
         ]  # [BK, WW] uint32
+
+        def align_words(w, ph, lane_bits):
+            # funnel-shift adjacent words by the per-row phase so lane 0
+            # holds the candidate's first base — one variable-shift pass
+            # instead of nphases shifted jnp.where selects over [BK, L]
+            sh = (lane_bits * ph).astype(jnp.uint32)[:, None]
+            lo = w[:, :-1] >> sh
+            hi = jnp.where(
+                sh == 0, np.uint32(0), w[:, 1:] << (np.uint32(32) - sh)
+            )
+            return lo | hi  # [BK, W-1]
+
+        aligned = align_words(words, phase, 2)
         lanes = (
-            words[:, :, None] >> (2 * jnp.arange(16, dtype=jnp.uint32))
+            aligned[:, :, None] >> (2 * jnp.arange(16, dtype=jnp.uint32))
         ) & np.uint32(3)
-        codes16 = lanes.reshape(BK, WW * 16).astype(jnp.uint8)
+        text_g = lanes.reshape(BK, (WW - 1) * 16)[:, :L].astype(jnp.uint8)
+
         b0w = loc_c // 32
         bphase = (loc_c % 32).astype(jnp.int32)
         BW = L // 32 + 2
@@ -519,21 +553,13 @@ def _align_impl(
             jnp.clip(b0w[:, None] + jnp.arange(BW, dtype=jnp.int64)[None, :],
                      0, didx.genome_bad.shape[0] - 1)
         ]
+        baligned = align_words(bwords, bphase, 1)
         badlanes = (
-            bwords[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)
+            baligned[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)
         ) & np.uint32(1)
-        bad32 = badlanes.reshape(BK, BW * 32)
-
-        def select_phase(arr, ph, nphases):
-            out = jnp.zeros((BK, L), dtype=arr.dtype)
-            for s in range(nphases):
-                out = jnp.where(
-                    (ph == s)[:, None], arr[:, s : s + L], out
-                )
-            return out
-
-        text_g = select_phase(codes16, phase, 16)
-        text_bad = select_phase(bad32, bphase, 32).astype(bool)
+        text_bad = (
+            badlanes.reshape(BK, (BW - 1) * 32)[:, :L].astype(bool)
+        )
         jl = jnp.arange(L, dtype=jnp.int32)[None, :]
         in_read = jl < plen[:, None]
         in_genome = (flat_loc[:, None] + jl) < G
