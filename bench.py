@@ -72,22 +72,30 @@ def main() -> None:
     q = jnp.asarray(quals)
     l = jnp.asarray(lens)
 
-    # Measure the production two-phase path: tier-1 wavefront
-    # (candidates + gapless prescreen) plus the host-triggered DP tier
-    # on whatever subset actually needs gaps. Timing materializes every
-    # output on the host (device_get): the axon plugin's
+    # Measure the production fast path: the full align wavefront
+    # (candidates, gapless prescreen, device-gated DP tier, device
+    # winner selection + MAPQ) with only the compact per-read winners
+    # crossing device->host. Timing materializes the winners on the
+    # host every iteration (device_get): the axon plugin's
     # block_until_ready can return before execution completes, so
     # dispatch-only loops would look absurdly fast.
-    from snap_tpu.align.pipeline import align_tier1, two_phase_merge
+    from snap_tpu.align.pipeline import align_winners_device
 
-    t1 = align_tier1(didx, b, q, l, params)
-    two_phase_merge(didx, t1, b, q, params)  # compile both phases
+    fas = jnp.int64(bases.shape[0])  # no ALT contigs
+    win, _out = align_winners_device(didx, b, q, l, fas, params)
+    jax.device_get(win)  # compile + settle
 
+    # Pipelined like the production align_file loop: batch i+1 is
+    # dispatched before batch i's winners transfer, so device compute
+    # overlaps the device->host hop.
     n_iters = 8
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        t1 = align_tier1(didx, b, q, l, params)
-        two_phase_merge(didx, t1, b, q, params)
+    win_next, _ = align_winners_device(didx, b, q, l, fas, params)
+    for _ in range(n_iters - 1):
+        win_cur = win_next
+        win_next, _ = align_winners_device(didx, b, q, l, fas, params)
+        jax.device_get(win_cur)
+    jax.device_get(win_next)
     dt = time.perf_counter() - t0
 
     reads_per_sec = batch * n_iters / dt

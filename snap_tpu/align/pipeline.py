@@ -191,9 +191,14 @@ def _score_rows(
         AG_END_BONUS_5,
         max_k_for_same_alignment,
     )
-    from ..ops.affine import affine_extend
     from ..ops.dp import LOG_PERFECT
 
+    if jax.default_backend() == "tpu":
+        from ..ops.affine_pallas import (
+            affine_extend_pallas as affine_extend,
+        )
+    else:
+        from ..ops.affine import affine_extend
 
     def gather_genome(pos):
         inb = (pos >= 0) & (pos < didx.genome.shape[0])
@@ -330,6 +335,8 @@ def _align_impl(
     lens: jax.Array,    # [B] int32
     params: AlignParams,
     tier1_only: bool = False,
+    dp_rows: int | None = None,
+    return_needs: bool = False,
 ):
     B, L = bases.shape
     S = params.num_lookups
@@ -622,7 +629,11 @@ def _align_impl(
         kpos = jnp.arange(K, dtype=jnp.int32)[None, :]
         promote = (read_needs & (kpos < 2)).reshape(-1)
         needs_dp = needs_dp & ((flat_weight >= 2) | promote)
-        M = max(BK // 8, min(BK, 64))
+        M = (
+            min(dp_rows, BK)
+            if dp_rows is not None
+            else max(BK // 8, min(BK, 64))
+        )
         # overflow priority: promoted top-2 first, then by weight
         sel_key = jnp.where(
             needs_dp, flat_weight + jnp.where(promote, 1 << 20, 0), 0
@@ -659,7 +670,7 @@ def _align_impl(
     clip_a = scatter(jnp.zeros((BK,), jnp.int32), s_clip_a)
     indels = scatter(jnp.zeros((BK,), jnp.int32), s_indels)
 
-    return SingleAlignOut(
+    out = SingleAlignOut(
         dist=dist.reshape(B, K),
         indels=indels.reshape(B, K),
         log_prob=log_prob.reshape(B, K),
@@ -677,6 +688,9 @@ def _align_impl(
         popular=popular,
         n_lookups=seed_ok.sum(axis=1).astype(jnp.int32),
     )
+    if return_needs:
+        return out, needs_dp.sum().astype(jnp.int32)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -828,3 +842,247 @@ def two_phase_merge(
         merged["clip_after"][rows, cols] = np.asarray(sub.clip_after)[:n]
         merged["valid"][rows, cols] = np.asarray(sub.valid)[:n]
     return merged
+
+
+# =====================================================================
+# Device-side finalization (winner selection + MAPQ on device)
+#
+# The two-phase host path transfers every [B, K] candidate field over
+# the device->host link and finalizes in numpy (post.finalize_batch).
+# On a tunneled / PCIe-attached chip that transfer dominates the whole
+# step, so this path replicates the ScoreSet semantics
+# (BaseAligner.h:260-329, bin merge BaseAligner.cpp:1353-1443, mapq.h:
+# 32-68) in the jitted graph and ships only compact per-read winners.
+# Reads needing the exact sequential nearby-bin merge are flagged and
+# re-finalized on the host from device-resident candidate rows.
+# =====================================================================
+
+
+class WinnerOut(NamedTuple):
+    """Compact per-read winner, sized for the device->host hop."""
+
+    found: jax.Array        # [B] bool any surviving candidate
+    fallback: jax.Array     # [B] bool needs exact host finalize_read
+    cand_k: jax.Array       # [B] int32 winner's candidate slot
+    direction: jax.Array    # [B] uint8
+    dist: jax.Array         # [B] int16
+    mapq: jax.Array         # [B] uint8
+    end_loc: jax.Array      # [B] uint32
+    body_loc: jax.Array     # [B] uint32
+    clip_before: jax.Array  # [B] int16
+    clip_after: jax.Array   # [B] int16
+    escalated: jax.Array    # [B] bool
+    indels: jax.Array       # [B] int32
+    len_eff: jax.Array      # [B] int16
+    popular: jax.Array      # [B] int16
+    valid_count: jax.Array  # [B] int16 (stats: lvCalls analogue)
+    esc_count: jax.Array    # [B] int16 (stats: affineGapCalls analogue)
+    dp_overflow: jax.Array  # [] bool: DP tier truncated, redo via host path
+
+
+def _device_finalize(
+    out: SingleAlignOut,
+    first_alt_start,
+    alt_awareness: bool,
+    max_score_gap: int,
+    use_affine_gap: bool,
+    needs_total: jax.Array,
+    dp_rows: int,
+) -> WinnerOut:
+    from ..constants import MAPQ_MAX, MAX_MERGE_DIST
+
+    d = out.dist.astype(jnp.int64)
+    lp = out.log_prob.astype(jnp.float32)
+    ag = out.ag_score.astype(jnp.int64)
+    e = out.end_loc.astype(jnp.int64)
+    cl = out.cand_loc.astype(jnp.int64)
+    dr = out.direction.astype(jnp.int32)
+    v = out.valid
+    B, K = d.shape
+    alt = cl >= jnp.int64(first_alt_start)
+    bins = cl // np.int64(MAX_MERGE_DIST)
+    dr_k = jnp.where(v, dr, jnp.int32(9))
+    karr = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))
+
+    # host parity: np.lexsort((cl, -probs, d, bins, dr_k, rows)) ==
+    # per-row stable sort by (dr_k, bins, d, -lp, cl) — exp is monotone
+    (dr_s, bins_s, d_s, _neglp, cl_s, k_s, lp_s, ag_s, e_s, alt_s,
+     v_s) = jax.lax.sort(
+        (dr_k, bins, d, -lp, cl, karr, lp, ag, e, alt, v),
+        dimension=1, num_keys=5, is_stable=True,
+    )
+
+    first = jnp.concatenate(
+        [
+            jnp.ones((B, 1), bool),
+            (dr_s[:, 1:] != dr_s[:, :-1]) | (bins_s[:, 1:] != bins_s[:, :-1]),
+        ],
+        axis=1,
+    )
+    reps = first & v_s
+
+    # nearby-element merge detection (BaseAligner.cpp:1396-1435): any
+    # two consecutive reps in the same direction within 48bp where the
+    # better score < 2 => the read takes the exact host path
+    pos = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))
+    repos = jnp.where(reps, pos, jnp.int32(-1))
+    prev_incl = jax.lax.associative_scan(jnp.maximum, repos, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), prev_incl[:, :-1]], axis=1
+    )
+    prev_c = jnp.clip(prev, 0, K - 1).astype(jnp.int64)
+    near = (
+        reps
+        & (prev >= 0)
+        & (jnp.take_along_axis(dr_s, prev_c, axis=1) == dr_s)
+        & (
+            jnp.abs(cl_s - jnp.take_along_axis(cl_s, prev_c, axis=1))
+            <= MAX_MERGE_DIST
+        )
+        & (
+            jnp.minimum(jnp.take_along_axis(d_s, prev_c, axis=1), d_s)
+            < 2
+        )
+    )
+    fallback = near.any(axis=1)
+
+    probs = jnp.where(reps, jnp.exp(lp_s.astype(jnp.float64)), 0.0)
+    p_all = probs.sum(axis=1)
+
+    sel_key = -ag_s if use_affine_gap else d_s
+
+    def best_fields(active):
+        # host parity: np.lexsort((e, -prob, key, row)) over reps, ties
+        # by position in the first sort (lax.sort is stable)
+        gate = jnp.where(active, jnp.int32(0), jnp.int32(1))
+        srt = jax.lax.sort(
+            (gate, sel_key, -lp_s, e_s, k_s, d_s, lp_s, e_s, cl_s, dr_s),
+            dimension=1, num_keys=4, is_stable=True,
+        )
+        # slot 0 = best among active (gate 0 sorts first)
+        return {
+            "k": srt[4][:, 0],
+            "d": srt[5][:, 0],
+            "lp": srt[6][:, 0],
+            "e": srt[7][:, 0],
+            "cl": srt[8][:, 0],
+            "dr": srt[9][:, 0],
+        }
+
+    best_all = best_fields(reps)
+    found = reps.any(axis=1)
+
+    if alt_awareness:
+        na = reps & ~alt_s
+        best_na = best_fields(na)
+        exists_na = na.any(axis=1)
+        p_all_na = jnp.where(na, probs, 0.0).sum(axis=1)
+        use_na = exists_na & (
+            best_na["d"] <= best_all["d"] + jnp.int64(max_score_gap)
+        )
+        chosen = {
+            key: jnp.where(use_na, best_na[key], best_all[key])
+            for key in best_all
+        }
+        chosen_pall = jnp.where(use_na, p_all_na, p_all)
+    else:
+        chosen = best_all
+        chosen_pall = p_all
+
+    p_best = jnp.exp(chosen["lp"].astype(jnp.float64))
+    p_all_c = jnp.maximum(chosen_pall, p_best)
+    ratio = jnp.where(p_all_c > 0, p_best / jnp.maximum(p_all_c, 1e-300), 0.0)
+    base = jnp.where(
+        ratio >= 1.0,
+        jnp.int64(MAPQ_MAX),
+        jnp.minimum(
+            jnp.int64(MAPQ_MAX),
+            (-10.0 * jnp.log10(jnp.maximum(1.0 - ratio, 1e-300))).astype(
+                jnp.int64
+            ),
+        ),
+    )
+    base = jnp.where(p_best <= 0.0, 0, base)
+    popular = out.popular.astype(jnp.int64)
+    mapq = jnp.maximum(
+        0, base - jnp.maximum(0, popular - 10) // 2
+    )
+
+    wk = chosen["k"].astype(jnp.int64)[:, None]
+
+    def at_w(a):
+        return jnp.take_along_axis(a, wk, axis=1)[:, 0]
+
+    return WinnerOut(
+        found=found,
+        fallback=fallback,
+        cand_k=chosen["k"].astype(jnp.int32),
+        direction=chosen["dr"].astype(jnp.uint8),
+        dist=chosen["d"].astype(jnp.int16),
+        mapq=mapq.astype(jnp.uint8),
+        end_loc=chosen["e"].astype(jnp.uint32),
+        body_loc=at_w(out.body_loc).astype(jnp.uint32),
+        clip_before=at_w(out.clip_before).astype(jnp.int16),
+        clip_after=at_w(out.clip_after).astype(jnp.int16),
+        escalated=at_w(out.escalated),
+        indels=at_w(out.indels).astype(jnp.int32),
+        len_eff=out.len_eff.astype(jnp.int16),
+        popular=out.popular.astype(jnp.int16),
+        valid_count=out.valid.sum(axis=1).astype(jnp.int16),
+        esc_count=(out.escalated & out.valid).sum(axis=1).astype(jnp.int16),
+        dp_overflow=needs_total > jnp.int32(dp_rows),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params", "dp_rows", "alt_awareness", "max_score_gap"
+    ),
+)
+def align_winners_device(
+    didx: DeviceIndex,
+    bases: jax.Array,
+    quals: jax.Array,
+    lens: jax.Array,
+    first_alt_start: jax.Array,  # [] int64 (traced: no recompile per genome)
+    params: AlignParams,
+    dp_rows: int = 2048,
+    alt_awareness: bool = True,
+    max_score_gap: int = 64,
+):
+    """Single-dispatch fast path: align + device finalize.
+
+    Returns (winners, full SingleAlignOut). The caller fetches only the
+    winners; the full per-candidate output stays device-resident for
+    the rare fallback rows (gather_merged_rows).
+    """
+    out, needs_total = _align_impl(
+        didx, bases, quals, lens, params,
+        tier1_only=False, dp_rows=dp_rows, return_needs=True,
+    )
+    win = _device_finalize(
+        out, first_alt_start, alt_awareness, max_score_gap,
+        params.use_affine_gap, needs_total, dp_rows,
+    )
+    return win, out
+
+
+@jax.jit
+def gather_merged_rows(out: SingleAlignOut, rows: jax.Array):
+    """Fetch full candidate rows for host-side exact finalization."""
+    r = rows.astype(jnp.int64)
+    return {
+        "dist": out.dist[r],
+        "log_prob": out.log_prob[r],
+        "ag_score": out.ag_score[r],
+        "end_loc": out.end_loc[r],
+        "body_loc": out.body_loc[r],
+        "cand_loc": out.cand_loc[r],
+        "escalated": out.escalated[r],
+        "clip_before": out.clip_before[r],
+        "clip_after": out.clip_after[r],
+        "indels": out.indels[r],
+        "direction": out.direction[r],
+        "valid": out.valid[r],
+    }

@@ -274,11 +274,22 @@ class SingleEndAligner:
         lens[:n] = np.minimum(batch.lengths, L)
         return bases, quals, lens
 
+    @property
+    def _fast_ok(self) -> bool:
+        """Device-finalize fast path applies under default modes; the
+        per-candidate extras (-om secondaries, -ea ALT supplementaries,
+        -dp fractional caps) still take the full host-merge path."""
+        return (
+            self.max_secondary_edit < 0
+            and not self.emit_alt
+            and self.max_dist_fraction == 0.0
+        )
+
     def _submit(self, batch: ReadBatch):
         """Dispatch tier 1 (candidates + gapless) async; returns handles."""
         import jax.numpy as jnp
 
-        from .pipeline import align_tier1
+        from .pipeline import align_tier1, align_winners_device
 
         bases, quals, lens = self._pad(batch)
         if self.clip_front:
@@ -291,9 +302,20 @@ class SingleEndAligner:
             front_clips = np.zeros(len(lens), dtype=np.int32)
         dev_bases = jnp.asarray(bases)
         dev_quals = jnp.asarray(quals)
+        dev_lens = jnp.asarray(lens)
+        if self._fast_ok:
+            win, out = align_winners_device(
+                self.index.device, dev_bases, dev_quals, dev_lens,
+                jnp.int64(self.first_alt_start), self.params,
+                alt_awareness=self.alt_awareness,
+                max_score_gap=self.max_score_gap,
+            )
+            return (
+                ("fast", win, out, dev_bases, dev_quals, dev_lens),
+                front_clips,
+            )
         t1 = align_tier1(
-            self.index.device, dev_bases, dev_quals, jnp.asarray(lens),
-            self.params,
+            self.index.device, dev_bases, dev_quals, dev_lens, self.params,
         )
         return (t1, dev_bases, dev_quals), front_clips
 
@@ -303,6 +325,8 @@ class SingleEndAligner:
         return self._finalize(batch, out, front_clips)
 
     def _finalize(self, batch: ReadBatch, handles, front_clips):
+        if isinstance(handles[0], str) and handles[0] == "fast":
+            return self._finalize_fast(batch, handles, front_clips)
         (t1, dev_bases, dev_quals) = handles
         merged = two_phase_merge(
             self.index.device, t1, dev_bases, dev_quals, self.params
@@ -429,6 +453,119 @@ class SingleEndAligner:
                     sec_recs.append(sr)
                 if sec_recs:
                     rec["secondaries"] = sec_recs
+            results.append(rec)
+        return results
+
+    def _finalize_fast(self, batch: ReadBatch, handles, front_clips):
+        """Host half of the device-finalize path: fetch compact per-read
+        winners, re-finalize the rare flagged rows exactly, emit."""
+        import jax
+        import jax.numpy as jnp
+
+        from .pipeline import align_tier1, gather_merged_rows
+        from .post import finalize_read
+
+        (_, win_dev, out_dev, dev_bases, dev_quals, dev_lens) = handles
+        win = jax.device_get(win_dev)
+        if bool(win.dp_overflow):
+            # DP tier truncated (extremely gappy batch): redo through the
+            # host-gated two-phase path, which sizes the tier exactly
+            t1 = align_tier1(
+                self.index.device, dev_bases, dev_quals, dev_lens,
+                self.params,
+            )
+            return self._finalize(
+                batch, (t1, dev_bases, dev_quals), front_clips
+            )
+        n = len(batch)
+        self.stats.lv_calls += int(
+            win.valid_count[:n].astype(np.int64).sum()
+        )
+        self.stats.affine_gap_calls += int(
+            win.esc_count[:n].astype(np.int64).sum()
+        )
+
+        fb_rows = np.flatnonzero(np.asarray(win.fallback[:n]))
+        fb = None
+        fb_pos = {}
+        if fb_rows.size:
+            P2 = 1
+            while P2 < fb_rows.size:
+                P2 <<= 1
+            pad_rows = np.zeros(P2, np.int64)
+            pad_rows[: fb_rows.size] = fb_rows
+            fb = jax.device_get(
+                gather_merged_rows(out_dev, jnp.asarray(pad_rows))
+            )
+            fb_pos = {int(r): j for j, r in enumerate(fb_rows)}
+
+        len_eff = np.asarray(win.len_eff).astype(np.int64)
+        arrays = {
+            "len_eff": len_eff,
+            "clip_before": np.array(win.clip_before)[:, None],
+            "clip_after": np.array(win.clip_after)[:, None],
+            "escalated": np.array(win.escalated)[:, None],
+            "body_loc": np.array(win.body_loc).astype(np.int64)[:, None],
+            "indels": np.array(win.indels)[:, None],
+        }
+        found = np.asarray(win.found)
+        mapqs = np.asarray(win.mapq).astype(np.int64)
+        dists = np.asarray(win.dist).astype(np.int64)
+        dirs = np.asarray(win.direction).astype(np.int64)
+        end_locs = np.asarray(win.end_loc).astype(np.int64)
+        popular = np.asarray(win.popular).astype(np.int64)
+
+        results = []
+        for i in range(n):
+            orig_len = int(batch.lengths[i])
+            if orig_len < self.min_read_length:
+                results.append({"status": "filtered"})
+                continue
+            arr_i, k = i, 0
+            if i in fb_pos:
+                j = fb_pos[i]
+                ra, _ = finalize_read(
+                    fb["dist"][j], fb["log_prob"][j], fb["ag_score"][j],
+                    fb["end_loc"][j], fb["cand_loc"][j], fb["direction"][j],
+                    fb["valid"][j], int(popular[i]),
+                    is_alt=(
+                        fb["cand_loc"][j] >= self.first_alt_start
+                    ),
+                    alt_awareness=self.alt_awareness,
+                    max_score_gap_to_prefer_non_alt=self.max_score_gap,
+                )
+                if ra.status == "notfound":
+                    results.append({"status": "notfound"})
+                    continue
+                # rebuild the winner-row view from the exact result
+                kk = ra.cand_index
+                arrays["clip_before"][i, 0] = fb["clip_before"][j, kk]
+                arrays["clip_after"][i, 0] = fb["clip_after"][j, kk]
+                arrays["escalated"][i, 0] = fb["escalated"][j, kk]
+                arrays["body_loc"][i, 0] = fb["body_loc"][j, kk]
+                arrays["indels"][i, 0] = fb["indels"][j, kk]
+                status, mapq, direction = ra.status, ra.mapq, ra.direction
+                dist, end_loc = ra.dist, int(ra.end_loc)
+            else:
+                if not found[i]:
+                    results.append({"status": "notfound"})
+                    continue
+                mapq = int(mapqs[i])
+                status = "single" if mapq >= 10 else "multi"
+                direction = int(dirs[i])
+                dist = int(dists[i])
+                end_loc = int(end_locs[i])
+            if self.stop_on_first_hit:
+                mapq, status = 0, "multi"
+            rec = winner_record(
+                self.genome_np, self.params.max_k, batch, i, arrays,
+                k, direction, dist, end_loc, arr_i=arr_i,
+                use_m=self.use_m, front_extra=int(front_clips[i]),
+                contig_bounds=self.contig_bounds,
+            )
+            rec.update(
+                status=status, direction=direction, mapq=mapq, dist=dist,
+            )
             results.append(rec)
         return results
 

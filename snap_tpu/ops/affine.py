@@ -249,6 +249,20 @@ def affine_extend(
      best_g, best_g_row, best_g_lp, best_g_ct,
      best_l, best_l_row, best_l_col, best_l_lp, best_l_ct) = state
 
+    return finish_extend(
+        best_g, best_g_row, best_g_lp, best_g_ct,
+        best_l, best_l_row, best_l_col, best_l_lp, best_l_ct,
+        plen, score_init, end_bonus,
+    )
+
+
+def finish_extend(
+    best_g, best_g_row, best_g_lp, best_g_ct,
+    best_l, best_l_row, best_l_col, best_l_lp, best_l_ct,
+    plen, score_init, end_bonus,
+) -> ExtendResult:
+    """Global-vs-local choice + probability epilogue, shared between the
+    jnp recurrence above and the Pallas kernel (ops.affine_pallas)."""
     # choose local iff different and local >= global + endBonus
     choose_local = (best_l != best_g) & (best_l >= best_g + end_bonus)
     score = jnp.where(choose_local, best_l, best_g)
