@@ -43,19 +43,9 @@ def main() -> None:
         bases=bases, contigs=[Contig(name="chr1", start=1000, length=glen)]
     )
     idx = build_index(genome, seed_len=24)
-    from snap_tpu.index.index import pack_genome_words
+    from snap_tpu.index.index import make_device_index
 
-    _packed, _bad = pack_genome_words(bases)
-    didx = DeviceIndex(
-        table_keys=jnp.asarray(idx["table_keys"]),
-        table_start=jnp.asarray(idx["table_start"]),
-        table_n0=jnp.asarray(idx["table_n0"]),
-        table_n1=jnp.asarray(idx["table_n1"]),
-        hits=jnp.asarray(idx["hits"]),
-        genome=jnp.asarray(bases),
-        genome_packed=jnp.asarray(_packed),
-        genome_bad=jnp.asarray(_bad),
-    )
+    didx = make_device_index(idx, bases)
     params = AlignParams(
         seed_len=24, max_probe=idx["max_probe"], num_seeds=14,
         hit_cap=8, max_cand=16,

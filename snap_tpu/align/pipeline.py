@@ -531,10 +531,37 @@ def _align_impl(
         w0 = loc_c // 16
         phase = (loc_c % 16).astype(jnp.int32)
         WW = L // 16 + 2
-        words = didx.genome_packed[
-            jnp.clip(w0[:, None] + jnp.arange(WW, dtype=jnp.int64)[None, :],
-                     0, didx.genome_packed.shape[0] - 1)
-        ]  # [BK, WW] uint32
+        def window_words(arr, w0, WW):
+            # [BK, WW] consecutive words via ceil((WW+7)/8) row gathers
+            # of an [n/8, 8] view + one 8-way phase select (gather cost
+            # on TPU scales with the number of indices)
+            if arr.shape[0] % 8 != 0:
+                return arr[
+                    jnp.clip(
+                        w0[:, None]
+                        + jnp.arange(WW, dtype=jnp.int64)[None, :],
+                        0, arr.shape[0] - 1,
+                    )
+                ]
+            a2 = arr.reshape(-1, 8)
+            nrows = (WW + 7 + 7) // 8
+            r0 = w0 >> 3
+            blocks = [
+                a2[jnp.clip(r0 + j, 0, a2.shape[0] - 1)]
+                for j in range(nrows)
+            ]
+            ab = jnp.concatenate(blocks, axis=1)  # [BK, nrows*8]
+            shw = (w0 & 7).astype(jnp.int32)
+            out = jnp.zeros((w0.shape[0], WW), arr.dtype)
+            for s in range(8):
+                out = jnp.where(
+                    (shw == s)[:, None],
+                    jax.lax.slice_in_dim(ab, s, s + WW, axis=1),
+                    out,
+                )
+            return out
+
+        words = window_words(didx.genome_packed, w0, WW)  # [BK, WW]
 
         def align_words(w, ph, lane_bits):
             # funnel-shift adjacent words by the per-row phase so lane 0
@@ -556,10 +583,7 @@ def _align_impl(
         b0w = loc_c // 32
         bphase = (loc_c % 32).astype(jnp.int32)
         BW = L // 32 + 2
-        bwords = didx.genome_bad[
-            jnp.clip(b0w[:, None] + jnp.arange(BW, dtype=jnp.int64)[None, :],
-                     0, didx.genome_bad.shape[0] - 1)
-        ]
+        bwords = window_words(didx.genome_bad, b0w, BW)
         baligned = align_words(bwords, bphase, 1)
         badlanes = (
             baligned[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)

@@ -35,6 +35,12 @@ class DeviceIndex(NamedTuple):
     # TPU equivalent of SNAP's 64-bit XOR scan (LandauVishkin.h:377-407).
     genome_packed: jax.Array | None = None  # [ceil(G/16)] uint32
     genome_bad: jax.Array | None = None     # [ceil(G/32)] uint32
+    # Combined per-slot lookup payload [C, 4] int32: (start, n0, n1, 0).
+    # One row gather instead of three element gathers — on TPU, gather
+    # cost scales with the number of indices, so every probe-path table
+    # is laid out for row gathers. Requires hits length < 2^31
+    # (shard-local hit arrays always are). None => per-array fallback.
+    table_payload: jax.Array | None = None
 
 
 def pack_genome_words(bases: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -42,18 +48,48 @@ def pack_genome_words(bases: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     g = np.asarray(bases)
     G = g.shape[0]
     n16 = (G + 15) // 16
-    packed = np.zeros(n16 + 1, dtype=np.uint32)  # +1 pad word for windows
+    # pad to a multiple of 8 words (+8) so windows read as 2-3 row
+    # gathers of an [n/8, 8] view
+    packed = np.zeros(n16 + 8 + (-(n16 + 8)) % 8, dtype=np.uint32)
     codes = np.where(g < 4, g, 0).astype(np.uint32)
     for i in range(16):
         lane = codes[i::16]
         packed[: len(lane)] |= lane << np.uint32(2 * i)
     n32 = (G + 31) // 32
-    bad = np.zeros(n32 + 1, dtype=np.uint32)
+    bad = np.zeros(n32 + 8 + (-(n32 + 8)) % 8, dtype=np.uint32)
     isbad = (g >= 4).astype(np.uint32)
     for i in range(32):
         lane = isbad[i::32]
         bad[: len(lane)] |= lane << np.uint32(i)
     return packed, bad
+
+
+def make_device_index(arrays: dict, genome_bases: np.ndarray) -> DeviceIndex:
+    """Build a DeviceIndex with row-gather-friendly layouts: packed
+    genome words, 8-aligned padded hits, and the combined [C, 4] probe
+    payload table."""
+    packed, bad = pack_genome_words(genome_bases)
+    hits = np.asarray(arrays["hits"])
+    pad = 8 + (-(hits.shape[0] + 8)) % 8
+    hits_p = np.concatenate([hits, np.zeros(pad, hits.dtype)])
+    payload = None
+    if hits.shape[0] < (1 << 31):
+        C = arrays["table_keys"].shape[0]
+        payload = np.zeros((C, 4), np.int32)
+        payload[:, 0] = arrays["table_start"].astype(np.int32)
+        payload[:, 1] = arrays["table_n0"]
+        payload[:, 2] = arrays["table_n1"]
+    return DeviceIndex(
+        table_keys=jnp.asarray(arrays["table_keys"]),
+        table_start=jnp.asarray(arrays["table_start"]),
+        table_n0=jnp.asarray(arrays["table_n0"]),
+        table_n1=jnp.asarray(arrays["table_n1"]),
+        hits=jnp.asarray(hits_p),
+        genome=jnp.asarray(genome_bases),
+        genome_packed=jnp.asarray(packed),
+        genome_bad=jnp.asarray(bad),
+        table_payload=None if payload is None else jnp.asarray(payload),
+    )
 
 
 def murmur_finalize64(k: jax.Array) -> jax.Array:
@@ -86,18 +122,27 @@ def probe(
     n_buckets = capacity // BUCKET_SLOTS - span
     mask = jnp.uint64(n_buckets - 1)
     home = (murmur_finalize64(queries) & mask).astype(jnp.int64)
-    width = span * BUCKET_SLOTS
-    slots = home[:, None] * BUCKET_SLOTS + jnp.arange(
-        width, dtype=jnp.int64
-    )[None, :]
-    keys = idx.table_keys[slots]                      # [N, width]
+    # bucket-row gathers: span gathers of one [8]-slot row per query
+    # (gather cost on TPU scales with index count, not bytes)
+    tk2d = idx.table_keys.reshape(-1, BUCKET_SLOTS)
+    nrows = tk2d.shape[0]
+    keys = jnp.concatenate(
+        [tk2d[jnp.clip(home + j, 0, nrows - 1)] for j in range(span)],
+        axis=1,
+    )                                                 # [N, span*8]
     hit = keys == queries[:, None]
     found = hit.any(axis=1)
     slot_in = jnp.argmax(hit, axis=1).astype(jnp.int64)
     slot = jnp.where(found, home * BUCKET_SLOTS + slot_in, 0)
-    start = jnp.where(found, idx.table_start[slot], 0)
-    n0 = jnp.where(found, idx.table_n0[slot], 0)
-    n1 = jnp.where(found, idx.table_n1[slot], 0)
+    if idx.table_payload is not None:
+        pay = idx.table_payload[slot]                 # [N, 4] row gather
+        start = jnp.where(found, pay[:, 0].astype(jnp.int64), 0)
+        n0 = jnp.where(found, pay[:, 1], 0)
+        n1 = jnp.where(found, pay[:, 2], 0)
+    else:
+        start = jnp.where(found, idx.table_start[slot], 0)
+        n0 = jnp.where(found, idx.table_n0[slot], 0)
+        n1 = jnp.where(found, idx.table_n1[slot], 0)
     return found, start, n0, n1
 
 
@@ -110,10 +155,30 @@ def gather_hits(
     Lists are stored descending, so taking the first `cap` keeps the
     highest locations (matches SNAP's descending iteration order).
     """
+    T = hits.shape[0]
     offs = jnp.arange(cap, dtype=jnp.int64)
-    rows = start[:, None] + offs[None, :]
     valid = offs[None, :] < count[:, None].astype(jnp.int64)
-    rows = jnp.clip(rows, 0, hits.shape[0] - 1)
+    if T % 8 == 0 and T >= 16:
+        # windowed row gathers: cap//8+1 rows of 8, then an 8-way phase
+        # select — (cap//8+1) gather indices per query instead of cap
+        h2 = hits.reshape(-1, 8)
+        nrows = cap // 8 + 1
+        r0 = start >> 3
+        blocks = [
+            h2[jnp.clip(r0 + j, 0, h2.shape[0] - 1)] for j in range(nrows)
+        ]
+        ab = jnp.concatenate(blocks, axis=1)  # [N, nrows*8]
+        sh = (start & 7).astype(jnp.int32)
+        out = jnp.zeros((start.shape[0], cap), hits.dtype)
+        for s in range(8):
+            out = jnp.where(
+                (sh == s)[:, None],
+                jax.lax.slice_in_dim(ab, s, s + cap, axis=1),
+                out,
+            )
+        return out, valid
+    rows = start[:, None] + offs[None, :]
+    rows = jnp.clip(rows, 0, T - 1)
     return hits[rows], valid
 
 
@@ -149,17 +214,8 @@ class GenomeIndex:
         self.seed_len: int = arrays["seed_len"]
         self.max_probe: int = arrays["max_probe"]
         gb = np.asarray(genome.bases)
-        packed, bad = pack_genome_words(gb)
-        self.device = DeviceIndex(
-            table_keys=jnp.asarray(arrays["table_keys"]),
-            table_start=jnp.asarray(arrays["table_start"]),
-            table_n0=jnp.asarray(arrays["table_n0"]),
-            table_n1=jnp.asarray(arrays["table_n1"]),
-            hits=jnp.asarray(arrays["hits"]),
-            genome=jnp.asarray(gb),
-            genome_packed=jnp.asarray(packed),
-            genome_bad=jnp.asarray(bad),
-        )
+        self._n_hits = int(np.asarray(arrays["hits"]).shape[0])
+        self.device = make_device_index(arrays, gb)
 
     @classmethod
     def build(cls, genome: Genome, seed_len: int | None = None) -> "GenomeIndex":
@@ -190,7 +246,7 @@ class GenomeIndex:
         arrays = {
             "seed_len": self.seed_len,
             "max_probe": self.max_probe,
-            "hits": np.asarray(self.device.hits),
+            "hits": np.asarray(self.device.hits)[: self._n_hits],
             "table_keys": np.asarray(self.device.table_keys),
             "table_start": np.asarray(self.device.table_start),
             "table_n0": np.asarray(self.device.table_n0),
