@@ -79,6 +79,9 @@ def finalize_pair(
     emit_alt: bool = False,
     max_score_gap_to_prefer_non_alt: int = 64,
     force_spacing: bool = False,
+    min_score_realignment: int = MIN_SCORE_REALIGNMENT,   # -en
+    min_ag_improvement: int = MIN_AG_SCORE_IMPROVEMENT,   # -eg
+    flatten_mapq_at_or_below: int = 3,                    # -fmb
 ) -> tuple[
     PairEndResult, PairEndResult,
     tuple[PairEndResult, PairEndResult] | None,
@@ -212,7 +215,7 @@ def finalize_pair(
                 out.append(PairEndResult("filtered" if not ok else "notfound"))
                 continue
             mapq = s.mapq // 3  # chimeric penalty (ChimericPairedEndAligner.cpp:421)
-            mapq = 0 if mapq <= 3 else mapq
+            mapq = 0 if mapq <= flatten_mapq_at_or_below else mapq
             out.append(
                 PairEndResult(
                     status="single" if mapq >= 10 else "multi",
@@ -245,7 +248,7 @@ def finalize_pair(
     compare_single = (
         not force_spacing
         and (esc0 or esc1)
-        and max(sc0, sc1) >= MIN_SCORE_REALIGNMENT
+        and max(sc0, sc1) >= min_score_realignment
     )
     if compare_single:
         pair_ag = int(c0["ag_score"][i0]) + int(c1["ag_score"][i1])
@@ -264,7 +267,7 @@ def finalize_pair(
                 mapq0 = min(mapq0, s0.mapq)
             if s1.status not in ("notfound", "filtered"):
                 mapq1 = min(mapq1, s1.mapq)
-        if single_ag >= pair_ag + MIN_AG_SCORE_IMPROVEMENT:
+        if single_ag >= pair_ag + min_ag_improvement:
             return single_fallback()
 
     r0 = PairEndResult(

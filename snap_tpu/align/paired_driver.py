@@ -59,6 +59,13 @@ class PairedEndAligner:
     force_spacing: bool = False              # -fs
     infer_spacing: bool = False              # -ins
     internal_score_tag: str | None = None    # -is
+    min_score_realignment: int = 3           # -en
+    min_ag_improvement: int = 24             # -eg
+    flatten_mapq_at_or_below: int = 3        # -fmb
+    read_secondary: bool = False             # -sa
+    attach_times: bool = False               # -at (accepted; paired
+                                             # records carry no AT tag
+                                             # in the reference either)
     infer_spacing_batch: int = 256 * 1024    # DEFAULT_BATCH_SIZE_IS_ESTIMATION
     stats: AlignerStats = field(default_factory=AlignerStats)
 
@@ -158,6 +165,9 @@ class PairedEndAligner:
                     self.max_score_gap_to_prefer_non_alt
                 ),
                 force_spacing=self.force_spacing,
+                min_score_realignment=self.min_score_realignment,
+                min_ag_improvement=self.min_ag_improvement,
+                flatten_mapq_at_or_below=self.flatten_mapq_at_or_below,
             )
             if (
                 self.infer_spacing
@@ -204,7 +214,10 @@ class PairedEndAligner:
         t0 = time.time()
         progress = ProgressReporter()
         batches = iter(
-            paired_batches(path1, path2, self.batch_size, self.max_read_len)
+            paired_batches(
+            path1, path2, self.batch_size, self.max_read_len,
+            keep_secondary=self.read_secondary,
+        )
         )
         while True:
             tr = time.time()

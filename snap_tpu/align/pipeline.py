@@ -62,12 +62,28 @@ class AlignParams:
     use_affine_gap: bool = True       # -G- disables AG escalation
     clip_back: bool = True            # default ClipBack (Read.h:88-108);
                                       # ClipFront is host-side (apply_front_clip)
+    # Affine-gap penalties (-gm/-gs/-go/-ge/-g5/-g3; flags
+    # AlignerOptions.cpp:702-768, defaults AlignerOptions.cpp:79-81).
+    # Static jit-key members: changing them recompiles the wavefront.
+    ag_match: int = 1
+    ag_sub: int = 4
+    ag_open: int = 6
+    ag_extend: int = 1
+    ag_b5: int = 10
+    ag_b3: int = 7
+    min_weight: int = 1               # -ms minWeightToCheck
 
     @property
     def num_lookups(self) -> int:
         # each clean lookup applies the seed in both directions
         # (BaseAligner.cpp:451,669), so -n 25 means 13 lookups
         return self.num_seeds // 2 + 1
+
+    @property
+    def max_k_same(self) -> int:
+        # maxKForSameAlignment = gapOpen/(sub - gapExtend)
+        # (BaseAligner.cpp:1148)
+        return self.ag_open // max(self.ag_sub - self.ag_extend, 1)
 
 
 def snap_seed_wrap_order(seed_len: int) -> np.ndarray:
@@ -186,11 +202,6 @@ def _score_rows(
     W: int,
 ) -> SubsetOut:
     """Tier 2: full fitting DP + affine-gap head/tail on M rows."""
-    from ..constants import (
-        AG_END_BONUS_3,
-        AG_END_BONUS_5,
-        max_k_for_same_alignment,
-    )
     from ..ops.dp import LOG_PERFECT
 
     if jax.default_backend() == "tpu":
@@ -240,11 +251,13 @@ def _score_rows(
     tail_text = gather_genome(s_loc[:, None] + tail_start[:, None] + tcols)
     tail_tlen = (tail_plen + params.max_k).astype(jnp.int32)
     ebonus_tail = jnp.where(
-        s_dir == 1, np.int32(AG_END_BONUS_5), np.int32(AG_END_BONUS_3)
+        s_dir == 1, np.int32(params.ag_b5), np.int32(params.ag_b3)
     )
     tail = affine_extend(
         tail_pat, tail_logq, tail_plen, tail_text, tail_tlen,
         s_plen.astype(jnp.int32), ebonus_tail,
+        match=params.ag_match, sub=params.ag_sub,
+        gap_open=params.ag_open, gap_extend=params.ag_extend,
     )
 
     h_idx = (s_off[:, None] - 1 - jj).astype(jnp.int64)
@@ -256,11 +269,13 @@ def _score_rows(
     head_text = gather_genome(s_loc[:, None] + s_off[:, None] - 1 - tcols)
     head_tlen = (head_plen + params.max_k).astype(jnp.int32)
     ebonus_head = jnp.where(
-        s_dir == 1, np.int32(AG_END_BONUS_3), np.int32(AG_END_BONUS_5)
+        s_dir == 1, np.int32(params.ag_b3), np.int32(params.ag_b5)
     )
     head = affine_extend(
         head_pat, head_logq, head_plen, head_text, head_tlen,
         s_plen.astype(jnp.int32), ebonus_head,
+        match=params.ag_match, sub=params.ag_sub,
+        gap_open=params.ag_open, gap_extend=params.ag_extend,
     )
 
     s_lv_ok = sel_live & (s_lv_dist <= params.max_k)
@@ -274,12 +289,15 @@ def _score_rows(
     ag_body_loc = s_loc + (s_off - head.text_used).astype(jnp.int64)
 
     if params.use_affine_gap:
-        s_esc = s_lv_ok & (s_lv_dist > max_k_for_same_alignment())
+        s_esc = s_lv_ok & (s_lv_dist > params.max_k_same)
     else:  # -G-: never escalate to affine gap
         s_esc = jnp.zeros_like(s_lv_ok)
     s_dist = jnp.where(s_esc, ag_edits, s_lv_dist)
     s_logp = jnp.where(s_esc, ag_logp, s_lv_logp)
-    s_agsc = jnp.where(s_esc, ag_score, s_plen - 5 * s_lv_dist)
+    s_agsc = jnp.where(
+        s_esc, ag_score,
+        s_plen - (params.ag_match + params.ag_sub) * s_lv_dist,
+    )
     s_ok = s_lv_ok & jnp.where(s_esc, ag_ok, True)
     s_clip_b = jnp.where(s_esc, head.pattern_clip, 0)
     s_clip_a = jnp.where(s_esc, tail.pattern_clip, 0)
@@ -460,7 +478,9 @@ def _align_impl(
 
     wv, wi = jax.lax.top_k(weight, K)  # [B, K]
     cand_keys = jnp.take_along_axis(keys, wi.astype(jnp.int64), axis=1)
-    cand_valid = wv > 0
+    # -ms minWeightToCheck: candidates below the seed-vote floor are
+    # never scored (BaseAligner minWeightToCheck)
+    cand_valid = wv >= max(1, params.min_weight)
     cand_weight = jnp.maximum(wv, 0).astype(jnp.int32)
     cand_dir = (cand_keys >= BIG).astype(jnp.int32)
     stripped = jnp.where(cand_dir == 1, cand_keys - BIG, cand_keys)
@@ -496,12 +516,6 @@ def _align_impl(
     #   fraction of candidates need this, so the expensive kernels run
     #   on BK/DP_COMPACT rows instead of BK.
     # =====================================================================
-    from ..constants import (
-        AG_END_BONUS_3,
-        AG_END_BONUS_5,
-        max_k_for_same_alignment,
-    )
-    from ..ops.affine import affine_extend
     from ..ops.dp import LOG_PERFECT
 
     logq_table = jnp.asarray(log_phred_error_table())
@@ -626,7 +640,7 @@ def _align_impl(
         )
 
     # ---- Tier 2: compact candidates that need gaps ----
-    GAPLESS_OK = max_k_for_same_alignment()  # 2 with default penalties
+    GAPLESS_OK = params.max_k_same  # 2 with default penalties
     flat_weight = cand_weight.reshape(-1)
     # Which candidates justify the full DP? Gapless failures that more
     # than one seed voted for — SNAP's weight-ordered candidate scoring
@@ -685,7 +699,9 @@ def _align_impl(
     gl_ok = flat_valid & ~needs_dp & (gapless_dist <= params.max_k)
     dist = scatter(gapless_dist, s_dist)
     log_prob = scatter(gapless_logp, s_logp)
-    agsc = scatter(plen - 5 * gapless_dist, s_agsc)
+    agsc = scatter(
+        plen - (params.ag_match + params.ag_sub) * gapless_dist, s_agsc
+    )
     end_loc = scatter(flat_loc + plen.astype(jnp.int64), s_end)
     body_loc = scatter(flat_loc, s_body)
     ok = scatter(gl_ok, s_ok)
@@ -792,7 +808,6 @@ def two_phase_merge(
     """
     import jax
 
-    from ..constants import max_k_for_same_alignment
 
     t1_np = jax.device_get(t1)
     cand_loc = np.asarray(t1_np.cand_loc).astype(np.int64)
@@ -806,7 +821,7 @@ def two_phase_merge(
     len_eff = np.asarray(t1_np.len_eff)
     popular = np.asarray(t1_np.popular)
 
-    GOK = max_k_for_same_alignment()
+    GOK = params.max_k_same
     needs = valid & (gd > GOK)
     if didx.genome_packed is not None:
         read_min = np.min(
@@ -822,7 +837,9 @@ def two_phase_merge(
         "dist": gd.astype(np.int64).copy(),
         "indels": np.zeros((B, K), np.int32),
         "log_prob": glp.astype(np.float64).copy(),
-        "ag_score": (plen2 - 5 * gd).astype(np.int64),
+        "ag_score": (
+            plen2 - (params.ag_match + params.ag_sub) * gd
+        ).astype(np.int64),
         "end_loc": cand_loc + plen2,
         "body_loc": cand_loc.copy(),
         "cand_loc": cand_loc,

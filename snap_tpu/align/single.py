@@ -234,6 +234,8 @@ class SingleEndAligner:
         clip_front: bool = False,              # -C x- / -C xx
         max_dist_fraction: float = 0.0,        # -dp (long reads)
         internal_score_tag: str | None = None, # -is
+        read_secondary: bool = False,          # -sa
+        attach_times: bool = False,            # -at
     ):
         self.index = index
         self.params = params or AlignParams(
@@ -256,6 +258,9 @@ class SingleEndAligner:
         self.clip_front = clip_front
         self.max_dist_fraction = max_dist_fraction
         self.internal_score_tag = internal_score_tag
+        self.read_secondary = read_secondary
+        self.attach_times = attach_times
+        self._batch_us_per_read = 0
         cs = sorted(index.genome_meta.contigs, key=lambda c: c.start)
         self.contig_bounds = (
             np.array([c.start for c in cs], dtype=np.int64),
@@ -574,7 +579,10 @@ class SingleEndAligner:
         t0 = time.time()
         progress = ProgressReporter()
         batches = iter(
-            single_batches(fastq_path, self.batch_size, self.max_read_len)
+            single_batches(
+                fastq_path, self.batch_size, self.max_read_len,
+                keep_secondary=self.read_secondary,
+            )
         )
         # pipelined loop: batch i+1 is dispatched to the device before
         # batch i's host finalization/emission (double-buffered, the
@@ -594,7 +602,14 @@ class SingleEndAligner:
                 pbatch, pout, pfc = pending
                 ta = time.time()
                 results = self._finalize(pbatch, pout, pfc)
-                self.stats.seconds_aligning += time.time() - ta
+                dt = time.time() - ta
+                self.stats.seconds_aligning += dt
+                if self.attach_times:
+                    # -at: batched alignment has no per-read clock; tag
+                    # the batch-average microseconds per read
+                    self._batch_us_per_read = int(
+                        dt * 1e6 / max(len(pbatch), 1)
+                    )
                 tw = time.time()
                 for i, res in enumerate(results):
                     self._emit(writer, pbatch, i, res)
@@ -649,8 +664,10 @@ class SingleEndAligner:
             extra = (
                 [f"{self.internal_score_tag}:i:{res['dist']}"]
                 if self.internal_score_tag
-                else ()
+                else []
             )
+            if self.attach_times:
+                extra = list(extra) + [f"AT:i:{self._batch_us_per_read}"]
             writer.write_record(
                 qname, flag, rname, pos, mapq, res["cigar"], seq, qual,
                 nm=res["nm"], extra_tags=extra,

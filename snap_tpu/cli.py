@@ -34,6 +34,7 @@ def cmd_index(args: list[str]) -> int:
     max_alt_contig_size = 0
     alt_liftover = None
     padding = None
+    histogram_file = None
     i = 2
 
     def read_name_file(path: str) -> set[str]:
@@ -62,6 +63,19 @@ def cmd_index(args: list[str]) -> int:
             from .genome import parse_alt_file
 
             alt_liftover = parse_alt_file(args[i + 1]); i += 2
+        elif a == "-H" and i + 1 < len(args):
+            histogram_file = args[i + 1]; i += 2
+        elif a in ("-t", "-sm"):
+            # build threads / slave-memory spill: the builder is a
+            # handful of vectorized numpy passes, not a per-seed loop
+            i += 2
+        elif a in ("-keysize", "-locationSize", "-h", "-B"):
+            # reference on-disk knobs; our packed layout derives these
+            # from the seed length automatically (see index/build.py)
+            i += 2
+        elif a in ("-exact", "-large", "-bSpace", "-bSpace-", "-hc",
+                   "-hc-", "-q", "-qq"):
+            i += 1
         else:
             print(f"ignoring unknown index option {a}", file=sys.stderr)
             i += 1
@@ -83,6 +97,18 @@ def cmd_index(args: list[str]) -> int:
     print(f"Building index (seed {seed_len})...", file=sys.stderr)
     idx = GenomeIndex.build(genome, seed_len)
     idx.save(outdir)
+    if histogram_file:
+        # -H: seed-popularity histogram (GenomeIndex.cpp:55-107 -H):
+        # lines of "<nHits> <count of seeds with that many hits>"
+        import numpy as _np
+
+        n0 = _np.asarray(idx.device.table_n0)
+        n1 = _np.asarray(idx.device.table_n1)
+        counts = _np.concatenate([n0[n0 > 0], n1[n1 > 0]])
+        vals, freq = _np.unique(counts, return_counts=True)
+        with open(histogram_file, "w") as hf:
+            for v, c in zip(vals.tolist(), freq.tolist()):
+                hf.write(f"{v}\t{c}\n")
     n = genome.num_bases
     dt = time.time() - t0
     print(
@@ -131,6 +157,9 @@ def cmd_single(args: list[str]) -> int:
         print("single: no input files", file=sys.stderr)
         return 1
     opts = _parse_align_options(args[i:], batch_size=1024)
+    from .errors import configure as _configure_errors
+
+    _configure_errors(opts["quiet"], opts["very_quiet"], opts["hdp"])
     index = _load_index_cached(index_dir)
     if opts["seed_coverage"] > 0 and "num_seeds" not in opts["overrides"]:
         # -sc: seeds from coverage = readLen * coverage / seedLen
@@ -156,6 +185,8 @@ def cmd_single(args: list[str]) -> int:
         clip_front=opts["clip_front"],
         max_dist_fraction=opts["dp"],
         internal_score_tag=opts["is_tag"],
+        read_secondary=opts["read_secondary"],
+        attach_times=opts["at"],
     )
 
     def run_all(writer):
@@ -183,15 +214,26 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         "force_spacing": False, "infer_spacing": False, "pfc": False,
         "seed_coverage": 0.0, "dp": 0.0, "clip_front": False,
         "clip_back": True, "sort_memory_mb": None, "sort_tmp_dir": None,
-        "is_tag": None,
+        "is_tag": None, "fmb": 3, "en": 3, "eg": 24,
+        "read_secondary": False, "at": False, "sam_no_sq": False,
+        "quiet": False, "very_quiet": False, "hdp": False,
     }
     # Performance knobs whose concerns don't exist in this design
     # (mmap/prefetch/huge pages/processor binding/write buffers are
     # handled by numpy-mmap, XLA, and the async output path):
+    # Knobs whose concerns don't exist in this design (mmap/prefetch/
+    # huge pages/processor binding/write buffers are handled by
+    # numpy-mmap, XLA, and the async output path). The -nX flags disable
+    # sequential-evaluation optimizations (AlignerOptions.h:78-88) that
+    # the batched wavefront doesn't perform, so results already match
+    # their disabled behavior. -eh toggles Hamming scoring in the
+    # single-end fallback; -es is the ALT realignment score gap; -N the
+    # fallback seed count — the batched chimeric fallback reuses the
+    # pair wavefront's candidates, so these have no separate knob.
     noop_flags = {"-map", "-map-", "-pre", "-pre-", "-hp", "-b-", "-P",
-                  "-di", "-kts", "-lp", "-sa", "-nu", "-no", "-nt", "-ne",
-                  "-nb", "-B"}
-    noop_with_arg = {"-wbs", "-ms", "-mcp", "-xf", "-hdp"}
+                  "-di", "-kts", "-lp", "-nu", "-no", "-nt", "-ne",
+                  "-nb", "-ni", "-B", "-eh", "-eh-", "-ins-", "-proAg"}
+    noop_with_arg = {"-wbs", "-mcp", "-xf", "-es", "-N"}
     i = 0
     while i < len(rest):
         a = rest[i]
@@ -335,6 +377,38 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
             o["overrides"]["max_k_indels"] = int(rest[i + 1]); i += 2
         elif a == "-G-":
             o["overrides"]["use_affine_gap"] = False; i += 1
+        elif a == "-gm":
+            o["overrides"]["ag_match"] = int(rest[i + 1]); i += 2
+        elif a == "-gs":
+            o["overrides"]["ag_sub"] = int(rest[i + 1]); i += 2
+        elif a == "-go":
+            o["overrides"]["ag_open"] = int(rest[i + 1]); i += 2
+        elif a == "-ge":
+            o["overrides"]["ag_extend"] = int(rest[i + 1]); i += 2
+        elif a == "-g5":
+            o["overrides"]["ag_b5"] = int(rest[i + 1]); i += 2
+        elif a == "-g3":
+            o["overrides"]["ag_b3"] = int(rest[i + 1]); i += 2
+        elif a == "-ms":
+            o["overrides"]["min_weight"] = int(rest[i + 1]); i += 2
+        elif a == "-fmb":
+            o["fmb"] = int(rest[i + 1]); i += 2
+        elif a == "-en":
+            o["en"] = int(rest[i + 1]); i += 2
+        elif a == "-eg":
+            o["eg"] = int(rest[i + 1]); i += 2
+        elif a == "-sa":
+            o["read_secondary"] = True; i += 1
+        elif a == "-at":
+            o["at"] = True; i += 1
+        elif a == "-samNoSQ":
+            o["sam_no_sq"] = True; i += 1
+        elif a == "-q":
+            o["quiet"] = True; i += 1
+        elif a == "-qq":
+            o["very_quiet"] = True; i += 1
+        elif a == "-hdp":
+            o["hdp"] = True; i += 1
         elif a.startswith("-C") and len(a) == 4 and set(a[2:]) <= {"+", "-"}:
             # -C<front><back> with '+' = clip low-quality bases from that
             # end, '-' = don't; default back only, -C-+
@@ -371,6 +445,7 @@ def _run_with_writer(index, command_line: str, opts: dict, run) -> int:
             sort_memory_mb=opts["sort_memory_mb"],
             sort_tmp_dir=opts["sort_tmp_dir"],
             bam=bam,
+            sam_no_sq=opts["sam_no_sq"],
             sort=opts["sort"],
             mark_duplicates=(opts["sort"] and not opts["no_dup"]),
             build_bai=(bam and opts["sort"] and not opts["no_index"]),
@@ -410,6 +485,9 @@ def cmd_paired(args: list[str]) -> int:
         fq2 = args[i]
         i += 1
     opts = _parse_align_options(args[i:])
+    from .errors import configure as _configure_errors
+
+    _configure_errors(opts["quiet"], opts["very_quiet"], opts["hdp"])
 
     from .align.paired_driver import PairedEndAligner
 
@@ -430,6 +508,11 @@ def cmd_paired(args: list[str]) -> int:
         force_spacing=opts["force_spacing"],
         infer_spacing=opts["infer_spacing"],
         internal_score_tag=opts["is_tag"],
+        min_score_realignment=opts["en"],
+        min_ag_improvement=opts["eg"],
+        flatten_mapq_at_or_below=opts["fmb"],
+        read_secondary=opts["read_secondary"],
+        attach_times=opts["at"],
     )
     return _run_with_writer(
         index, "paired " + " ".join(args), opts,

@@ -89,6 +89,7 @@ class OutputWriter:
         preserve_fastq_comments: bool = False,
         sort_memory_mb: int | None = None,
         sort_tmp_dir: str | None = None,
+        sam_no_sq: bool = False,
     ):
         self.out = out
         self.genome = genome
@@ -106,6 +107,7 @@ class OutputWriter:
         # SortBlock temp file + merge design). None = fully in-memory.
         self.sort_memory_mb = sort_memory_mb
         self.sort_tmp_dir = sort_tmp_dir
+        self.sam_no_sq = sam_no_sq
         self._spill_files: list = []
         self._approx_bytes = 0
         self._ordinal = 0
@@ -144,7 +146,8 @@ class OutputWriter:
             f"\tCL:{self.command_line}\tVN:{self.program_version}"
         )
         for c in sorted(self.genome.contigs, key=lambda x: x.original_index):
-            lines.append(f"@SQ\tSN:{c.name}\tLN:{c.length}")
+            if not self.sam_no_sq:
+                lines.append(f"@SQ\tSN:{c.name}\tLN:{c.length}")
         return "\n".join(lines) + "\n"
 
     def write_header(self) -> None:

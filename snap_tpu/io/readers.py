@@ -42,11 +42,19 @@ def input_kind(path: str) -> str:
     return "fastq"
 
 
-def iter_sam_reads(path: str) -> Iterator[tuple[bytes, bytes, bytes, int]]:
-    """Yield (qname, seq, qual, flag) with orientation restored."""
+def iter_sam_reads(
+    path: str, keep_secondary: bool = False
+) -> Iterator[tuple[bytes, bytes, bytes, int]]:
+    """Yield (qname, seq, qual, flag) with orientation restored.
+    keep_secondary = -sa (ignoreSecondaryAlignments off,
+    AlignerOptions.cpp:592-594); supplementary records are always
+    skipped like the reference SAMReader."""
     import gzip
 
     opener = gzip.open if path.endswith(".gz") else open
+    skip = FLAG_SUPPLEMENTARY if keep_secondary else (
+        FLAG_SECONDARY | FLAG_SUPPLEMENTARY
+    )
     with opener(path, "rb") as f:
         for line in f:
             if line.startswith(b"@"):
@@ -55,7 +63,7 @@ def iter_sam_reads(path: str) -> Iterator[tuple[bytes, bytes, bytes, int]]:
             if len(t) < 11:
                 continue
             flag = int(t[1])
-            if flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY):
+            if flag & skip:
                 continue
             seq, qual = t[9], t[10]
             if flag & FLAG_RC:
@@ -64,12 +72,17 @@ def iter_sam_reads(path: str) -> Iterator[tuple[bytes, bytes, bytes, int]]:
             yield t[0], seq, qual, flag
 
 
-def iter_bam_reads(path: str) -> Iterator[tuple[bytes, bytes, bytes, int]]:
+def iter_bam_reads(
+    path: str, keep_secondary: bool = False
+) -> Iterator[tuple[bytes, bytes, bytes, int]]:
     from .bam import read_bam
 
+    skip = FLAG_SUPPLEMENTARY if keep_secondary else (
+        FLAG_SECONDARY | FLAG_SUPPLEMENTARY
+    )
     _, _, records = read_bam(path)
     for r in records:
-        if r.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY):
+        if r.flag & skip:
             continue
         seq, qual = r.seq, r.qual
         if r.flag & FLAG_RC:
@@ -94,13 +107,18 @@ def _to_batch(records: list[tuple[bytes, bytes, bytes]], max_len: int) -> ReadBa
 
 
 def single_batches(
-    path: str, batch_size: int = 1024, max_len: int = 128
+    path: str, batch_size: int = 1024, max_len: int = 128,
+    keep_secondary: bool = False,
 ) -> Iterator[ReadBatch]:
     kind = input_kind(path)
     if kind == "fastq":
         yield from read_batches(path, batch_size, max_len)
         return
-    it = iter_sam_reads(path) if kind == "sam" else iter_bam_reads(path)
+    it = (
+        iter_sam_reads(path, keep_secondary)
+        if kind == "sam"
+        else iter_bam_reads(path, keep_secondary)
+    )
     buf = []
     for qname, seq, qual, _flag in it:
         buf.append((qname, seq, qual))
@@ -116,13 +134,18 @@ def paired_batches(
     path2: str | None,
     batch_size: int = 512,
     max_len: int = 128,
+    keep_secondary: bool = False,
 ) -> Iterator[tuple[ReadBatch, ReadBatch]]:
     kind = input_kind(path1)
     if kind == "fastq":
         yield from paired_read_batches(path1, path2, batch_size, max_len)
         return
     # SAM/BAM single stream: match mates by qname (PairedReadMatcher)
-    it = iter_sam_reads(path1) if kind == "sam" else iter_bam_reads(path1)
+    it = (
+        iter_sam_reads(path1, keep_secondary)
+        if kind == "sam"
+        else iter_bam_reads(path1, keep_secondary)
+    )
     pending: dict[bytes, tuple[bytes, bytes, bytes, int]] = {}
     buf1, buf2 = [], []
     for qname, seq, qual, flag in it:

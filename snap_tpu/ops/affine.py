@@ -77,7 +77,13 @@ def affine_extend(
     tlen: jax.Array,       # [N] i32 usable text length
     score_init: jax.Array, # [N] i32
     end_bonus: jax.Array,  # [N] i32
+    match: int = AG_MATCH,       # -gm/-gs/-go/-ge penalties
+    sub: int = AG_MISMATCH,      # (AlignerOptions.cpp:702-768)
+    gap_open: int = AG_GAP_OPEN,
+    gap_extend: int = AG_GAP_EXTEND,
 ) -> ExtendResult:
+    OPEN = gap_open + gap_extend
+    EXT = gap_extend
     N, L = pattern.shape
     T = text.shape[1]
     jcols = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -130,7 +136,7 @@ def affine_extend(
         is_n = (tb >= 4) | (pattern >= 4)
         eq = tb == pattern
         s = jnp.where(is_n, np.int32(-1),
-                      jnp.where(eq, np.int32(AG_MATCH), np.int32(-AG_MISMATCH)))
+                      jnp.where(eq, np.int32(match), np.int32(-sub)))
         # probability-model mismatch: code inequality (N==N is a match)
         mism = ~eq
 

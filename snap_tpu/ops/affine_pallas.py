@@ -25,15 +25,18 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import AG_MATCH, AG_MISMATCH
+from ..constants import (
+    AG_GAP_EXTEND,
+    AG_GAP_OPEN,
+    AG_MATCH,
+    AG_MISMATCH,
+)
 from .affine import (
-    EXT,
     ExtendResult,
     LOG_GAP_EXTEND,
     LOG_GAP_OPEN,
     NEG_F,
     NEG_I,
-    OPEN,
     _pack,
     finish_extend,
 )
@@ -46,7 +49,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(jc_ref, pat_ref, logq_ref, plen_ref, text_ref, tlen_ref,
-            sinit_ref, out_i_ref, out_f_ref, T: int, L: int):
+            sinit_ref, out_i_ref, out_f_ref, T: int, L: int,
+            MATCH: int, SUB: int, OPEN: int, EXT: int):
     R, LP = pat_ref.shape
     jcols = jc_ref[:]                    # [R, LP] 0..LP-1
     pattern = pat_ref[:]
@@ -98,7 +102,7 @@ def _kernel(jc_ref, pat_ref, logq_ref, plen_ref, text_ref, tlen_ref,
         eq = tb == pattern
         s = jnp.where(
             is_n, jnp.int32(-1),
-            jnp.where(eq, jnp.int32(AG_MATCH), jnp.int32(-AG_MISMATCH)),
+            jnp.where(eq, jnp.int32(MATCH), jnp.int32(-SUB)),
         )
         mism = ~eq
 
@@ -263,6 +267,10 @@ def affine_extend_pallas(
     score_init: jax.Array, # [N] i32
     end_bonus: jax.Array,  # [N] i32
     interpret: bool | None = None,
+    match: int = AG_MATCH,       # -gm/-gs/-go/-ge penalties
+    sub: int = AG_MISMATCH,
+    gap_open: int = AG_GAP_OPEN,
+    gap_extend: int = AG_GAP_EXTEND,
 ) -> ExtendResult:
     """Drop-in Pallas replacement for ops.affine.affine_extend."""
     N, L = pattern.shape
@@ -300,7 +308,10 @@ def affine_extend_pallas(
         return i, jnp.zeros_like(i)
 
     out_i, out_f = pl.pallas_call(
-        functools.partial(_kernel, T=T, L=L),
+        functools.partial(
+            _kernel, T=T, L=L, MATCH=match, SUB=sub,
+            OPEN=gap_open + gap_extend, EXT=gap_extend,
+        ),
         grid=(NP // R,),
         in_specs=[
             pl.BlockSpec((R, LP), _row0, memory_space=pltpu.VMEM),
