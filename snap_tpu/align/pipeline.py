@@ -174,16 +174,31 @@ def apply_front_clip(
 def reverse_complement_reads(
     bases: jax.Array, quals: jax.Array, len_eff: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
-    """RC of the clipped read, left-aligned; quals reversed to match."""
+    """RC of the clipped read, left-aligned; quals reversed to match.
+
+    flip + variable left-rotate by (L - len) in log2(L) masked static
+    rotations: a take_along_axis reversal is a [B, L] random-element
+    gather, which costs ~30x more than these shifted selects on TPU.
+    """
     B, L = bases.shape
+    fb = jnp.flip(bases, axis=1)
+    fq = jnp.flip(quals, axis=1)
+    sh = (L - len_eff).astype(jnp.int32)[:, None]  # [B, 1] in [0, L]
+    step = 1
+    while step < L:
+        take = (sh & step) != 0
+        fb = jnp.where(
+            take, jnp.concatenate([fb[:, step:], fb[:, :step]], axis=1), fb
+        )
+        fq = jnp.where(
+            take, jnp.concatenate([fq[:, step:], fq[:, :step]], axis=1), fq
+        )
+        step <<= 1
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-    src = len_eff[:, None] - 1 - pos
-    valid = src >= 0
-    srcc = jnp.clip(src, 0, L - 1).astype(jnp.int64)
-    b = jnp.take_along_axis(bases, srcc, axis=1)
-    comp = jnp.where(b < 4, 3 - b, b)
+    valid = pos < len_eff[:, None]
+    comp = jnp.where(fb < 4, 3 - fb, fb)
     rc_bases = jnp.where(valid, comp, np.uint8(4))
-    rc_quals = jnp.where(valid, jnp.take_along_axis(quals, srcc, axis=1), np.uint8(0))
+    rc_quals = jnp.where(valid, fq, np.uint8(0))
     return rc_bases, rc_quals
 
 
@@ -522,21 +537,29 @@ def _align_impl(
     BK = B * K
     flat_dir = cand_dir.reshape(-1)  # [B*K]
     read_ix = jnp.repeat(jnp.arange(B, dtype=jnp.int64), K)
-    pat = jnp.where(
-        (flat_dir == 1)[:, None], rc_bases[read_ix], bases[read_ix]
-    )
-    # phred->log-error lookup per READ ([B, L] element gathers), then a
-    # row gather to candidates: the naive logq_table[patq] is a [B*K, L]
-    # random-element gather and dominated the whole tier-1 step
+    # phred->log-error lookup per READ ([B, L] element gathers); the
+    # naive logq_table[patq] is a [B*K, L] random-element gather and
+    # dominated the whole tier-1 step
     logq_f = logq_table[quals.astype(jnp.int64)].astype(jnp.float32)
     logq_r = logq_table[rc_quals.astype(jnp.int64)].astype(jnp.float32)
-    pat_logq = jnp.where(
-        (flat_dir == 1)[:, None], logq_r[read_ix], logq_f[read_ix]
-    )
     plen = len_eff[read_ix]
     flat_loc = cand_loc.reshape(-1)           # [BK]
     flat_off = cand_off.reshape(-1)
     flat_valid = cand_valid.reshape(-1)
+    use_gapless_kernel = (
+        didx.genome_packed is not None
+        and didx.genome_bad16 is not None
+        and jax.default_backend() == "tpu"
+    )
+    if not use_gapless_kernel:
+        # candidate-row views (the fused kernel broadcasts per read
+        # inside VMEM instead of materializing these [B*K, L] arrays)
+        pat = jnp.where(
+            (flat_dir == 1)[:, None], rc_bases[read_ix], bases[read_ix]
+        )
+        pat_logq = jnp.where(
+            (flat_dir == 1)[:, None], logq_r[read_ix], logq_f[read_ix]
+        )
 
     # ---- Tier 1: gapless prescreen over packed words ----
     if didx.genome_packed is not None:
@@ -589,34 +612,132 @@ def _align_impl(
             return lo | hi  # [BK, W-1]
 
         aligned = align_words(words, phase, 2)
-        lanes = (
-            aligned[:, :, None] >> (2 * jnp.arange(16, dtype=jnp.uint32))
-        ) & np.uint32(3)
-        text_g = lanes.reshape(BK, (WW - 1) * 16)[:, :L].astype(jnp.uint8)
 
-        b0w = loc_c // 32
-        bphase = (loc_c % 32).astype(jnp.int32)
-        BW = L // 32 + 2
-        bwords = window_words(didx.genome_bad, b0w, BW)
-        baligned = align_words(bwords, bphase, 1)
-        badlanes = (
-            baligned[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)
-        ) & np.uint32(1)
-        text_bad = (
-            badlanes.reshape(BK, (BW - 1) * 32)[:, :L].astype(bool)
-        )
-        jl = jnp.arange(L, dtype=jnp.int32)[None, :]
-        in_read = jl < plen[:, None]
-        in_genome = (flat_loc[:, None] + jl) < G
-        mism = (
-            ((text_g != pat) | text_bad | (pat >= 4) | ~in_genome) & in_read
-        )
-        gapless_dist = mism.sum(axis=1).astype(jnp.int32)
-        gapless_logp = (
-            jnp.where(mism, pat_logq, 0.0).sum(axis=1)
-            + (plen - gapless_dist).astype(jnp.float32)
-            * np.float32(LOG_PERFECT)
-        )
+        if use_gapless_kernel:
+            from ..ops.gapless_pallas import gapless_prescreen_pallas
+
+            PW = (L + 15) // 16
+            t_w = aligned[:, :PW]
+            b16 = window_words(didx.genome_bad16, w0, WW)
+            bad_w = align_words(b16, phase, 2)[:, :PW]
+
+            def pack_pat16(mat):
+                padw = PW * 16 - L
+                m = jnp.pad(
+                    mat, ((0, 0), (0, padw)), constant_values=4
+                )
+                w = m.reshape(B, PW, 16).astype(jnp.uint32)
+                sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+                codes = jnp.where(w < np.uint32(4), w, np.uint32(0)) << sh
+                nb = (w >= np.uint32(4)).astype(jnp.uint32) << sh
+                return (
+                    jnp.sum(codes, axis=2, dtype=jnp.uint32),
+                    jnp.sum(nb, axis=2, dtype=jnp.uint32),
+                )
+
+            fw, fbad = pack_pat16(bases)
+            rw, rbad = pack_pat16(rc_bases)
+            gd2, glp_err = gapless_prescreen_pallas(
+                t_w.reshape(B, K * PW), bad_w.reshape(B, K * PW),
+                fw, rw, fbad, rbad, logq_f, logq_r,
+                cand_dir.astype(jnp.int32), len_eff, K, PW,
+            )
+            gapless_dist = gd2.reshape(-1)
+            gapless_logp = (
+                glp_err.reshape(-1)
+                + (plen - gapless_dist).astype(jnp.float32)
+                * np.float32(LOG_PERFECT)
+            )
+        elif didx.genome_bad16 is not None:
+            # XOR + popcount over 2-bit-packed words — the TPU form of
+            # SNAP's 64-bit XOR scan (LandauVishkin.h:377-407). Invalid
+            # text bases arrive pre-spread at even bit positions
+            # (genome_bad16, same word geometry, same funnel shift);
+            # read Ns and the in-read length mask are per-word planes.
+            PW = (L + 15) // 16
+            t_w = aligned[:, :PW]
+            b16 = window_words(didx.genome_bad16, w0, WW)
+            bad_w = align_words(b16, phase, 2)[:, :PW]
+
+            def pack_pat16(mat):
+                padw = PW * 16 - L
+                m = jnp.pad(
+                    mat, ((0, 0), (0, padw)), constant_values=4
+                )
+                w = m.reshape(B, PW, 16).astype(jnp.uint32)
+                sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+                codes = jnp.where(w < np.uint32(4), w, np.uint32(0)) << sh
+                nb = (w >= np.uint32(4)).astype(jnp.uint32) << sh
+                return (
+                    jnp.sum(codes, axis=2, dtype=jnp.uint32),
+                    jnp.sum(nb, axis=2, dtype=jnp.uint32),
+                )
+
+            fw, fbad = pack_pat16(bases)
+            rw, rbad = pack_pat16(rc_bases)
+            dsel = (flat_dir == 1)[:, None]
+            pat_w = jnp.where(dsel, rw[read_ix], fw[read_ix])
+            pat_b = jnp.where(dsel, rbad[read_ix], fbad[read_ix])
+            x = t_w ^ pat_w
+            mism_bits = (
+                ((x | (x >> np.uint32(1))) & np.uint32(0x55555555))
+                | bad_w
+                | pat_b
+            )
+            wbase = (16 * jnp.arange(PW, dtype=jnp.int32))[None, :]
+            r16 = jnp.clip(plen[:, None] - wbase, 0, 16).astype(jnp.uint32)
+            full = np.uint32(0x55555555)
+            partial = (
+                (jnp.uint32(1) << (np.uint32(2) * r16)) - np.uint32(1)
+            ) & full
+            lane_mask = jnp.where(r16 >= np.uint32(16), full, partial)
+            mism_bits = mism_bits & lane_mask
+            gapless_dist = jnp.sum(
+                jax.lax.population_count(mism_bits),
+                axis=1, dtype=jnp.int32,
+            )
+            mb = (
+                mism_bits[:, :, None]
+                >> (2 * jnp.arange(16, dtype=jnp.uint32))
+            ) & np.uint32(1)
+            mism = mb.reshape(BK, PW * 16)[:, :L].astype(bool)
+            gapless_logp = (
+                jnp.where(mism, pat_logq, 0.0).sum(axis=1)
+                + (plen - gapless_dist).astype(jnp.float32)
+                * np.float32(LOG_PERFECT)
+            )
+        else:
+            lanes = (
+                aligned[:, :, None]
+                >> (2 * jnp.arange(16, dtype=jnp.uint32))
+            ) & np.uint32(3)
+            text_g = (
+                lanes.reshape(BK, (WW - 1) * 16)[:, :L].astype(jnp.uint8)
+            )
+            b0w = loc_c // 32
+            bphase = (loc_c % 32).astype(jnp.int32)
+            BW = L // 32 + 2
+            bwords = window_words(didx.genome_bad, b0w, BW)
+            baligned = align_words(bwords, bphase, 1)
+            badlanes = (
+                baligned[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)
+            ) & np.uint32(1)
+            text_bad = (
+                badlanes.reshape(BK, (BW - 1) * 32)[:, :L].astype(bool)
+            )
+            jl = jnp.arange(L, dtype=jnp.int32)[None, :]
+            in_read = jl < plen[:, None]
+            in_genome = (flat_loc[:, None] + jl) < G
+            mism = (
+                ((text_g != pat) | text_bad | (pat >= 4) | ~in_genome)
+                & in_read
+            )
+            gapless_dist = mism.sum(axis=1).astype(jnp.int32)
+            gapless_logp = (
+                jnp.where(mism, pat_logq, 0.0).sum(axis=1)
+                + (plen - gapless_dist).astype(jnp.float32)
+                * np.float32(LOG_PERFECT)
+            )
     else:  # no packed genome available: force everything through the DP
         gapless_dist = jnp.full((BK,), np.int32(1 << 20))
         gapless_logp = jnp.zeros((BK,), jnp.float32)
@@ -680,8 +801,18 @@ def _align_impl(
     sel_idx = sel_idx.astype(jnp.int64)
     sel_live = needs_dp[sel_idx]
 
+    if use_gapless_kernel:
+        # build the oriented pattern rows for just the DP subset (the
+        # full [B*K, L] views are never materialized on this path)
+        sel_read = read_ix[sel_idx]
+        sel_rc = (flat_dir[sel_idx] == 1)[:, None]
+        pat_sel = jnp.where(sel_rc, rc_bases[sel_read], bases[sel_read])
+        logq_sel = jnp.where(sel_rc, logq_r[sel_read], logq_f[sel_read])
+    else:
+        pat_sel = pat[sel_idx]
+        logq_sel = pat_logq[sel_idx]
     sub = _score_rows(
-        didx, pat[sel_idx], pat_logq[sel_idx], plen[sel_idx],
+        didx, pat_sel, logq_sel, plen[sel_idx],
         flat_loc[sel_idx], flat_off[sel_idx], flat_dir[sel_idx],
         sel_live, params, L, margin, W,
     )

@@ -41,6 +41,11 @@ class DeviceIndex(NamedTuple):
     # is laid out for row gathers. Requires hits length < 2^31
     # (shard-local hit arrays always are). None => per-array fallback.
     table_payload: jax.Array | None = None
+    # Per-base invalid mask at EVEN bit positions, 16 bases per u32 word
+    # — the same geometry as genome_packed, so one funnel shift aligns
+    # both and mismatches reduce to XOR + popcount (the TPU form of
+    # SNAP's 64-bit XOR scan). Words past the genome end are all-bad.
+    genome_bad16: jax.Array | None = None
 
 
 def pack_genome_words(bases: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -62,6 +67,18 @@ def pack_genome_words(bases: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         lane = isbad[i::32]
         bad[: len(lane)] |= lane << np.uint32(i)
     return packed, bad
+
+
+def pack_bad16(bases: np.ndarray, n_words: int) -> np.ndarray:
+    """Invalid-base mask at even bit positions, 16 bases/word, padded to
+    n_words with all-bad words (same geometry as the packed codes)."""
+    g = np.asarray(bases)
+    ext = np.ones(n_words * 16, dtype=np.uint32)
+    ext[: g.shape[0]] = g >= 4
+    bad16 = np.zeros(n_words, dtype=np.uint32)
+    for i in range(16):
+        bad16 |= ext[i::16] << np.uint32(2 * i)
+    return bad16
 
 
 def make_device_index(arrays: dict, genome_bases: np.ndarray) -> DeviceIndex:
@@ -89,6 +106,9 @@ def make_device_index(arrays: dict, genome_bases: np.ndarray) -> DeviceIndex:
         genome_packed=jnp.asarray(packed),
         genome_bad=jnp.asarray(bad),
         table_payload=None if payload is None else jnp.asarray(payload),
+        genome_bad16=jnp.asarray(
+            pack_bad16(genome_bases, packed.shape[0])
+        ),
     )
 
 
