@@ -1219,7 +1219,7 @@ def align_winners_device(
     lens: jax.Array,
     first_alt_start: jax.Array,  # [] int64 (traced: no recompile per genome)
     params: AlignParams,
-    dp_rows: int = 2048,
+    dp_rows: int = 1024,
     alt_awareness: bool = True,
     max_score_gap: int = 64,
 ):
