@@ -235,6 +235,13 @@ class GenomeIndex:
         self.max_probe: int = arrays["max_probe"]
         gb = np.asarray(genome.bases)
         self._n_hits = int(np.asarray(arrays["hits"]).shape[0])
+        # host copies for save(): pulling the arrays back from the
+        # device would be a slow D2H round trip of the whole index
+        self._host_arrays = {
+            k: np.asarray(arrays[k])
+            for k in ("hits", "table_keys", "table_start", "table_n0",
+                      "table_n1")
+        }
         self.device = make_device_index(arrays, gb)
 
     @classmethod
@@ -266,10 +273,6 @@ class GenomeIndex:
         arrays = {
             "seed_len": self.seed_len,
             "max_probe": self.max_probe,
-            "hits": np.asarray(self.device.hits)[: self._n_hits],
-            "table_keys": np.asarray(self.device.table_keys),
-            "table_start": np.asarray(self.device.table_start),
-            "table_n0": np.asarray(self.device.table_n0),
-            "table_n1": np.asarray(self.device.table_n1),
+            **self._host_arrays,
         }
         save_index(arrays, self.genome_meta, directory)
