@@ -1219,16 +1219,22 @@ def align_winners_device(
     lens: jax.Array,
     first_alt_start: jax.Array,  # [] int64 (traced: no recompile per genome)
     params: AlignParams,
-    dp_rows: int = 1024,
+    dp_rows: int | None = None,
     alt_awareness: bool = True,
     max_score_gap: int = 64,
 ):
     """Single-dispatch fast path: align + device finalize.
 
-    Returns (winners, full SingleAlignOut). The caller fetches only the
-    winners; the full per-candidate output stays device-resident for
-    the rare fallback rows (gather_merged_rows).
+    Returns (packed winners [B+1, 16] int32, full SingleAlignOut).
+    Winners cross device->host as ONE array — per-leaf fetches each pay
+    a full link round trip. Row B carries the dp_overflow flag. The
+    full per-candidate output stays device-resident for the rare
+    fallback rows (gather_merged_rows). dp_rows defaults to ~0.4% of
+    B*K (the DP-needing fraction is ~0.25% on 1%-error reads); the
+    overflow flag redoes gappier batches via the host-gated path.
     """
+    if dp_rows is None:
+        dp_rows = max(1024, (bases.shape[0] * params.max_cand) // 256)
     out, needs_total = _align_impl(
         didx, bases, quals, lens, params,
         tier1_only=False, dp_rows=dp_rows, return_needs=True,
@@ -1237,7 +1243,48 @@ def align_winners_device(
         out, first_alt_start, alt_awareness, max_score_gap,
         params.use_affine_gap, needs_total, dp_rows,
     )
-    return win, out
+    return pack_winners(win), out
+
+
+WINNER_COLS = (
+    "found", "fallback", "cand_k", "direction", "dist", "mapq",
+    "end_loc", "body_loc", "clip_before", "clip_after", "escalated",
+    "indels", "len_eff", "popular", "valid_count", "esc_count",
+)
+
+
+def pack_winners(win: WinnerOut) -> jax.Array:
+    """[B+1, 16] int32: winner fields columnwise (uint32 locations
+    bitcast), dp_overflow in the extra row's column 0."""
+    cols = []
+    for name in WINNER_COLS:
+        c = getattr(win, name)
+        if c.dtype == jnp.uint32:
+            c = jax.lax.bitcast_convert_type(c, jnp.int32)
+        cols.append(c.astype(jnp.int32))
+    arr = jnp.stack(cols, axis=1)
+    tail = (
+        jnp.zeros((1, len(WINNER_COLS)), jnp.int32)
+        .at[0, 0]
+        .set(win.dp_overflow.astype(jnp.int32))
+    )
+    return jnp.concatenate([arr, tail], axis=0)
+
+
+class HostWinners:
+    """Host-side view of a fetched packed-winner array, presenting the
+    WinnerOut field names as numpy columns."""
+
+    def __init__(self, packed: np.ndarray):
+        body, meta = packed[:-1], packed[-1]
+        self.dp_overflow = bool(meta[0])
+        for j, name in enumerate(WINNER_COLS):
+            col = body[:, j]
+            if name in ("end_loc", "body_loc"):
+                col = col.astype(np.int64) & 0xFFFFFFFF
+            elif name in ("found", "fallback", "escalated"):
+                col = col.astype(bool)
+            setattr(self, name, col)
 
 
 @jax.jit

@@ -467,11 +467,13 @@ class SingleEndAligner:
         import jax
         import jax.numpy as jnp
 
-        from .pipeline import align_tier1, gather_merged_rows
+        from .pipeline import (
+            HostWinners, align_tier1, gather_merged_rows,
+        )
         from .post import finalize_read
 
         (_, win_dev, out_dev, dev_bases, dev_quals, dev_lens) = handles
-        win = jax.device_get(win_dev)
+        win = HostWinners(jax.device_get(win_dev))
         if bool(win.dp_overflow):
             # DP tier truncated (extremely gappy batch): redo through the
             # host-gated two-phase path, which sizes the tier exactly
