@@ -16,6 +16,7 @@
 //
 // Build: make -C native  (g++ -O3 -shared -fPIC, links -lz -lpthread)
 
+#include <vector>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -294,3 +295,121 @@ void snapio_reverse_complement(const char* seq, int64_t n, char* out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Affine-gap global-in-pattern DP + traceback (scalar). Semantics are
+// an exact mirror of align/agcigar.py ag_global_alignment (itself the
+// AffineGapVectorizedWithCigar::computeGlobalScore equivalent,
+// AffineGapVectorized.h:1377-1460): gaps open from M only, best global
+// readout at the last pattern column with ties preferring the later
+// text row, and the same traceback tie rules. Emits run-length ops in
+// traceback (reverse-alignment) order. Returns the number of runs, or
+// -1 on overflow/no-alignment; *text_used_out = rows consumed.
+extern "C" int32_t snapio_ag_traceback(
+    const uint8_t* text, int64_t tlen,
+    const uint8_t* pattern, int64_t plen,
+    int32_t open_cost, int32_t ext_cost,
+    int32_t match_sc, int32_t sub_sc,
+    uint8_t* ops_out, int32_t* counts_out, int32_t max_ops,
+    int32_t* text_used_out) {
+    const int32_t NEG = -10000000;
+    if (plen <= 0 || tlen <= 0) return -1;
+    const int64_t T = tlen, L = plen;
+    std::vector<int32_t> Mm(T * L), Ee(T * L), Ff(T * L);
+    std::vector<int32_t> h_prev(L), e(L, NEG);
+    for (int64_t j = 0; j < L; j++)
+        h_prev[j] = -(open_cost + (int32_t)j * ext_cost);
+    int32_t best = NEG;
+    int64_t best_row = -1;
+    for (int64_t i = 0; i < T; i++) {
+        int32_t h_init =
+            (i == 0) ? 0 : -(open_cost + (int32_t)(i - 1) * ext_cost);
+        int32_t* mrow = &Mm[i * L];
+        int32_t* erow = &Ee[i * L];
+        int32_t* frow = &Ff[i * L];
+        uint8_t tb = text[i];
+        // m from the diagonal
+        int32_t prev_diag = h_init;
+        int32_t pmax = NEG;  // running max of m[l] - open + l*ext
+        int32_t hj;
+        for (int64_t j = 0; j < L; j++) {
+            uint8_t pb = pattern[j];
+            int32_t s = (tb >= 4 || pb >= 4)
+                            ? -1
+                            : (tb == pb ? match_sc : -sub_sc);
+            int32_t m = prev_diag + s;
+            int32_t f = (j == 0)
+                            ? NEG
+                            : pmax - (int32_t)(j - 1) * ext_cost;
+            mrow[j] = m;
+            erow[j] = e[j];
+            frow[j] = f;
+            hj = m;
+            if (e[j] > hj) hj = e[j];
+            if (f > hj) hj = f;
+            int32_t cand = m - open_cost + (int32_t)j * ext_cost;
+            if (cand > pmax) pmax = cand;
+            int32_t e_new = e[j] - ext_cost;
+            int32_t e_alt = m - open_cost;
+            e[j] = e_new > e_alt ? e_new : e_alt;
+            prev_diag = h_prev[j];
+            h_prev[j] = hj;
+        }
+        if (h_prev[L - 1] >= best) {
+            best = h_prev[L - 1];
+            best_row = i;
+        }
+    }
+    if (best_row < 0) return -1;
+    *text_used_out = (int32_t)(best_row + 1);
+
+    // traceback
+    int64_t i = best_row, j = L - 1;
+    int32_t n_runs = 0;
+    char state = 'H';
+    auto push = [&](char a) -> bool {
+        if (n_runs > 0 && (char)ops_out[n_runs - 1] == a) {
+            counts_out[n_runs - 1]++;
+            return true;
+        }
+        if (n_runs >= max_ops) return false;
+        ops_out[n_runs] = (uint8_t)a;
+        counts_out[n_runs] = 1;
+        n_runs++;
+        return true;
+    };
+    while (i >= 0 && j >= 0) {
+        if (state == 'H') {
+            int32_t m = Mm[i * L + j], ev = Ee[i * L + j],
+                    fv = Ff[i * L + j];
+            if (fv > (m > ev ? m : ev)) {
+                state = 'I';
+            } else if (ev > m) {
+                state = 'D';
+            } else {
+                if (!push('M')) return -1;
+                i--;
+                j--;
+            }
+        } else if (state == 'D') {
+            if (!push('D')) return -1;
+            bool cont =
+                i >= 1 && (Ee[(i - 1) * L + j] - ext_cost >
+                           Mm[(i - 1) * L + j] - open_cost);
+            i--;
+            state = cont ? 'D' : 'H';
+        } else {  // I
+            if (!push('I')) return -1;
+            bool cont =
+                j >= 1 && (Ff[i * L + j - 1] - ext_cost >
+                           Mm[i * L + j - 1] - open_cost);
+            j--;
+            state = cont ? 'I' : 'H';
+        }
+    }
+    for (; i >= 0; i--)
+        if (!push('D')) return -1;
+    for (; j >= 0; j--)
+        if (!push('I')) return -1;
+    return n_runs;
+}

@@ -51,6 +51,11 @@ def ag_global_alignment(text: np.ndarray, pattern: np.ndarray):
     L, T = len(pattern), len(text)
     if L == 0:
         return [], 0
+    from ..io.native import ag_traceback
+
+    nat = ag_traceback(text, pattern, OPEN, EXT, AG_MATCH, AG_MISMATCH)
+    if nat is not None:
+        return nat
     # DP matrices: H/E/F over [T, L]; E[i][j] from row i-1, F within row.
     M = np.full((T, L), NEG, dtype=np.int64)   # H actually (max of M,E,F)
     Mm = np.full((T, L), NEG, dtype=np.int64)  # the match-state component

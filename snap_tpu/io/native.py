@@ -66,8 +66,51 @@ def load():
         ]
         lib.snapio_bgzf_bound.restype = ctypes.c_int64
         lib.snapio_bgzf_bound.argtypes = [ctypes.c_int64]
+        try:
+            lib.snapio_ag_traceback.restype = ctypes.c_int32
+            lib.snapio_ag_traceback.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+        except AttributeError:
+            pass  # stale library without the traceback entry point
         _lib = lib
         return _lib
+
+
+def ag_traceback(text, pattern, open_cost, ext_cost, match_sc, sub_sc):
+    """Native affine-gap DP + traceback; None if unavailable.
+
+    Returns (runs, text_used) with runs = [[op, count], ...] in
+    traceback order, matching agcigar.ag_global_alignment."""
+    import numpy as np
+
+    lib = load()
+    if lib is None or not hasattr(lib, "snapio_ag_traceback"):
+        return None
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    p = np.ascontiguousarray(pattern, dtype=np.uint8)
+    max_ops = int(len(t) + len(p) + 4)
+    ops = np.empty(max_ops, dtype=np.uint8)
+    counts = np.empty(max_ops, dtype=np.int32)
+    used = ctypes.c_int32(0)
+    n = lib.snapio_ag_traceback(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(t),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(p),
+        open_cost, ext_cost, match_sc, sub_sc,
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_ops, ctypes.byref(used),
+    )
+    if n < 0:
+        return None
+    runs = [[chr(ops[i]), int(counts[i])] for i in range(n)]
+    return runs, int(used.value)
 
 
 def available() -> bool:
