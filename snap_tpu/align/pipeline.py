@@ -219,7 +219,11 @@ def _score_rows(
     """Tier 2: full fitting DP + affine-gap head/tail on M rows."""
     from ..ops.dp import LOG_PERFECT
 
-    if jax.default_backend() == "tpu":
+    # the Pallas kernels pack a lane index into low bits of int32
+    # scores: the fitting DP carries 9 column bits (windows <= 512
+    # text chars), the affine kernel 8 (patterns <= 256). Long-read
+    # shapes (-rl, snapxl-style) fall back to the jnp recurrences.
+    if jax.default_backend() == "tpu" and L + params.max_k + 1 <= 256:
         from ..ops.affine_pallas import (
             affine_extend_pallas as affine_extend,
         )
@@ -237,7 +241,7 @@ def _score_rows(
     cols = jnp.arange(W, dtype=jnp.int64)[None, :]
     text = gather_genome(win_start[:, None] + cols)
 
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and W + 1 <= 512:
         # Pallas kernel: whole DP resident in VMEM (the jnp fallback
         # round-trips state through HBM per pattern row)
         from ..ops.dp_pallas import fitting_edit_distance_pallas
