@@ -51,7 +51,7 @@ class AlignParams:
     hit_cap: int = 32                 # fixed gather width per (seed, dir)
     max_hits: int = DEFAULT_MAX_HITS  # popular-seed skip threshold
     max_k: int = DEFAULT_MAX_DIST
-    max_cand: int = 32                # candidates scored per read
+    max_cand: int = 16                # candidates scored per read
     max_probe: int = 32
     explore_popular: bool = False     # -x: score popular seeds' first hits
     extra_search_depth: int = 1       # -D (subsumed by exhaustive top-K
