@@ -236,6 +236,7 @@ class SingleEndAligner:
         internal_score_tag: str | None = None, # -is
         read_secondary: bool = False,          # -sa
         attach_times: bool = False,            # -at
+        kill_if_too_slow: bool = False,        # -kts
     ):
         self.index = index
         self.params = params or AlignParams(
@@ -260,6 +261,9 @@ class SingleEndAligner:
         self.internal_score_tag = internal_score_tag
         self.read_secondary = read_secondary
         self.attach_times = attach_times
+        self.kill_if_too_slow = kill_if_too_slow
+        self._kts_last_check = 0.0
+        self._kts_writes = 0
         self._batch_us_per_read = 0
         cs = sorted(index.genome_meta.contigs, key=lambda c: c.start)
         self.contig_bounds = (
@@ -617,6 +621,27 @@ class SingleEndAligner:
                     self._emit(writer, pbatch, i, res)
                 self.stats.seconds_writing += time.time() - tw
                 progress.update(len(pbatch))
+                if self.kill_if_too_slow:
+                    # -kts watchdog (ReadWriter.cpp:144-165): fewer than
+                    # 1000 writes/s over a 5-minute check period usually
+                    # means memory thrash; give up instead of crawling
+                    self._kts_writes += len(pbatch)
+                    now = time.time()
+                    if self._kts_last_check == 0.0:
+                        self._kts_last_check = now
+                    elif now - self._kts_last_check >= 300.0:
+                        if self._kts_writes < 5 * 60 * 1000:
+                            from ..errors import write_error
+
+                            write_error(
+                                f"Only wrote {self._kts_writes} reads "
+                                "during a 5 minute check period; "
+                                "probably out of memory — giving up "
+                                "because of -kts"
+                            )
+                            raise SystemExit(1)
+                        self._kts_last_check = now
+                        self._kts_writes = 0
             if sub is None:
                 break
             pending = sub

@@ -35,6 +35,8 @@ def cmd_index(args: list[str]) -> int:
     alt_liftover = None
     padding = None
     histogram_file = None
+    name_terminators = ""
+    space_terminates = True
     i = 2
 
     def read_name_file(path: str) -> set[str]:
@@ -69,12 +71,17 @@ def cmd_index(args: list[str]) -> int:
             # build threads / slave-memory spill: the builder is a
             # handful of vectorized numpy passes, not a per-seed loop
             i += 2
-        elif a in ("-keysize", "-locationSize", "-h", "-B"):
+        elif a in ("-keysize", "-locationSize", "-h"):
             # reference on-disk knobs; our packed layout derives these
             # from the seed length automatically (see index/build.py)
             i += 2
-        elif a in ("-exact", "-large", "-bSpace", "-bSpace-", "-hc",
-                   "-hc-", "-q", "-qq"):
+        elif a == "-bSpace":
+            space_terminates = True; i += 1
+        elif a == "-bSpace-":
+            space_terminates = False; i += 1
+        elif a.startswith("-B") and len(a) > 2:
+            name_terminators = a[2:]; i += 1
+        elif a in ("-exact", "-large", "-hc", "-hc-", "-q", "-qq"):
             i += 1
         else:
             print(f"ignoring unknown index option {a}", file=sys.stderr)
@@ -93,6 +100,8 @@ def cmd_index(args: list[str]) -> int:
         auto_alt=auto_alt,
         max_alt_contig_size=max_alt_contig_size,
         alt_liftover=alt_liftover,
+        name_terminators=name_terminators,
+        space_terminates=space_terminates,
     )
     print(f"Building index (seed {seed_len})...", file=sys.stderr)
     idx = GenomeIndex.build(genome, seed_len)
@@ -187,6 +196,7 @@ def cmd_single(args: list[str]) -> int:
         internal_score_tag=opts["is_tag"],
         read_secondary=opts["read_secondary"],
         attach_times=opts["at"],
+        kill_if_too_slow=opts["kts"],
     )
 
     def run_all(writer):
@@ -216,7 +226,7 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         "clip_back": True, "sort_memory_mb": None, "sort_tmp_dir": None,
         "is_tag": None, "fmb": 3, "en": 3, "eg": 24,
         "read_secondary": False, "at": False, "sam_no_sq": False,
-        "quiet": False, "very_quiet": False, "hdp": False,
+        "quiet": False, "very_quiet": False, "hdp": False, "kts": False,
     }
     # Performance knobs whose concerns don't exist in this design
     # (mmap/prefetch/huge pages/processor binding/write buffers are
@@ -231,7 +241,7 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
     # fallback seed count — the batched chimeric fallback reuses the
     # pair wavefront's candidates, so these have no separate knob.
     noop_flags = {"-map", "-map-", "-pre", "-pre-", "-hp", "-b-", "-P",
-                  "-di", "-kts", "-lp", "-nu", "-no", "-nt", "-ne",
+                  "-di", "-lp", "-nu", "-no", "-nt", "-ne",
                   "-nb", "-ni", "-B", "-eh", "-eh-", "-ins-", "-proAg"}
     noop_with_arg = {"-wbs", "-mcp", "-xf", "-es", "-N"}
     i = 0
@@ -409,6 +419,8 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
             o["very_quiet"] = True; i += 1
         elif a == "-hdp":
             o["hdp"] = True; i += 1
+        elif a == "-kts":
+            o["kts"] = True; i += 1
         elif a.startswith("-C") and len(a) == 4 and set(a[2:]) <= {"+", "-"}:
             # -C<front><back> with '+' = clip low-quality bases from that
             # end, '-' = don't; default back only, -C-+

@@ -192,6 +192,8 @@ def load_fasta(
     auto_alt: bool = True,
     max_alt_contig_size: int = 0,
     alt_liftover: dict[str, tuple[str, int, bool]] | None = None,
+    name_terminators: str = "",     # -B chars (GenomeIndex.cpp:63-68)
+    space_terminates: bool = True,  # -bSpace[-]
 ) -> Genome:
     """Parse a (optionally gzipped) FASTA into a padded Genome.
 
@@ -220,8 +222,17 @@ def load_fasta(
                 if names:
                     flush()
                     cur.clear()
-                # Contig name terminates at first whitespace (SNAP default)
-                names.append(line[1:].split()[0].decode())
+                # contig name ends at the first terminator: whitespace
+                # by default (-bSpace), plus any -B characters
+                # (GenomeIndex.cpp:63-68)
+                nm = line[1:].decode()
+                cut = len(nm)
+                terms = name_terminators + (" \t" if space_terminates else "")
+                for ch in terms:
+                    j = nm.find(ch)
+                    if j >= 0:
+                        cut = min(cut, j)
+                names.append(nm[:cut])
             else:
                 cur.append(line)
         if names:
