@@ -48,7 +48,7 @@ QUAL_CLIP = ord("#")  # ClipBack threshold quality (Read.h:88-108)
 class AlignParams:
     seed_len: int = DEFAULT_SEED_LEN
     num_seeds: int = DEFAULT_NUM_SEEDS_SINGLE  # SNAP -n (per-direction applications)
-    hit_cap: int = 32                 # fixed gather width per (seed, dir)
+    hit_cap: int = 16                 # fixed gather width per (seed, dir)
     max_hits: int = DEFAULT_MAX_HITS  # popular-seed skip threshold
     max_k: int = DEFAULT_MAX_DIST
     max_cand: int = 16                # candidates scored per read
