@@ -88,6 +88,17 @@ def test_single_end_indel_parity(snap_binary, tmp_path):
     assert exact / total >= 0.97, (exact, total)
 
 
+def test_custom_penalty_parity(snap_binary, tmp_path):
+    """-gs/-go plumbing: both aligners run with non-default affine-gap
+    penalties; records must still agree."""
+    exact, total = _run_harness(
+        tmp_path, snap_binary,
+        ["--indel-rate", "0.003", "--gs", "5", "--go", "8"],
+    )
+    assert total >= 120
+    assert exact / total >= 0.97, (exact, total)
+
+
 def test_paired_parity(snap_binary, tmp_path):
     exact, total = _run_harness(tmp_path, snap_binary, ["--paired"])
     assert total >= 200

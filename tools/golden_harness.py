@@ -205,7 +205,20 @@ def main():
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--paired", action="store_true")
+    # affine-gap penalty overrides, passed to BOTH aligners
+    ap.add_argument("--gm", type=int, default=None)
+    ap.add_argument("--gs", type=int, default=None)
+    ap.add_argument("--go", type=int, default=None)
+    ap.add_argument("--ge", type=int, default=None)
     args = ap.parse_args()
+    ag_cli = []
+    ag_params = {}
+    for flag, field in (("gm", "ag_match"), ("gs", "ag_sub"),
+                        ("go", "ag_open"), ("ge", "ag_extend")):
+        v = getattr(args, flag)
+        if v is not None:
+            ag_cli += [f"-{flag}", str(v)]
+            ag_params[field] = v
 
     os.makedirs(args.workdir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
@@ -231,7 +244,7 @@ def main():
         write_fastq(r2s, fq2)
         subprocess.run(
             [args.ref_binary, "paired", refidx, fq1, fq2, "-t", "1",
-             "-o", golden_sam],
+             "-o", golden_sam] + ag_cli,
             check=True, capture_output=True,
         )
     else:
@@ -243,7 +256,7 @@ def main():
         write_fastq(reads, fq)
         subprocess.run(
             [args.ref_binary, "single", refidx, fq, "-t", "1",
-             "-o", golden_sam],
+             "-o", golden_sam] + ag_cli,
             check=True, capture_output=True,
         )
 
@@ -264,6 +277,7 @@ def main():
 
         params = AlignParams(
             seed_len=args.seed_len, max_probe=index.max_probe,
+            **ag_params,
         )
         aligner = PairedEndAligner(
             index, params, batch_size=args.batch, max_read_len=L
@@ -275,7 +289,8 @@ def main():
         from snap_tpu.align.single import SingleEndAligner
 
         params = AlignParams(
-            seed_len=args.seed_len, max_probe=index.max_probe
+            seed_len=args.seed_len, max_probe=index.max_probe,
+            **ag_params,
         )
         aligner = SingleEndAligner(
             index, params, batch_size=args.batch, max_read_len=L
