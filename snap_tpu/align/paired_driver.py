@@ -63,6 +63,9 @@ class PairedEndAligner:
     min_ag_improvement: int = 24             # -eg
     flatten_mapq_at_or_below: int = 3        # -fmb
     read_secondary: bool = False             # -sa
+    force_kind: str | None = None            # -pairedFastq
+    force_gzip: bool = False                 # -pairedCompressed...
+    force_interleaved: bool = False          # -pairedInterleavedFastq
     attach_times: bool = False               # -at (accepted; paired
                                              # records carry no AT tag
                                              # in the reference either)
@@ -215,8 +218,10 @@ class PairedEndAligner:
         progress = ProgressReporter()
         batches = iter(
             paired_batches(
-            path1, path2, self.batch_size, self.max_read_len,
+            path1, None if self.force_interleaved else path2,
+            self.batch_size, self.max_read_len,
             keep_secondary=self.read_secondary,
+            force_kind=self.force_kind, force_gzip=self.force_gzip,
         )
         )
         while True:

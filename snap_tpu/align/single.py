@@ -237,6 +237,8 @@ class SingleEndAligner:
         read_secondary: bool = False,          # -sa
         attach_times: bool = False,            # -at
         kill_if_too_slow: bool = False,        # -kts
+        force_kind: str | None = None,         # -fastq
+        force_gzip: bool = False,              # -compressedFastq
     ):
         self.index = index
         self.params = params or AlignParams(
@@ -262,6 +264,8 @@ class SingleEndAligner:
         self.read_secondary = read_secondary
         self.attach_times = attach_times
         self.kill_if_too_slow = kill_if_too_slow
+        self.force_kind = force_kind
+        self.force_gzip = force_gzip
         self._kts_last_check = 0.0
         self._kts_writes = 0
         self._batch_us_per_read = 0
@@ -588,6 +592,7 @@ class SingleEndAligner:
             single_batches(
                 fastq_path, self.batch_size, self.max_read_len,
                 keep_secondary=self.read_secondary,
+                force_kind=self.force_kind, force_gzip=self.force_gzip,
             )
         )
         # pipelined loop: batch i+1 is dispatched to the device before

@@ -197,6 +197,8 @@ def cmd_single(args: list[str]) -> int:
         read_secondary=opts["read_secondary"],
         attach_times=opts["at"],
         kill_if_too_slow=opts["kts"],
+        force_kind=opts["force_kind"],
+        force_gzip=opts["force_gzip"],
     )
 
     def run_all(writer):
@@ -227,6 +229,7 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         "is_tag": None, "fmb": 3, "en": 3, "eg": 24,
         "read_secondary": False, "at": False, "sam_no_sq": False,
         "quiet": False, "very_quiet": False, "hdp": False, "kts": False,
+        "force_kind": None, "force_gzip": False, "interleaved": False,
     }
     # Performance knobs whose concerns don't exist in this design
     # (mmap/prefetch/huge pages/processor binding/write buffers are
@@ -421,6 +424,17 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
             o["hdp"] = True; i += 1
         elif a == "-kts":
             o["kts"] = True; i += 1
+        elif a == "-fastq":
+            o["force_kind"] = "fastq"; i += 1
+        elif a == "-compressedFastq":
+            o["force_kind"] = "fastq"; o["force_gzip"] = True; i += 1
+        elif a == "-pairedFastq":
+            o["force_kind"] = "fastq"; i += 1
+        elif a == "-pairedInterleavedFastq":
+            o["force_kind"] = "fastq"; o["interleaved"] = True; i += 1
+        elif a == "-pairedCompressedInterleavedFastq":
+            o["force_kind"] = "fastq"; o["force_gzip"] = True
+            o["interleaved"] = True; i += 1
         elif a.startswith("-C") and len(a) == 4 and set(a[2:]) <= {"+", "-"}:
             # -C<front><back> with '+' = clip low-quality bases from that
             # end, '-' = don't; default back only, -C-+
@@ -525,6 +539,9 @@ def cmd_paired(args: list[str]) -> int:
         flatten_mapq_at_or_below=opts["fmb"],
         read_secondary=opts["read_secondary"],
         attach_times=opts["at"],
+        force_kind=opts["force_kind"],
+        force_gzip=opts["force_gzip"],
+        force_interleaved=opts["interleaved"],
     )
     return _run_with_writer(
         index, "paired " + " ".join(args), opts,

@@ -34,17 +34,20 @@ class ReadBatch:
         return len(self.ids)
 
 
-def _open(path: str):
+def _open(path: str, force_gzip: bool = False):
     if path == "-":
         import sys
 
-        return sys.stdin.buffer
-    return gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")
+        raw = sys.stdin.buffer
+        return gzip.GzipFile(fileobj=raw) if force_gzip else raw
+    if force_gzip or path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
 
 
-def iter_fastq_records(path: str) -> Iterator[tuple[bytes, bytes, bytes]]:
+def iter_fastq_records(path: str, force_gzip: bool = False) -> Iterator[tuple[bytes, bytes, bytes]]:
     """Yield (id_line, seq, qual) byte tuples."""
-    with _open(path) as f:
+    with _open(path, force_gzip) as f:
         while True:
             id_line = f.readline()
             if not id_line:
@@ -88,7 +91,7 @@ def _native_read_batches(
     from . import native
 
     CHUNK = 8 << 20
-    with _open(path) as f:
+    with _open(path, force_gzip) as f:
         buf = b""
         eof = False
         while True:
@@ -119,16 +122,17 @@ def _native_read_batches(
 
 
 def read_batches(
-    path: str, batch_size: int = 4096, max_len: int = 400
+    path: str, batch_size: int = 4096, max_len: int = 400,
+    force_gzip: bool = False,
 ) -> Iterator[ReadBatch]:
     """Stream single-end batches. The final batch may be short."""
     from . import native
 
-    if native.available():
+    if native.available() and not force_gzip:
         yield from _native_read_batches(path, batch_size, max_len)
         return
     buf: list[tuple[bytes, bytes, bytes]] = []
-    for rec in iter_fastq_records(path):
+    for rec in iter_fastq_records(path, force_gzip):
         buf.append(rec)
         if len(buf) == batch_size:
             yield _to_batch(buf, max_len)
@@ -142,6 +146,7 @@ def paired_read_batches(
     path2: str | None = None,
     batch_size: int = 4096,
     max_len: int = 400,
+    force_gzip: bool = False,
 ) -> Iterator[tuple[ReadBatch, ReadBatch]]:
     """Paired batches: two files, or one interleaved file (path2=None)."""
     buf1: list[tuple[bytes, bytes, bytes]] = []
@@ -151,7 +156,7 @@ def paired_read_batches(
         return _to_batch(buf1, max_len), _to_batch(buf2, max_len)
 
     if path2 is None:
-        it = iter_fastq_records(path1)
+        it = iter_fastq_records(path1, force_gzip)
         for rec1 in it:
             try:
                 rec2 = next(it)
@@ -164,7 +169,8 @@ def paired_read_batches(
                 buf1, buf2 = [], []
     else:
         for rec1, rec2 in zip(
-            iter_fastq_records(path1), iter_fastq_records(path2), strict=True
+            iter_fastq_records(path1, force_gzip),
+            iter_fastq_records(path2, force_gzip), strict=True
         ):
             buf1.append(rec1)
             buf2.append(rec2)

@@ -109,10 +109,14 @@ def _to_batch(records: list[tuple[bytes, bytes, bytes]], max_len: int) -> ReadBa
 def single_batches(
     path: str, batch_size: int = 1024, max_len: int = 128,
     keep_secondary: bool = False,
+    force_kind: str | None = None,     # -fastq / -compressedFastq
+    force_gzip: bool = False,
 ) -> Iterator[ReadBatch]:
-    kind = input_kind(path)
+    kind = force_kind or input_kind(path)
     if kind == "fastq":
-        yield from read_batches(path, batch_size, max_len)
+        yield from read_batches(
+            path, batch_size, max_len, force_gzip=force_gzip
+        )
         return
     it = (
         iter_sam_reads(path, keep_secondary)
@@ -135,10 +139,14 @@ def paired_batches(
     batch_size: int = 512,
     max_len: int = 128,
     keep_secondary: bool = False,
+    force_kind: str | None = None,
+    force_gzip: bool = False,
 ) -> Iterator[tuple[ReadBatch, ReadBatch]]:
-    kind = input_kind(path1)
+    kind = force_kind or input_kind(path1)
     if kind == "fastq":
-        yield from paired_read_batches(path1, path2, batch_size, max_len)
+        yield from paired_read_batches(
+            path1, path2, batch_size, max_len, force_gzip=force_gzip
+        )
         return
     # SAM/BAM single stream: match mates by qname (PairedReadMatcher)
     it = (
