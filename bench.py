@@ -7,8 +7,8 @@ v5e-16 (BASELINE.md), i.e. 312,500 reads/s/chip. vs_baseline is
 measured reads/s/chip divided by that.
 
 The measured step is the jitted align wavefront (seed lookup, candidate
-generation, DP scoring) on synthetic 100bp reads over a 4.6Mbp
-E. coli-scale genome — BASELINE config 1 (E. coli single-end LV).
+generation, DP scoring) on synthetic 100bp reads over a 1Mbp random
+genome — a proxy for BASELINE config 1 (E. coli single-end LV).
 """
 
 from __future__ import annotations

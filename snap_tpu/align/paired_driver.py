@@ -18,7 +18,6 @@ from ..constants import (
     DEFAULT_MAX_SPACING,
     DEFAULT_MIN_READ_LENGTH,
     DEFAULT_MIN_SPACING,
-    DEFAULT_NUM_SEEDS_PAIRED,
     MAPQ_LIMIT_FOR_SINGLE_HIT,
 )
 from ..index.index import GenomeIndex
@@ -247,9 +246,17 @@ class PairedEndAligner:
     @staticmethod
     def _check_ids(b0: ReadBatch, b1: ReadBatch) -> None:
         """Mate read-ID agreement (PairedAligner.cpp:520-528; -I skips)."""
+        def mate_key(rid: bytes) -> bytes:
+            k = rid.split()[0]
+            # strip exactly one "/1" or "/2" mate suffix (readIdsMatch
+            # allows the digit after '/' to differ; Read.h)
+            if k[-2:] in (b"/1", b"/2"):
+                k = k[:-2]
+            return k
+
         for id0, id1 in zip(b0.ids, b1.ids):
-            k0 = id0.split()[0].rstrip(b"/12")
-            k1 = id1.split()[0].rstrip(b"/12")
+            k0 = mate_key(id0)
+            k1 = mate_key(id1)
             if k0 != k1:
                 raise ValueError(
                     f"mismatched paired read IDs {id0!r} / {id1!r} "

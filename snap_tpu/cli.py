@@ -518,6 +518,12 @@ def cmd_paired(args: list[str]) -> int:
     from .align.paired_driver import PairedEndAligner
 
     index = _load_index_cached(index_dir)
+    if "num_seeds" not in opts["overrides"]:
+        # paired default is -n 8, not the single-end 25
+        # (AlignerOptions.cpp:107-117, PairedAligner.cpp)
+        from .constants import DEFAULT_NUM_SEEDS_PAIRED
+
+        opts["overrides"]["num_seeds"] = DEFAULT_NUM_SEEDS_PAIRED
     params = AlignParams(
         seed_len=index.seed_len,
         max_probe=index.max_probe,

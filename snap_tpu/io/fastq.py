@@ -84,7 +84,7 @@ def _to_batch(records: list[tuple[bytes, bytes, bytes]], max_len: int) -> ReadBa
 
 
 def _native_read_batches(
-    path: str, batch_size: int, max_len: int
+    path: str, batch_size: int, max_len: int, force_gzip: bool = False
 ) -> Iterator[ReadBatch]:
     """Batch scan via the native runtime (native/snapio.cpp), the
     equivalent of SNAP's C++ FASTQReader hot loop."""
@@ -128,8 +128,8 @@ def read_batches(
     """Stream single-end batches. The final batch may be short."""
     from . import native
 
-    if native.available() and not force_gzip:
-        yield from _native_read_batches(path, batch_size, max_len)
+    if native.available():
+        yield from _native_read_batches(path, batch_size, max_len, force_gzip)
         return
     buf: list[tuple[bytes, bytes, bytes]] = []
     for rec in iter_fastq_records(path, force_gzip):
