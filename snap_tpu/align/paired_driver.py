@@ -35,8 +35,9 @@ from ..io.sam import (
     SamWriter,
 )
 from ..stats import AlignerStats, ProgressReporter
+from .intersect import IntersectParams, paired_candidates
 from .paired import finalize_pair
-from .pipeline import AlignParams, align_tier1, two_phase_merge
+from .pipeline import AlignParams, score_candidates, two_phase_merge
 from .single import winner_record
 
 
@@ -122,14 +123,38 @@ class PairedEndAligner:
     def align_batch(self, b0: ReadBatch, b1: ReadBatch):
         import jax.numpy as jnp
 
+        from ..index.host_lookup import host_clip_back
+
         n = len(b0)
         B = self.batch_size
         bases, quals, lens = self._pad_two(b0, b1)
         dev_bases = jnp.asarray(bases)
         dev_quals = jnp.asarray(quals)
-        t1 = align_tier1(
-            self.index.device, dev_bases, dev_quals, jnp.asarray(lens),
-            self.params,
+
+        # Phases 1-2 of the intersecting aligner on the host: full
+        # per-seed hit lists, fuzzy mate windows, bestPossibleScore
+        # bounds (align/intersect.py). Scoring stays on device.
+        len_eff = (
+            host_clip_back(quals, lens)
+            if self.params.clip_back
+            else lens.astype(np.int32)
+        )
+        pc = paired_candidates(
+            self.index.host, bases, len_eff, B,
+            IntersectParams(
+                seed_len=self.params.seed_len,
+                num_seeds=self.params.num_seeds,
+                max_cand=self.params.max_cand,
+                min_spacing=self.min_spacing,
+                max_spacing=self.max_spacing,
+            ),
+        )
+        t1 = score_candidates(
+            self.index.device, dev_bases, dev_quals,
+            jnp.asarray(len_eff), jnp.asarray(pc.loc),
+            jnp.asarray(pc.off), jnp.asarray(pc.dir),
+            jnp.asarray(pc.valid), jnp.asarray(pc.weight),
+            jnp.asarray(pc.popular), self.params, tier1_only=True,
         )
         f = two_phase_merge(
             self.index.device, t1, dev_bases, dev_quals, self.params
@@ -282,6 +307,21 @@ class PairedEndAligner:
                 self.stats.filtered += 2
                 return
 
+        # shared pair QNAME: truncate "/1"+"/2" suffixes when both ends
+        # carry them with differing digits (ReadWriter.cpp:406-421)
+        id0, id1 = b0.ids[i], b1.ids[i]
+        if (
+            len(id0) == len(id1)
+            and len(id0) > 2
+            and id0[-2:-1] == b"/"
+            and id1[-2:-1] == b"/"
+            and id0[-1:] in (b"1", b"2")
+            and id1[-1:] in (b"1", b"2")
+            and id0[-1:] != id1[-1:]
+        ):
+            id0, id1 = id0[:-2], id1[:-2]
+        pair_ids = (id0, id1)
+
         recs = (r0, r1)
         located = []
         for r in recs:
@@ -357,7 +397,7 @@ class PairedEndAligner:
                 sc = r.get("dist", -1) if my_located is not None else -1
                 extra.insert(0, f"{self.internal_score_tag}:i:{sc}")
             writer.write_record(
-                batch.ids[i], flag, rname, pos, mapq, cigar, seq, qual,
+                pair_ids[which], flag, rname, pos, mapq, cigar, seq, qual,
                 nm=nm, rnext=rnext, pnext=pnext, tlen=tlen,
                 extra_tags=extra,
             )
@@ -391,7 +431,7 @@ class PairedEndAligner:
                     rnext = "=" if mate_loc[0] == sloc[0] else mate_loc[0]
                     pnext = mate_loc[1]
                 writer.write_record(
-                    batch.ids[i], flag, sloc[0], sloc[1], supp["mapq"],
+                    pair_ids[which], flag, sloc[0], sloc[1], supp["mapq"],
                     supp["cigar"], seq, qual, nm=supp["nm"],
                     rnext=rnext, pnext=pnext, tlen=0,
                 )

@@ -133,6 +133,7 @@ class SingleAlignOut(NamedTuple):
     len_eff: jax.Array   # [B] int32 clipped length
     popular: jax.Array   # [B] int32 popular seeds skipped
     n_lookups: jax.Array # [B] int32 seed lookups performed (stats)
+    truncated: jax.Array # [B] bool some lookup overflowed the gather cap
 
 
 def clip_back(quals: jax.Array, lens: jax.Array) -> jax.Array:
@@ -348,6 +349,7 @@ class Tier1Out(NamedTuple):
     len_eff: jax.Array       # [B] int32
     popular: jax.Array       # [B] int32
     n_lookups: jax.Array     # [B] int32
+    truncated: jax.Array     # [B] bool gather cap overflowed (redo wide)
 
 
 class SubsetOut(NamedTuple):
@@ -521,6 +523,59 @@ def _align_impl(
         )
     )
 
+    # per-read truncation flag: some usable lookup had more hits than the
+    # gather cap H but was not popular-skipped — its tail hits (cap..n)
+    # never became candidates, so pAll/MAPQ may be wrong. The driver
+    # re-runs flagged reads through the host full-hit-list path
+    # (BaseAligner.cpp:574-579 scores up to maxHits=300 per seed).
+    trunc = (
+        ((f_n > H).reshape(B, S).any(axis=1))
+        | ((r_n > H).reshape(B, S).any(axis=1))
+    )
+
+    return _score_from_candidates(
+        didx, bases, rc_bases, logq_f_in=None, logq_r_in=None, quals=quals,
+        rc_quals=rc_quals, len_eff=len_eff,
+        cand_loc=cand_loc, cand_off=cand_off, cand_dir=cand_dir,
+        cand_valid=cand_valid, cand_weight=cand_weight,
+        popular=popular, truncated=trunc,
+        n_lookups=seed_ok.sum(axis=1).astype(jnp.int32),
+        params=params, tier1_only=tier1_only, dp_rows=dp_rows,
+        return_needs=return_needs,
+    )
+
+
+def _score_from_candidates(
+    didx: DeviceIndex,
+    bases: jax.Array,     # [B, L] uint8
+    rc_bases: jax.Array,  # [B, L] uint8 (RC of clipped read)
+    logq_f_in,            # [B, L] f32 or None (computed from quals)
+    logq_r_in,
+    quals: jax.Array,
+    rc_quals: jax.Array,
+    len_eff: jax.Array,   # [B] int32
+    cand_loc: jax.Array,  # [B, K] int64
+    cand_off: jax.Array,  # [B, K] int32 oriented anchor offset
+    cand_dir: jax.Array,  # [B, K] int32
+    cand_valid: jax.Array,  # [B, K] bool
+    cand_weight: jax.Array, # [B, K] int32
+    popular: jax.Array,   # [B] int32
+    truncated: jax.Array, # [B] bool
+    n_lookups: jax.Array, # [B] int32
+    params: AlignParams,
+    tier1_only: bool = False,
+    dp_rows: int | None = None,
+    return_needs: bool = False,
+):
+    """Two-tier scoring of an arbitrary [B, K] candidate set.
+
+    Shared by the device candidate-generation path (_align_impl) and
+    injected candidates (paired intersection, wide-hit redo passes).
+    """
+    B, L = bases.shape
+    K = cand_loc.shape[1]
+    margin = max(params.max_k, params.max_k_indels) + 1
+    W = L + 2 * margin
     # =====================================================================
     # Scoring. Two tiers, like SNAP's own split between the 64-bit XOR
     # perfect-match scan and the full DP (LandauVishkin.h:377-407):
@@ -544,8 +599,11 @@ def _align_impl(
     # phred->log-error lookup per READ ([B, L] element gathers); the
     # naive logq_table[patq] is a [B*K, L] random-element gather and
     # dominated the whole tier-1 step
-    logq_f = logq_table[quals.astype(jnp.int64)].astype(jnp.float32)
-    logq_r = logq_table[rc_quals.astype(jnp.int64)].astype(jnp.float32)
+    if logq_f_in is None:
+        logq_f = logq_table[quals.astype(jnp.int64)].astype(jnp.float32)
+        logq_r = logq_table[rc_quals.astype(jnp.int64)].astype(jnp.float32)
+    else:
+        logq_f, logq_r = logq_f_in, logq_r_in
     plen = len_eff[read_ix]
     flat_loc = cand_loc.reshape(-1)           # [BK]
     flat_off = cand_off.reshape(-1)
@@ -761,7 +819,8 @@ def _align_impl(
             gapless_logp=gapless_logp.reshape(B, K),
             len_eff=len_eff,
             popular=popular,
-            n_lookups=seed_ok.sum(axis=1).astype(jnp.int32),
+            n_lookups=n_lookups,
+            truncated=truncated,
         )
 
     # ---- Tier 2: compact candidates that need gaps ----
@@ -861,11 +920,47 @@ def _align_impl(
         valid=ok.reshape(B, K),
         len_eff=len_eff,
         popular=popular,
-        n_lookups=seed_ok.sum(axis=1).astype(jnp.int32),
+        n_lookups=n_lookups,
+        truncated=truncated,
     )
     if return_needs:
         return out, needs_dp.sum().astype(jnp.int32)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("params", "tier1_only"))
+def score_candidates(
+    didx: DeviceIndex,
+    bases: jax.Array,       # [B, L] uint8
+    quals: jax.Array,       # [B, L] uint8
+    len_eff: jax.Array,     # [B] int32 (host-computed clip)
+    cand_loc: jax.Array,    # [B, K] int64
+    cand_off: jax.Array,    # [B, K] int32 oriented anchor offsets
+    cand_dir: jax.Array,    # [B, K] int32
+    cand_valid: jax.Array,  # [B, K] bool
+    cand_weight: jax.Array, # [B, K] int32
+    popular: jax.Array,     # [B] int32
+    params: AlignParams,
+    tier1_only: bool = True,
+) -> Tier1Out | SingleAlignOut:
+    """Score an injected candidate set (host-generated candidates).
+
+    Used by the paired-end intersection (align/intersect.py) and the
+    wide-hit redo pass: candidate generation happened on the host over
+    the full CSR hit lists; this runs the same two-tier scoring
+    wavefront the device candidate path uses.
+    """
+    rc_bases, rc_quals = reverse_complement_reads(bases, quals, len_eff)
+    B = bases.shape[0]
+    zeros = jnp.zeros((B,), jnp.int32)
+    return _score_from_candidates(
+        didx, bases, rc_bases, logq_f_in=None, logq_r_in=None,
+        quals=quals, rc_quals=rc_quals, len_eff=len_eff,
+        cand_loc=cand_loc, cand_off=cand_off, cand_dir=cand_dir,
+        cand_valid=cand_valid, cand_weight=cand_weight,
+        popular=popular, truncated=jnp.zeros((B,), bool),
+        n_lookups=zeros, params=params, tier1_only=tier1_only,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

@@ -243,6 +243,18 @@ class GenomeIndex:
                       "table_n1")
         }
         self.device = make_device_index(arrays, gb)
+        self._host_index = None
+
+    @property
+    def host(self):
+        """Lazy numpy-side lookup view (full CSR hit lists)."""
+        if self._host_index is None:
+            from .host_lookup import HostIndex
+
+            self._host_index = HostIndex(
+                self._host_arrays, self.seed_len, self.max_probe
+            )
+        return self._host_index
 
     @classmethod
     def build(cls, genome: Genome, seed_len: int | None = None) -> "GenomeIndex":

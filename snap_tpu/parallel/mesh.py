@@ -83,7 +83,10 @@ def align_single_sharded(
         # a seed's hits live wholly in one shard, so popular-seed skips
         # sum across shards; n_lookups/len_eff are shard-independent
         popular = jax.lax.psum(out.popular, "index")
-        return out._replace(popular=popular)
+        truncated = (
+            jax.lax.psum(out.truncated.astype(jnp.int32), "index") > 0
+        )
+        return out._replace(popular=popular, truncated=truncated)
 
     idx_specs = DeviceIndex(
         table_keys=P("index"),
@@ -103,6 +106,7 @@ def align_single_sharded(
         clip_before=cand2d, clip_after=cand2d, seed_off=cand2d,
         direction=cand2d, valid=cand2d,
         len_eff=P("data"), popular=P("data"), n_lookups=P("data"),
+        truncated=P("data"),
     )
     f = shard_map(
         local,
