@@ -174,6 +174,163 @@ class PairedCandidates:
         self.n_lookups = np.zeros(R, dtype=np.int32)
 
 
+class WideCandidates:
+    """[R, K] candidate tile from the full hit lists (single-end redo)."""
+
+    def __init__(self, R: int, K: int):
+        self.loc = np.zeros((R, K), dtype=np.int64)
+        self.off = np.zeros((R, K), dtype=np.int32)
+        self.dir = np.zeros((R, K), dtype=np.int32)
+        self.valid = np.zeros((R, K), dtype=bool)
+        self.weight = np.zeros((R, K), dtype=np.int32)
+        self.popular = np.zeros(R, dtype=np.int32)
+
+
+def wide_single_candidates(
+    hidx,
+    bases: np.ndarray,      # [R, L] uint8 (rows needing the wide pass)
+    len_eff: np.ndarray,    # [R] int32
+    num_lookups: int,       # AlignParams.num_lookups
+    seed_len: int,
+    max_hits: int,          # popular-seed skip threshold (-h, default 300)
+    explore_popular: bool = False,   # -x
+    max_cand: int = 512,
+) -> WideCandidates:
+    """Single-end candidate generation over the FULL hit lists.
+
+    The device wavefront gathers a fixed hit_cap per (seed, direction);
+    reads where some lookup overflowed the cap are re-run through this
+    host path, which evaluates every hit up to maxHits per seed like
+    BaseAligner (BaseAligner.cpp:574-579). Same seed order (wrap-rank
+    top-S) and RC offset mapping as the device path; weight = number of
+    identical-location discoveries; candidates capped at max_cand by
+    weight (SNAP's weight-ordered scoring reaches low-weight candidates
+    only until its early-outs fire; pAll >= 4.9 forces MAPQ 0 long
+    before 512 candidates score).
+    """
+    R, L = bases.shape
+    seed = seed_len
+    S = num_lookups
+    K = max_cand
+    out = WideCandidates(R, K)
+    P = L - seed + 1
+    if P <= 0:
+        return out
+
+    wrap_of_residue = snap_seed_wrap_order(seed)
+    pos = np.arange(P, dtype=np.int64)
+    rank_static = wrap_of_residue[pos % seed] * (P // seed + 2) + pos // seed
+    INF = np.int64(1 << 30)
+
+    # per-row usable positions (N-free seed windows, inside len_eff)
+    fwd_all = np.zeros((R, P), dtype=np.uint64)
+    rc_all = np.zeros((R, P), dtype=np.uint64)
+    valid_all = np.ones((R, P), dtype=bool)
+    for i in range(seed):
+        b = bases[:, i : i + P].astype(np.uint64)
+        ok = b < 4
+        valid_all &= ok
+        bs = np.where(ok, b, 0)
+        fwd_all = (fwd_all << np.uint64(2)) | bs
+        rc_all |= (np.uint64(3) - bs) << np.uint64(2 * i)
+
+    usable = valid_all & (pos[None, :] <= (len_eff - seed)[:, None])
+    ranks = np.where(usable, rank_static[None, :], INF)
+    order = np.argsort(ranks, axis=1)[:, :S]              # [R, S]
+    offsets = order.astype(np.int32)
+    seed_ok = np.take_along_axis(ranks, order, axis=1) < INF
+
+    take = lambda a: np.take_along_axis(a, order, axis=1)
+    fwd = take(fwd_all)
+    rc = take(rc_all)
+    canonical = np.minimum(fwd, rc)
+    ric = fwd <= rc
+
+    found, start, n0, n1 = hidx.probe(canonical.reshape(-1))
+    found = (found & seed_ok.reshape(-1)).reshape(R, S)
+    start = start.reshape(R, S)
+    n0 = n0.reshape(R, S)
+    n1 = n1.reshape(R, S)
+    f_start = np.where(ric, start, start + n0)
+    f_n = np.where(found & ric, n0, np.where(found, n1, 0))
+    r_start = np.where(ric, start + n0, start)
+    r_n = np.where(found & ric, n1, np.where(found, n0, 0))
+
+    pop_f = f_n > max_hits
+    pop_r = r_n > max_hits
+    out.popular[:] = (pop_f.sum(axis=1) + pop_r.sum(axis=1)).astype(
+        np.int32
+    )
+    if explore_popular:
+        f_use = np.minimum(f_n, max_hits)
+        r_use = np.minimum(r_n, max_hits)
+    else:
+        f_use = np.where(pop_f, 0, f_n)
+        r_use = np.where(pop_r, 0, r_n)
+
+    le = len_eff.astype(np.int64)[:, None]
+    off64 = offsets.astype(np.int64)
+    parts = []
+    for d, (d_start, d_n, sub) in enumerate(
+        ((f_start, f_use, off64), (r_start, r_use, le - seed - off64))
+    ):
+        use_n = d_n.astype(np.int64).reshape(-1)
+        tot = int(use_n.sum())
+        if tot == 0:
+            continue
+        run_id = np.repeat(np.arange(R * S), use_n)
+        csum = np.concatenate(([0], np.cumsum(use_n)))
+        within = np.arange(tot) - csum[run_id]
+        locs = hidx.hits[d_start.reshape(-1)[run_id] + within].astype(
+            np.int64
+        )
+        norm = np.maximum(locs - sub.reshape(-1)[run_id], -_LOC_BIAS)
+        parts.append(
+            (run_id // S, np.full(tot, d, np.int8), run_id % S, norm)
+        )
+    if not parts:
+        return out
+    e_row = np.concatenate([p[0] for p in parts])
+    e_dir = np.concatenate([p[1] for p in parts])
+    e_s = np.concatenate([p[2] for p in parts]).astype(np.int64)
+    e_norm = np.concatenate([p[3] for p in parts])
+
+    keyed = (e_row * 2 + e_dir) * _ROW_KEY + (e_norm + _LOC_BIAS)
+    o2 = np.lexsort((e_s, keyed))
+    keyed_s, e_s_s = keyed[o2], e_s[o2]
+    e_row_s, e_dir_s, e_norm_s = e_row[o2], e_dir[o2], e_norm[o2]
+    first = np.ones(keyed_s.shape[0], dtype=bool)
+    first[1:] = keyed_s[1:] != keyed_s[:-1]
+    uq = np.flatnonzero(first)
+    weight = np.diff(np.append(uq, keyed_s.shape[0])).astype(np.int32)
+    c_row, c_dir, c_norm = e_row_s[uq], e_dir_s[uq], e_norm_s[uq]
+    c_s = e_s_s[uq]
+
+    sel = np.lexsort((c_norm, -weight.astype(np.int64), c_row))
+    rs = c_row[sel]
+    first_r = np.ones(rs.shape[0], dtype=bool)
+    first_r[1:] = rs[1:] != rs[:-1]
+    run_start = np.maximum.accumulate(
+        np.where(first_r, np.arange(rs.shape[0]), 0)
+    )
+    slot = np.arange(rs.shape[0]) - run_start
+    keep = slot < K
+    ks = sel[keep]
+    rowk = c_row[ks]
+    slotk = slot[keep]
+    out.loc[rowk, slotk] = c_norm[ks]
+    o = offsets[rowk, c_s[ks]].astype(np.int64)
+    d = c_dir[ks].astype(np.int64)
+    le_k = len_eff[rowk].astype(np.int64)
+    out.off[rowk, slotk] = np.where(d == 1, le_k - seed - o, o).astype(
+        np.int32
+    )
+    out.dir[rowk, slotk] = c_dir[ks]
+    out.valid[rowk, slotk] = True
+    out.weight[rowk, slotk] = weight[ks]
+    return out
+
+
 def paired_candidates(
     hidx,                      # index.host_lookup.HostIndex
     bases: np.ndarray,         # [R, L] uint8, R = 2 * n_pairs

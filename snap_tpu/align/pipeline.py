@@ -1050,6 +1050,7 @@ def two_phase_merge(
     glp = np.asarray(t1_np.gapless_logp)
     len_eff = np.asarray(t1_np.len_eff)
     popular = np.asarray(t1_np.popular)
+    truncated = np.asarray(t1_np.truncated)
 
     GOK = params.max_k_same
     needs = valid & (gd > GOK)
@@ -1082,6 +1083,7 @@ def two_phase_merge(
         "len_eff": len_eff,
         "popular": popular,
         "weight": weight,
+        "truncated": truncated,
     }
 
     idx = np.flatnonzero(needs.reshape(-1))
@@ -1148,6 +1150,7 @@ class WinnerOut(NamedTuple):
     popular: jax.Array      # [B] int16
     valid_count: jax.Array  # [B] int16 (stats: lvCalls analogue)
     esc_count: jax.Array    # [B] int16 (stats: affineGapCalls analogue)
+    truncated: jax.Array    # [B] bool hit-cap overflow: redo via wide pass
     dp_overflow: jax.Array  # [] bool: DP tier truncated, redo via host path
 
 
@@ -1301,6 +1304,7 @@ def _device_finalize(
         popular=out.popular.astype(jnp.int16),
         valid_count=out.valid.sum(axis=1).astype(jnp.int16),
         esc_count=(out.escalated & out.valid).sum(axis=1).astype(jnp.int16),
+        truncated=out.truncated,
         dp_overflow=needs_total > jnp.int32(dp_rows),
     )
 
@@ -1349,6 +1353,7 @@ WINNER_COLS = (
     "found", "fallback", "cand_k", "direction", "dist", "mapq",
     "end_loc", "body_loc", "clip_before", "clip_after", "escalated",
     "indels", "len_eff", "popular", "valid_count", "esc_count",
+    "truncated",
 )
 
 
@@ -1381,7 +1386,7 @@ class HostWinners:
             col = body[:, j]
             if name in ("end_loc", "body_loc"):
                 col = col.astype(np.int64) & 0xFFFFFFFF
-            elif name in ("found", "fallback", "escalated"):
+            elif name in ("found", "fallback", "escalated", "truncated"):
                 col = col.astype(bool)
             setattr(self, name, col)
 

@@ -467,7 +467,162 @@ class SingleEndAligner:
                 if sec_recs:
                     rec["secondaries"] = sec_recs
             results.append(rec)
+        self._redo_wide(
+            batch, results,
+            np.flatnonzero(np.asarray(merged["truncated"][:n])),
+            front_clips,
+        )
         return results
+
+    def _redo_wide(self, batch, results, rows, front_clips):
+        """maxHits=300 honesty pass: reads whose device gather cap
+        dropped hits are re-run over the FULL hit lists (host candidate
+        generation, device scoring), replacing their results.
+
+        Mirrors BaseAligner scoring up to maxHits hits per seed
+        (BaseAligner.cpp:574-579); without this, pAll — and therefore
+        MAPQ — is wrong wherever a seed has hit_cap..maxHits hits.
+        """
+        rows = [
+            int(i) for i in rows
+            if results[i].get("status") != "filtered"
+        ]
+        if not rows:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        from ..index.host_lookup import host_clip_back
+        from .intersect import wide_single_candidates
+        from .pipeline import score_candidates
+        from .post import finalize_read
+
+        bases, quals, lens = self._pad(batch)
+        if self.clip_front:
+            from .pipeline import apply_front_clip
+
+            bases, quals, lens, _ = apply_front_clip(bases, quals, lens)
+        sub_b = bases[rows]
+        sub_q = quals[rows]
+        sub_l = lens[rows]
+        len_eff = (
+            host_clip_back(sub_q, sub_l)
+            if self.params.clip_back
+            else sub_l.astype(np.int32)
+        )
+        wc = wide_single_candidates(
+            self.index.host, sub_b, len_eff,
+            self.params.num_lookups, self.params.seed_len,
+            self.params.max_hits, self.params.explore_popular,
+        )
+        # pow2-bucketed shapes so recurring redo sizes hit the jit cache
+        nvalid = int(wc.valid.sum(axis=1).max()) if len(rows) else 0
+        K = 16
+        while K < nvalid:
+            K <<= 1
+        M = len(rows)
+        Mp = 1
+        while Mp < M:
+            Mp <<= 1
+        pad2 = lambda a: np.concatenate(
+            [a, np.zeros((Mp - M,) + a.shape[1:], a.dtype)]
+        )
+        t1 = score_candidates(
+            self.index.device, jnp.asarray(pad2(sub_b)),
+            jnp.asarray(pad2(sub_q)), jnp.asarray(pad2(len_eff)),
+            jnp.asarray(pad2(wc.loc[:, :K])),
+            jnp.asarray(pad2(wc.off[:, :K])),
+            jnp.asarray(pad2(wc.dir[:, :K])),
+            jnp.asarray(pad2(wc.valid[:, :K])),
+            jnp.asarray(pad2(wc.weight[:, :K])),
+            jnp.asarray(pad2(wc.popular)), self.params, tier1_only=True,
+        )
+        merged = two_phase_merge(
+            self.index.device, t1, jnp.asarray(pad2(sub_b)),
+            jnp.asarray(pad2(sub_q)), self.params,
+        )
+        arrays = {
+            k: merged[k]
+            for k in ("len_eff", "clip_before", "clip_after", "escalated",
+                      "body_loc", "indels")
+        }
+        is_alt = merged["cand_loc"] >= self.first_alt_start
+        for j, i in enumerate(rows):
+            dist = merged["dist"][j]
+            logp = merged["log_prob"][j]
+            ag = merged["ag_score"][j]
+            e = merged["end_loc"][j]
+            cl = merged["cand_loc"][j]
+            dr = merged["direction"][j]
+            v = merged["valid"][j]
+            if self.max_dist_fraction > 0.0:
+                limit = min(
+                    self.params.max_k,
+                    int(len_eff[j] * self.max_dist_fraction),
+                )
+                v = v & (dist <= limit)
+            ra, alt_supp = finalize_read(
+                dist, logp, ag, e, cl, dr, v, int(wc.popular[j]),
+                is_alt=is_alt[j],
+                alt_awareness=self.alt_awareness,
+                emit_alt=self.emit_alt,
+                max_score_gap_to_prefer_non_alt=self.max_score_gap,
+            )
+            if ra.status == "notfound":
+                results[i] = {"status": "notfound"}
+                continue
+            if self.stop_on_first_hit:
+                ra.mapq = 0
+                ra.status = "multi"
+                alt_supp = None
+            rec = winner_record(
+                self.genome_np, self.params.max_k, batch, i, arrays,
+                ra.cand_index, ra.direction, ra.dist, int(ra.end_loc),
+                arr_i=j, use_m=self.use_m,
+                front_extra=int(front_clips[i]),
+                contig_bounds=self.contig_bounds,
+            )
+            rec.update(
+                status=ra.status, direction=ra.direction, mapq=ra.mapq,
+                dist=ra.dist,
+            )
+            if alt_supp is not None:
+                srec = winner_record(
+                    self.genome_np, self.params.max_k, batch, i, arrays,
+                    alt_supp.cand_index, alt_supp.direction, alt_supp.dist,
+                    int(alt_supp.end_loc), arr_i=j, use_m=self.use_m,
+                    front_extra=int(front_clips[i]),
+                    contig_bounds=self.contig_bounds,
+                )
+                srec.update(
+                    status=alt_supp.status, direction=alt_supp.direction,
+                    mapq=alt_supp.mapq, dist=alt_supp.dist,
+                )
+                rec["alt_supplementary"] = srec
+            if self.max_secondary_edit >= 0:
+                secs = collect_secondary_results(
+                    dist, logp, ag, e, cl, dr, v, ra.cand_index, ra.dist,
+                    self.params.max_k, self.max_secondary_edit,
+                    self.max_secondary, is_alt=is_alt[j],
+                    alt_awareness=self.alt_awareness,
+                )
+                sec_recs = []
+                for s in secs:
+                    sr = winner_record(
+                        self.genome_np, self.params.max_k, batch, i,
+                        arrays, s.cand_index, s.direction, s.dist,
+                        int(s.end_loc), arr_i=j, use_m=self.use_m,
+                        front_extra=int(front_clips[i]),
+                        contig_bounds=self.contig_bounds,
+                    )
+                    sr.update(
+                        status=s.status, direction=s.direction, mapq=0,
+                        dist=s.dist, supplementary=s.supplementary,
+                    )
+                    sec_recs.append(sr)
+                if sec_recs:
+                    rec["secondaries"] = sec_recs
+            results[i] = rec
 
     def _finalize_fast(self, batch: ReadBatch, handles, front_clips):
         """Host half of the device-finalize path: fetch compact per-read
@@ -582,6 +737,11 @@ class SingleEndAligner:
                 status=status, direction=direction, mapq=mapq, dist=dist,
             )
             results.append(rec)
+        self._redo_wide(
+            batch, results,
+            np.flatnonzero(np.asarray(win.truncated[:n])),
+            front_clips,
+        )
         return results
 
     def align_file(self, fastq_path: str, writer: SamWriter) -> AlignerStats:

@@ -52,7 +52,7 @@ def test_packed_winners_roundtrip_and_fields():
     win_packed, _out = align_winners_device(didx, b, q, l, fas, params)
     w = HostWinners(jax.device_get(win_packed))
     assert not w.dp_overflow
-    assert len(WINNER_COLS) == 16
+    assert len(WINNER_COLS) == 17
     found = np.asarray(w.found)
     assert found.sum() >= len(starts) * 0.9
     # winners land where the reads were sampled from (padding offset 1000)
