@@ -37,6 +37,7 @@ def cmd_index(args: list[str]) -> int:
     histogram_file = None
     name_terminators = ""
     space_terminates = True
+    build_budget_gb = None
     i = 2
 
     def read_name_file(path: str) -> set[str]:
@@ -67,9 +68,13 @@ def cmd_index(args: list[str]) -> int:
             alt_liftover = parse_alt_file(args[i + 1]); i += 2
         elif a == "-H" and i + 1 < len(args):
             histogram_file = args[i + 1]; i += 2
-        elif a in ("-t", "-sm"):
-            # build threads / slave-memory spill: the builder is a
-            # handful of vectorized numpy passes, not a per-seed loop
+        elif a == "-sm" and i + 1 < len(args):
+            # small-memory build: external partitioned sort bounded by
+            # this many GB (GenomeIndex.cpp:630-753 -sm spill mode)
+            build_budget_gb = float(args[i + 1]); i += 2
+        elif a == "-t":
+            # build threads: the builder is a handful of vectorized
+            # numpy passes, not a per-seed loop
             i += 2
         elif a in ("-keysize", "-locationSize", "-h"):
             # reference on-disk knobs; our packed layout derives these
@@ -104,6 +109,30 @@ def cmd_index(args: list[str]) -> int:
         space_terminates=space_terminates,
     )
     print(f"Building index (seed {seed_len})...", file=sys.stderr)
+    if build_budget_gb is not None:
+        # -sm: stream the build under the memory budget, saving arrays
+        # straight from the memmaps without device placement
+        from .errors import write_status
+        from .index.build import build_index_chunked, save_index
+
+        arrays = build_index_chunked(
+            genome, seed_len, memory_budget_gb=build_budget_gb,
+            status=lambda s: write_status(s),
+        )
+        save_index(arrays, genome, outdir)
+        import shutil as _shutil
+
+        tmpd = arrays.get("_tmpdir")
+        if tmpd:
+            _shutil.rmtree(tmpd, ignore_errors=True)
+        n = genome.num_bases
+        dt = time.time() - t0
+        print(
+            f"Index build and save took {dt:.0f}s "
+            f"({n / max(dt, 1e-9):,.0f} bases/s)",
+            file=sys.stderr,
+        )
+        return 0
     idx = GenomeIndex.build(genome, seed_len)
     idx.save(outdir)
     if histogram_file:
@@ -111,8 +140,9 @@ def cmd_index(args: list[str]) -> int:
         # lines of "<nHits> <count of seeds with that many hits>"
         import numpy as _np
 
-        n0 = _np.asarray(idx.device.table_n0)
-        n1 = _np.asarray(idx.device.table_n1)
+        packed = idx._host_arrays["table"][..., 3].reshape(-1)
+        n0 = (packed & 0xFFFF).astype(_np.int64)
+        n1 = (packed >> 16).astype(_np.int64)
         counts = _np.concatenate([n0[n0 > 0], n1[n1 > 0]])
         vals, freq = _np.unique(counts, return_counts=True)
         with open(histogram_file, "w") as hf:

@@ -10,12 +10,22 @@ GenomeIndex.cpp:527-1010) and HashTable.h. Semantics preserved:
   intersection walk depends on this (ref: GenomeIndex.cpp:878-884);
 - lookups return forward hits and RC hits separately.
 
-The layout is redesigned for TPU gathers instead of SNAP's multi-table
-packed-byte format: one open-addressed power-of-two hash table whose
-slots carry (key, hits_start, n_fwd, n_rc) as parallel flat arrays, plus
-one flat uint32 `hits` array holding, per key, the orientation-0 list
-followed by the orientation-1 list. Lookup is a bounded linear-probe
-loop of gathers — ideal for a batched [reads x seeds] probe wavefront.
+Layout (format v3), redesigned for TPU gathers and hg38 scale:
+
+- `table`: [n_banks, bank_slots, 4] uint32 — per slot
+  (key_lo, key_hi, hits_start, n0 | n1 << 16). ONE bucket-row gather
+  returns keys AND payload (v2 needed a second payload gather). Counts
+  are clamped at 0xFFFF — far above every consumer threshold (maxHits
+  300, maxBigHits 4000), so the clamp is unobservable.
+- `hits`: flat uint32 CSR; per key the orientation-0 list (descending)
+  then the orientation-1 list (descending).
+- bank = murmur & (n_banks-1); home bucket within the bank =
+  (murmur >> log2(n_banks)) & (bank_buckets-1); keys overflow greedily
+  into following buckets (bounded by SPAN_SLACK spare buckets per
+  bank). Banks let the hg38-scale build stream one partition at a time
+  under a fixed memory budget (the moral of SNAP's -sm spill mode,
+  GenomeIndex.cpp:630-753) while the probe stays a single contiguous
+  [N, span*8]-slot gather.
 
 Orientation convention: orientation 0 = genome seed equals the canonical
 seed; orientation 1 = genome seed is the reverse complement of the
@@ -36,6 +46,10 @@ from ..genome import Genome
 EMPTY_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
 # Safe sentinel: a canonical seed is min(s, rc(s)), and rc(all-ones) = 0,
 # so the all-ones pattern can never be canonical.
+
+BUCKET_SLOTS = 8   # slots per hash bucket; a probe gathers whole buckets
+SPAN_SLACK = 64    # spare overflow buckets reserved at each bank's end
+COUNT_CLAMP = 0xFFFF
 
 
 def murmur_finalize64(keys: np.ndarray) -> np.ndarray:
@@ -92,40 +106,125 @@ def extract_canonical_seeds(
     )
 
 
-BUCKET_SLOTS = 8  # slots per hash bucket; a probe gathers whole buckets
+def _dedup_sorted_triples(keys, orient, locs):
+    """Sort triples by (key, orient, loc desc) and group by key.
+
+    Returns (sorted_locs, unique_keys, start, n0, n1)."""
+    loc_desc = np.uint32(0xFFFFFFFF) - locs
+    order = np.lexsort((loc_desc, orient, keys))
+    keys, orient, locs = keys[order], orient[order], locs[order]
+    unique_keys, start, counts = np.unique(
+        keys, return_index=True, return_counts=True
+    )
+    orient_cum = np.concatenate(([0], np.cumsum(orient.astype(np.int64))))
+    n1 = (orient_cum[start + counts] - orient_cum[start]).astype(np.int64)
+    n0 = (counts - n1).astype(np.int64)
+    return locs, unique_keys, start.astype(np.int64), n0, n1
 
 
-def _build_hash_table(unique_keys: np.ndarray, load_factor: float = 0.5):
-    """Bucketed placement: each key's home bucket is hash & mask; keys
-    overflow into following buckets (greedy fill). The lookup gathers
-    `max_probe` CONSECUTIVE buckets in one contiguous [N, span*8] gather
-    instead of a sequential probe loop — the TPU-friendly layout.
+def _place_in_bank(in_bank_home: np.ndarray, bank_buckets: int):
+    """Greedy bucketed linear-probing placement within one bank.
 
-    Returns (table_key_idx [capacity], capacity, span). capacity
-    includes span trailing spill buckets so slots never wrap.
+    in_bank_home: [U] int64 home bucket per key. Returns
+    (slot [U] int64 within the bank, span buckets used).
 
-    The greedy fill is fully vectorized: with keys sorted by home
-    bucket, slot_k = max(slot_{k-1}+1, home_k*8) unrolls to
+    Fully vectorized: with keys sorted by home bucket,
+    slot_k = max(slot_{k-1}+1, home_k*8) unrolls to
     k + running_max(home_k*8 - k).
     """
-    u = len(unique_keys)
-    n_buckets = 1
-    while n_buckets * BUCKET_SLOTS < max(16, int(u / load_factor)):
-        n_buckets <<= 1
-    mask = np.uint64(n_buckets - 1)
-
-    home = (murmur_finalize64(unique_keys) & mask).astype(np.int64)
-    order = np.argsort(home, kind="stable")
-    home_sorted = home[order]
+    u = in_bank_home.shape[0]
+    if u == 0:
+        return np.zeros(0, np.int64), 1
+    order = np.argsort(in_bank_home, kind="stable")
+    home_sorted = in_bank_home[order]
     k = np.arange(u, dtype=np.int64)
-    slots = k + np.maximum.accumulate(home_sorted * BUCKET_SLOTS - k)
-    span = (
-        int(np.max(slots // BUCKET_SLOTS - home_sorted)) + 1 if u else 1
+    slots_sorted = k + np.maximum.accumulate(
+        home_sorted * BUCKET_SLOTS - k
     )
-    capacity = (n_buckets + span) * BUCKET_SLOTS
-    table_key_idx = np.full(capacity, -1, dtype=np.int64)
-    table_key_idx[slots] = order
-    return table_key_idx, capacity, span
+    span = int(np.max(slots_sorted // BUCKET_SLOTS - home_sorted)) + 1
+    if span > SPAN_SLACK:
+        raise ValueError(
+            f"hash bank overflow: span {span} > {SPAN_SLACK}; "
+            "lower the load factor"
+        )
+    slots = np.empty(u, dtype=np.int64)
+    slots[order] = slots_sorted
+    return slots, span
+
+
+def _bank_geometry(n_unique_total: int, load_factor: float, n_banks: int):
+    """(bank_buckets, bank_slots) for an even key split across banks."""
+    per_bank = max(1, -(-n_unique_total // n_banks))
+    n_buckets = 1
+    while n_buckets * BUCKET_SLOTS < max(16, int(per_bank / load_factor)):
+        n_buckets <<= 1
+    return n_buckets, (n_buckets + SPAN_SLACK) * BUCKET_SLOTS
+
+
+def _fill_bank_rows(
+    table_bank: np.ndarray,   # [bank_slots, 4] uint32 (pre-filled empty)
+    unique_keys: np.ndarray,
+    start: np.ndarray,        # int64 global hits offsets
+    n0: np.ndarray,
+    n1: np.ndarray,
+    in_bank_home: np.ndarray,
+) -> int:
+    """Place one bank's keys; returns the span used."""
+    bank_buckets = table_bank.shape[0] // BUCKET_SLOTS - SPAN_SLACK
+    slots, span = _place_in_bank(in_bank_home, bank_buckets)
+    table_bank[slots, 0] = (unique_keys & np.uint64(0xFFFFFFFF)).astype(
+        np.uint32
+    )
+    table_bank[slots, 1] = (unique_keys >> np.uint64(32)).astype(np.uint32)
+    table_bank[slots, 2] = start.astype(np.uint32)
+    packed = np.minimum(n0, COUNT_CLAMP) | (
+        np.minimum(n1, COUNT_CLAMP) << 16
+    )
+    table_bank[slots, 3] = packed.astype(np.uint32)
+    return span
+
+
+def assemble_table(
+    locs_sorted: np.ndarray,
+    unique_keys: np.ndarray,
+    start: np.ndarray,
+    n0: np.ndarray,
+    n1: np.ndarray,
+    load_factor: float = 0.5,
+    n_banks: int = 1,
+) -> dict:
+    """In-memory v3 assembly from deduped key groups (shared by the
+    native builder, the SNAP-format importer, and the shard builder)."""
+    assert n_banks >= 1 and (n_banks & (n_banks - 1)) == 0
+    U = unique_keys.shape[0]
+    h = murmur_finalize64(unique_keys)
+    log2b = int(np.log2(n_banks)) if n_banks > 1 else 0
+    bank = (
+        (h & np.uint64(n_banks - 1)).astype(np.int64)
+        if n_banks > 1
+        else np.zeros(U, np.int64)
+    )
+    bank_buckets, bank_slots = _bank_geometry(U, load_factor, n_banks)
+    home = ((h >> np.uint64(log2b)) & np.uint64(bank_buckets - 1)).astype(
+        np.int64
+    )
+    table = np.zeros((n_banks, bank_slots, 4), dtype=np.uint32)
+    table[:, :, 0] = 0xFFFFFFFF
+    table[:, :, 1] = 0xFFFFFFFF
+    span = 1
+    for b in range(n_banks):
+        m = bank == b
+        span = max(
+            span,
+            _fill_bank_rows(
+                table[b], unique_keys[m], start[m], n0[m], n1[m], home[m]
+            ),
+        )
+    return {
+        "hits": locs_sorted,
+        "table": table,
+        "max_probe": span,
+    }
 
 
 def build_index(
@@ -133,47 +232,150 @@ def build_index(
     seed_len: int = DEFAULT_SEED_LEN,
     load_factor: float = 0.5,
 ) -> dict:
-    """Build the full index as a dict of numpy arrays (host format)."""
+    """Build the full index in memory (small/medium genomes)."""
     keys, orient, locs = extract_canonical_seeds(genome, seed_len)
+    locs_s, uk, start, n0, n1 = _dedup_sorted_triples(keys, orient, locs)
+    out = assemble_table(locs_s, uk, start, n0, n1, load_factor)
+    out["seed_len"] = seed_len
+    return out
 
-    # Sort by (key asc, orient asc, location DESC).
-    loc_desc = np.uint32(0xFFFFFFFF) - locs
-    order = np.lexsort((loc_desc, orient, keys))
-    keys, orient, locs = keys[order], orient[order], locs[order]
 
-    unique_keys, start, counts = np.unique(
-        keys, return_index=True, return_counts=True
+def build_index_chunked(
+    genome: Genome,
+    seed_len: int = DEFAULT_SEED_LEN,
+    load_factor: float = 0.5,
+    memory_budget_gb: float = 8.0,
+    tmpdir: str | None = None,
+    status=None,
+) -> dict:
+    """hg38-scale build: external partitioned sort under a memory budget.
+
+    The -sm analogue (GenomeIndex.cpp:630-753, 1440-1679): instead of
+    one monolithic lexsort over every (key, orient, loc) triple (>40GB
+    for hg38 before workspace), triples are streamed genome-chunk by
+    genome-chunk into per-bank spill files partitioned by murmur low
+    bits, then each bank is sorted/deduped/placed independently —
+    peak memory = one bank's triples + sort workspace, bounded by
+    memory_budget_gb. Returns arrays dict with numpy memmaps for the
+    big arrays (tmpdir must outlive them unless save_index copies).
+    """
+    import tempfile
+
+    bases = np.asarray(genome.bases)
+    n_pos = genome.num_bases - seed_len + 1
+    # ~13 bytes/triple on disk; budget one bank at ~1/5 of the budget
+    # (sort + unique workspace is ~4x the input)
+    budget = memory_budget_gb * (1 << 30)
+    est_triples = n_pos
+    n_banks = 1
+    while est_triples * 13 * 5 / n_banks > budget and n_banks < 4096:
+        n_banks <<= 1
+    if n_banks == 1:
+        out = build_index(genome, seed_len, load_factor)
+        return out
+
+    if tmpdir is not None:
+        os.makedirs(tmpdir, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=tmpdir, prefix="snap_tpu_idx_")
+    spill = [
+        open(os.path.join(tmp, f"part{b:04d}.bin"), "wb")
+        for b in range(n_banks)
+    ]
+    log = status if status is not None else (lambda s: None)
+
+    # pass 1: stream the genome, spill (key u64, loc u32, orient u8)
+    # triples partitioned by murmur low bits
+    chunk = 1 << 24
+    total = 0
+    for lo in range(0, n_pos, chunk):
+        hi = min(lo + chunk, n_pos)
+        pos = np.arange(lo, hi, dtype=np.int64)
+        fwd, rc, valid = pack_seeds(bases, pos, seed_len)
+        canonical = np.minimum(fwd, rc)[valid]
+        orient = (rc < fwd)[valid]
+        loc = pos[valid].astype(np.uint32)
+        bank = (
+            murmur_finalize64(canonical) & np.uint64(n_banks - 1)
+        ).astype(np.int64)
+        order = np.argsort(bank, kind="stable")
+        bank_s = bank[order]
+        bounds = np.searchsorted(bank_s, np.arange(n_banks + 1))
+        ck, oc, lc = canonical[order], orient[order], loc[order]
+        for b in range(n_banks):
+            s, e = bounds[b], bounds[b + 1]
+            if e <= s:
+                continue
+            rec = np.empty((e - s,), dtype=_TRIPLE_DT)
+            rec["key"] = ck[s:e]
+            rec["loc"] = lc[s:e]
+            rec["orient"] = oc[s:e]
+            spill[b].write(rec.tobytes())
+        total += int(valid.sum())
+        log(f"seed scan {hi}/{n_pos} positions ({total} seeds spilled)")
+    for f in spill:
+        f.close()
+
+    # pass 2: per bank: sort, dedup, CSR append, table placement
+    hits_path = os.path.join(tmp, "hits.npy")
+    hits_mm = np.lib.format.open_memmap(
+        hits_path, mode="w+", dtype=np.uint32, shape=(total,)
     )
-    # per-key orientation split: count of orient==1 in each group
-    orient_cum = np.concatenate(([0], np.cumsum(orient.astype(np.int64))))
-    n1 = (orient_cum[start + counts] - orient_cum[start]).astype(np.int32)
-    n0 = (counts - n1).astype(np.int32)
-
-    table_key_idx, capacity, max_probe = _build_hash_table(
-        unique_keys, load_factor
+    # size banks from the measured dedup ratio of bank 0 (murmur-uniform
+    # partitioning makes it representative to ~0.1%), not the triple
+    # count — for repeat-rich genomes that halves the table
+    rec0 = np.fromfile(os.path.join(tmp, "part0000.bin"), dtype=_TRIPLE_DT)
+    u0 = np.unique(rec0["key"]).shape[0] if rec0.shape[0] else 1
+    del rec0
+    est_uniques = min(total, int(u0 * n_banks * 1.02) + n_banks)
+    bank_buckets, bank_slots = _bank_geometry(
+        est_uniques, load_factor, n_banks
     )
-
-    # Scatter payload into table order (empty slots get EMPTY_KEY / zeros).
-    t_keys = np.full(capacity, EMPTY_KEY, dtype=np.uint64)
-    t_start = np.zeros(capacity, dtype=np.int64)
-    t_n0 = np.zeros(capacity, dtype=np.int32)
-    t_n1 = np.zeros(capacity, dtype=np.int32)
-    occ = table_key_idx >= 0
-    ki = table_key_idx[occ]
-    t_keys[occ] = unique_keys[ki]
-    t_start[occ] = start[ki]
-    t_n0[occ] = n0[ki]
-    t_n1[occ] = n1[ki]
+    table_path = os.path.join(tmp, "table.npy")
+    table = np.lib.format.open_memmap(
+        table_path, mode="w+", dtype=np.uint32,
+        shape=(n_banks, bank_slots, 4),
+    )
+    log2b = int(np.log2(n_banks))
+    span = 1
+    hits_off = 0
+    for b in range(n_banks):
+        pth = os.path.join(tmp, f"part{b:04d}.bin")
+        rec = np.fromfile(pth, dtype=_TRIPLE_DT)
+        os.remove(pth)
+        tb = table[b]
+        tb[:, 0] = 0xFFFFFFFF
+        tb[:, 1] = 0xFFFFFFFF
+        tb[:, 2] = 0
+        tb[:, 3] = 0
+        if rec.shape[0] == 0:
+            continue
+        locs_s, uk, start, n0, n1 = _dedup_sorted_triples(
+            rec["key"], rec["orient"].astype(bool), rec["loc"]
+        )
+        del rec
+        hits_mm[hits_off : hits_off + locs_s.shape[0]] = locs_s
+        h = murmur_finalize64(uk)
+        home = (
+            (h >> np.uint64(log2b)) & np.uint64(bank_buckets - 1)
+        ).astype(np.int64)
+        span = max(
+            span, _fill_bank_rows(tb, uk, start + hits_off, n0, n1, home)
+        )
+        hits_off += locs_s.shape[0]
+        log(f"bank {b + 1}/{n_banks} placed ({hits_off}/{total} hits)")
 
     return {
         "seed_len": seed_len,
-        "max_probe": max_probe,
-        "hits": locs,          # uint32, per key: orient0 desc, then orient1 desc
-        "table_keys": t_keys,
-        "table_start": t_start,
-        "table_n0": t_n0,
-        "table_n1": t_n1,
+        "max_probe": span,
+        "hits": hits_mm,
+        "table": table,
+        "_tmpdir": tmp,
     }
+
+
+_TRIPLE_DT = np.dtype(
+    [("key", np.uint64), ("loc", np.uint32), ("orient", np.uint8)]
+)
 
 
 def shard_index(
@@ -181,19 +383,19 @@ def shard_index(
 ) -> dict:
     """Build a seed-sharded index: n_shards independent hash tables.
 
-    Shard ownership = top bits of the Murmur-finalized canonical key, so
-    shards are balanced regardless of genome composition (SNAP shards by
-    seed prefix into per-prefix tables, GenomeIndex.cpp:1026-1110; the
-    hash-based split plays the same role but is uniform by construction).
-    Every shard is a complete, self-contained index over its key subset:
-    a lookup probed against a non-owning shard cleanly misses. Arrays are
-    padded to the max shard size and stacked on a leading axis for
-    jax.sharding over the 'index' mesh axis.
+    Shard ownership = TOP bits of the Murmur-finalized canonical key
+    (bank selection uses the LOW bits, so the two compose), balanced
+    regardless of genome composition (SNAP shards by seed prefix into
+    per-prefix tables, GenomeIndex.cpp:1026-1110). Every shard is a
+    complete, self-contained index over its key subset: a lookup probed
+    against a non-owning shard cleanly misses. Arrays are padded to the
+    max shard size and stacked on a leading axis for jax.sharding over
+    the 'index' mesh axis.
     """
     assert n_shards >= 1 and (n_shards & (n_shards - 1)) == 0
     keys, orient, locs = extract_canonical_seeds(genome, seed_len)
-    shift = np.uint64(64 - int(np.log2(n_shards))) if n_shards > 1 else None
     if n_shards > 1:
+        shift = np.uint64(64 - int(np.log2(n_shards)))
         shard_of = (murmur_finalize64(keys) >> shift).astype(np.int64)
     else:
         shard_of = np.zeros(len(keys), dtype=np.int64)
@@ -201,73 +403,64 @@ def shard_index(
     shards = []
     for s in range(n_shards):
         m = shard_of == s
-        sk, so, sl = keys[m], orient[m], locs[m]
-        loc_desc = np.uint32(0xFFFFFFFF) - sl
-        order = np.lexsort((loc_desc, so, sk))
-        sk, so, sl = sk[order], so[order], sl[order]
-        unique_keys, start, counts = np.unique(
-            sk, return_index=True, return_counts=True
+        locs_s, uk, start, n0, n1 = _dedup_sorted_triples(
+            keys[m], orient[m], locs[m]
         )
-        orient_cum = np.concatenate(([0], np.cumsum(so.astype(np.int64))))
-        n1 = (orient_cum[start + counts] - orient_cum[start]).astype(np.int32)
-        n0 = (counts - n1).astype(np.int32)
-        table_key_idx, capacity, max_probe = _build_hash_table(
-            unique_keys, load_factor
-        )
-        t_keys = np.full(capacity, EMPTY_KEY, dtype=np.uint64)
-        t_start = np.zeros(capacity, dtype=np.int64)
-        t_n0 = np.zeros(capacity, dtype=np.int32)
-        t_n1 = np.zeros(capacity, dtype=np.int32)
-        occ = table_key_idx >= 0
-        ki = table_key_idx[occ]
-        t_keys[occ] = unique_keys[ki]
-        t_start[occ] = start[ki]
-        t_n0[occ] = n0[ki]
-        t_n1[occ] = n1[ki]
-        shards.append(
-            {"hits": sl, "table_keys": t_keys, "table_start": t_start,
-             "table_n0": t_n0, "table_n1": t_n1, "max_probe": max_probe}
-        )
+        shards.append(assemble_table(locs_s, uk, start, n0, n1, load_factor))
 
-    cap = max(s["table_keys"].shape[0] for s in shards)
-    hmax = max(max(s["hits"].shape[0], 1) for s in shards)
+    bank_slots = max(sh["table"].shape[1] for sh in shards)
+    hmax = max(max(sh["hits"].shape[0], 1) for sh in shards)
 
-    def pad_to(a, n, fill):
-        out = np.full((n,), fill, dtype=a.dtype)
+    def pad_hits(a):
+        out = np.zeros((hmax,), dtype=a.dtype)
         out[: len(a)] = a
+        return out
+
+    def pad_table(t):
+        if t.shape[1] == bank_slots:
+            return t
+        out = np.zeros((t.shape[0], bank_slots, 4), dtype=np.uint32)
+        out[:, :, 0] = 0xFFFFFFFF
+        out[:, :, 1] = 0xFFFFFFFF
+        out[:, : t.shape[1]] = t
         return out
 
     return {
         "seed_len": seed_len,
         "n_shards": n_shards,
-        "max_probe": max(s["max_probe"] for s in shards),
-        "hits": np.stack([pad_to(s["hits"], hmax, 0) for s in shards]),
-        "table_keys": np.stack(
-            [pad_to(s["table_keys"], cap, EMPTY_KEY) for s in shards]
-        ),
-        "table_start": np.stack(
-            [pad_to(s["table_start"], cap, 0) for s in shards]
-        ),
-        "table_n0": np.stack([pad_to(s["table_n0"], cap, 0) for s in shards]),
-        "table_n1": np.stack([pad_to(s["table_n1"], cap, 0) for s in shards]),
+        "max_probe": max(sh["max_probe"] for sh in shards),
+        "hits": np.stack([pad_hits(sh["hits"]) for sh in shards]),
+        "table": np.stack([pad_table(sh["table"]) for sh in shards]),
     }
 
 
 def save_index(index: dict, genome: Genome, directory: str) -> None:
     os.makedirs(directory, exist_ok=True)
     genome.save(directory)
-    np.savez(
-        os.path.join(directory, "index_arrays.npz"),
-        hits=index["hits"],
-        table_keys=index["table_keys"],
-        table_start=index["table_start"],
-        table_n0=index["table_n0"],
-        table_n1=index["table_n1"],
-    )
+    tmpd = index.get("_tmpdir")
+    if tmpd and isinstance(index["hits"], np.memmap):
+        # chunked build: the arrays already live in .npy files — move
+        # them instead of rewriting ~80GB through a zip
+        index["hits"].flush()
+        index["table"].flush()
+        os.replace(
+            os.path.join(tmpd, "hits.npy"),
+            os.path.join(directory, "hits.npy"),
+        )
+        os.replace(
+            os.path.join(tmpd, "table.npy"),
+            os.path.join(directory, "table.npy"),
+        )
+    else:
+        np.savez(
+            os.path.join(directory, "index_arrays.npz"),
+            hits=np.asarray(index["hits"]),
+            table=np.asarray(index["table"]),
+        )
     with open(os.path.join(directory, "index_meta.json"), "w") as f:
         json.dump(
             {
-                "format_version": 2,  # bucketed hash layout (BUCKET_SLOTS)
+                "format_version": 3,  # banked [n_banks, slots, 4] layout
                 "seed_len": index["seed_len"],
                 "max_probe": index["max_probe"],
             },
@@ -278,19 +471,28 @@ def save_index(index: dict, genome: Genome, directory: str) -> None:
 def load_index_arrays(directory: str) -> dict:
     with open(os.path.join(directory, "index_meta.json")) as f:
         meta = json.load(f)
-    if meta.get("format_version", 1) != 2:
+    if meta.get("format_version", 1) != 3:
         raise ValueError(
             f"index at {directory} uses format version "
-            f"{meta.get('format_version', 1)}; this build reads version 2 "
-            "(bucketed hash layout) — please rebuild the index"
+            f"{meta.get('format_version', 1)}; this build reads version 3 "
+            "(banked compact layout) — please rebuild the index"
         )
-    arrs = np.load(os.path.join(directory, "index_arrays.npz"))
-    return {
+    out = {
         "seed_len": meta["seed_len"],
         "max_probe": meta["max_probe"],
-        "hits": arrs["hits"],
-        "table_keys": arrs["table_keys"],
-        "table_start": arrs["table_start"],
-        "table_n0": arrs["table_n0"],
-        "table_n1": arrs["table_n1"],
     }
+    npz = os.path.join(directory, "index_arrays.npz")
+    if os.path.exists(npz):
+        arrs = np.load(npz)
+        out["hits"] = arrs["hits"]
+        out["table"] = arrs["table"]
+    else:
+        # chunked-build layout: raw .npy files, memmapped so an
+        # hg38-scale index loads without a monolithic read
+        out["hits"] = np.load(
+            os.path.join(directory, "hits.npy"), mmap_mode="r"
+        )
+        out["table"] = np.load(
+            os.path.join(directory, "table.npy"), mmap_mode="r"
+        )
+    return out

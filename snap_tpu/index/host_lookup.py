@@ -24,44 +24,56 @@ class HostIndex:
     """Numpy view of the index tables (shares the GenomeIndex arrays)."""
 
     def __init__(self, arrays: dict, seed_len: int, max_probe: int):
-        self.table_keys: np.ndarray = np.asarray(arrays["table_keys"])
-        self.table_start: np.ndarray = np.asarray(arrays["table_start"])
-        self.table_n0: np.ndarray = np.asarray(arrays["table_n0"])
-        self.table_n1: np.ndarray = np.asarray(arrays["table_n1"])
+        self.table: np.ndarray = np.asarray(arrays["table"])
         self.hits: np.ndarray = np.asarray(arrays["hits"])
         self.seed_len = seed_len
         self.max_probe = max_probe
-        self._tk2d = self.table_keys.reshape(-1, BUCKET_SLOTS)
+        # [total_buckets, 8, 4] bucket-row view (format v3, build.py)
+        self._t3 = self.table.reshape(-1, BUCKET_SLOTS, 4)
 
     def probe(
         self, queries: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        """Vectorized bucket probe, mirroring index.probe.
+        """Vectorized bucket probe, mirroring index.probe (v3 layout).
 
         queries: [N] uint64 canonical seed keys. Returns
         (found [N] bool, start [N] int64, n0 [N] int32, n1 [N] int32).
         """
+        from .build import SPAN_SLACK
+
         span = max(1, self.max_probe)
-        n_buckets = self.table_keys.shape[0] // BUCKET_SLOTS - span
-        mask = np.uint64(n_buckets - 1)
-        home = (murmur_finalize64(queries) & mask).astype(np.int64)
-        nrows = self._tk2d.shape[0]
-        found = np.zeros(queries.shape[0], dtype=bool)
-        slot = np.zeros(queries.shape[0], dtype=np.int64)
+        n_banks, bank_slots, _ = self.table.shape
+        bank_buckets = bank_slots // BUCKET_SLOTS - SPAN_SLACK
+        log2b = (n_banks - 1).bit_length()
+        stride = bank_slots // BUCKET_SLOTS
+        h = murmur_finalize64(queries)
+        bank = (h & np.uint64(n_banks - 1)).astype(np.int64)
+        home = ((h >> np.uint64(log2b)) & np.uint64(bank_buckets - 1)).astype(
+            np.int64
+        )
+        brow = bank * stride + home
+        q_lo = (queries & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        q_hi = (queries >> np.uint64(32)).astype(np.uint32)
+        nrows = self._t3.shape[0]
+        N = queries.shape[0]
+        found = np.zeros(N, dtype=bool)
+        start = np.zeros(N, dtype=np.int64)
+        packed = np.zeros(N, dtype=np.uint32)
         for j in range(span):
-            rows = np.minimum(home + j, nrows - 1)
-            bucket = self._tk2d[rows]                    # [N, 8]
-            hit = bucket == queries[:, None]
+            rows = self._t3[np.minimum(brow + j, nrows - 1)]  # [N, 8, 4]
+            hit = (rows[:, :, 0] == q_lo[:, None]) & (
+                rows[:, :, 1] == q_hi[:, None]
+            )
             anyhit = hit.any(axis=1)
             new = anyhit & ~found
-            slot[new] = rows[new] * BUCKET_SLOTS + np.argmax(
-                hit[new], axis=1
-            )
+            if new.any():
+                s = np.argmax(hit[new], axis=1)
+                start[new] = rows[new, s, 2].astype(np.int64)
+                packed[new] = rows[new, s, 3]
             found |= anyhit
-        start = np.where(found, self.table_start[slot], 0)
-        n0 = np.where(found, self.table_n0[slot], 0).astype(np.int32)
-        n1 = np.where(found, self.table_n1[slot], 0).astype(np.int32)
-        return found, start.astype(np.int64), n0, n1
+        n0 = np.where(found, packed & np.uint32(0xFFFF), 0).astype(np.int32)
+        n1 = np.where(found, packed >> np.uint32(16), 0).astype(np.int32)
+        return found, np.where(found, start, 0), n0, n1
 
 
 def pack_seeds_at(

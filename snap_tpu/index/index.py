@@ -21,12 +21,16 @@ from .build import EMPTY_KEY, load_index_arrays
 
 
 class DeviceIndex(NamedTuple):
-    """Index arrays as a pytree (device-resident, shardable)."""
+    """Index arrays as a pytree (device-resident, shardable).
 
-    table_keys: jax.Array   # [C] uint64
-    table_start: jax.Array  # [C] int64  offset into hits
-    table_n0: jax.Array     # [C] int32  orientation-0 count
-    table_n1: jax.Array     # [C] int32  orientation-1 count
+    Format v3 (build.py): `table` is [n_banks, bank_slots, 4] uint32 —
+    per slot (key_lo, key_hi, hits_start, n0 | n1 << 16). The bank count
+    and bucket geometry are static from the shape, and ONE bucket-row
+    gather returns keys and payload together (gather cost on TPU scales
+    with the number of indices, not bytes).
+    """
+
+    table: jax.Array        # [n_banks, bank_slots, 4] uint32
     hits: jax.Array         # [T] uint32 locations (desc per list)
     genome: jax.Array       # [G] uint8 base codes
     # 2-bit-packed genome (16 bases / u32 word, base i at bits 2*(i%16))
@@ -35,12 +39,6 @@ class DeviceIndex(NamedTuple):
     # TPU equivalent of SNAP's 64-bit XOR scan (LandauVishkin.h:377-407).
     genome_packed: jax.Array | None = None  # [ceil(G/16)] uint32
     genome_bad: jax.Array | None = None     # [ceil(G/32)] uint32
-    # Combined per-slot lookup payload [C, 4] int32: (start, n0, n1, 0).
-    # One row gather instead of three element gathers — on TPU, gather
-    # cost scales with the number of indices, so every probe-path table
-    # is laid out for row gathers. Requires hits length < 2^31
-    # (shard-local hit arrays always are). None => per-array fallback.
-    table_payload: jax.Array | None = None
     # Per-base invalid mask at EVEN bit positions, 16 bases per u32 word
     # — the same geometry as genome_packed, so one funnel shift aligns
     # both and mismatches reduce to XOR + popcount (the TPU form of
@@ -83,29 +81,17 @@ def pack_bad16(bases: np.ndarray, n_words: int) -> np.ndarray:
 
 def make_device_index(arrays: dict, genome_bases: np.ndarray) -> DeviceIndex:
     """Build a DeviceIndex with row-gather-friendly layouts: packed
-    genome words, 8-aligned padded hits, and the combined [C, 4] probe
-    payload table."""
+    genome words and 8-aligned padded hits."""
     packed, bad = pack_genome_words(genome_bases)
     hits = np.asarray(arrays["hits"])
     pad = 8 + (-(hits.shape[0] + 8)) % 8
     hits_p = np.concatenate([hits, np.zeros(pad, hits.dtype)])
-    payload = None
-    if hits.shape[0] < (1 << 31):
-        C = arrays["table_keys"].shape[0]
-        payload = np.zeros((C, 4), np.int32)
-        payload[:, 0] = arrays["table_start"].astype(np.int32)
-        payload[:, 1] = arrays["table_n0"]
-        payload[:, 2] = arrays["table_n1"]
     return DeviceIndex(
-        table_keys=jnp.asarray(arrays["table_keys"]),
-        table_start=jnp.asarray(arrays["table_start"]),
-        table_n0=jnp.asarray(arrays["table_n0"]),
-        table_n1=jnp.asarray(arrays["table_n1"]),
+        table=jnp.asarray(np.asarray(arrays["table"])),
         hits=jnp.asarray(hits_p),
         genome=jnp.asarray(genome_bases),
         genome_packed=jnp.asarray(packed),
         genome_bad=jnp.asarray(bad),
-        table_payload=None if payload is None else jnp.asarray(payload),
         genome_bad16=jnp.asarray(
             pack_bad16(genome_bases, packed.shape[0])
         ),
@@ -125,44 +111,61 @@ def murmur_finalize64(k: jax.Array) -> jax.Array:
 def probe(
     idx: DeviceIndex, queries: jax.Array, max_probe: int
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Hash-probe a batch of canonical seed keys.
+    """Hash-probe a batch of canonical seed keys (format v3).
 
     queries: [N] uint64. max_probe = the index's bucket span: a key
     lives within `span` consecutive 8-slot buckets starting at its home
-    bucket (see build._build_hash_table), so lookup is ONE contiguous
-    [N, span*8] gather + a parallel compare — no sequential probe loop.
+    bucket inside its bank (see build.assemble_table), so lookup is a
+    contiguous span of bucket-row gathers + a parallel compare — no
+    sequential probe loop, and payload rides in the same rows.
 
     Returns (found [N] bool, start [N] int64, n0 [N] int32,
     n1 [N] int32). Missing keys return counts of 0.
     """
-    from .build import BUCKET_SLOTS
+    from .build import BUCKET_SLOTS, SPAN_SLACK
 
     span = max(1, max_probe)
-    capacity = idx.table_keys.shape[0]
-    n_buckets = capacity // BUCKET_SLOTS - span
-    mask = jnp.uint64(n_buckets - 1)
-    home = (murmur_finalize64(queries) & mask).astype(jnp.int64)
-    # bucket-row gathers: span gathers of one [8]-slot row per query
-    # (gather cost on TPU scales with index count, not bytes)
-    tk2d = idx.table_keys.reshape(-1, BUCKET_SLOTS)
-    nrows = tk2d.shape[0]
-    keys = jnp.concatenate(
-        [tk2d[jnp.clip(home + j, 0, nrows - 1)] for j in range(span)],
+    n_banks, bank_slots, _ = idx.table.shape
+    bank_buckets = bank_slots // BUCKET_SLOTS - SPAN_SLACK
+    log2b = max(n_banks - 1, 0).bit_length()
+    h = murmur_finalize64(queries)
+    bank = (
+        (h & jnp.uint64(n_banks - 1)).astype(jnp.int64)
+        if n_banks > 1
+        else jnp.zeros(queries.shape[0], jnp.int64)
+    )
+    home = ((h >> jnp.uint64(log2b)) & jnp.uint64(bank_buckets - 1)).astype(
+        jnp.int64
+    )
+    # global bucket-row view: [n_banks * bank_buckets_total, 8*4] u32 —
+    # one gather index returns a whole bucket (keys + payload)
+    t2 = idx.table.reshape(-1, BUCKET_SLOTS * 4)
+    nrows = t2.shape[0]
+    stride = bank_slots // BUCKET_SLOTS
+    brow = bank * stride + home
+    rows = jnp.concatenate(
+        [t2[jnp.clip(brow + j, 0, nrows - 1)] for j in range(span)],
         axis=1,
-    )                                                 # [N, span*8]
-    hit = keys == queries[:, None]
+    ).reshape(queries.shape[0], span * BUCKET_SLOTS, 4)
+    q_lo = (queries & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    q_hi = (queries >> jnp.uint64(32)).astype(jnp.uint32)
+    hit = (rows[:, :, 0] == q_lo[:, None]) & (rows[:, :, 1] == q_hi[:, None])
     found = hit.any(axis=1)
-    slot_in = jnp.argmax(hit, axis=1).astype(jnp.int64)
-    slot = jnp.where(found, home * BUCKET_SLOTS + slot_in, 0)
-    if idx.table_payload is not None:
-        pay = idx.table_payload[slot]                 # [N, 4] row gather
-        start = jnp.where(found, pay[:, 0].astype(jnp.int64), 0)
-        n0 = jnp.where(found, pay[:, 1], 0)
-        n1 = jnp.where(found, pay[:, 2], 0)
-    else:
-        start = jnp.where(found, idx.table_start[slot], 0)
-        n0 = jnp.where(found, idx.table_n0[slot], 0)
-        n1 = jnp.where(found, idx.table_n1[slot], 0)
+    # keys are unique: at most one slot matches, so masked sums select
+    # the payload without an element gather
+    start = jnp.sum(
+        jnp.where(hit, rows[:, :, 2], np.uint32(0)), axis=1,
+        dtype=jnp.uint32,
+    ).astype(jnp.int64)
+    packed = jnp.sum(
+        jnp.where(hit, rows[:, :, 3], np.uint32(0)), axis=1,
+        dtype=jnp.uint32,
+    )
+    n0 = (packed & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    n1 = (packed >> jnp.uint32(16)).astype(jnp.int32)
+    start = jnp.where(found, start, 0)
+    n0 = jnp.where(found, n0, 0)
+    n1 = jnp.where(found, n1, 0)
     return found, start, n0, n1
 
 
@@ -238,9 +241,7 @@ class GenomeIndex:
         # host copies for save(): pulling the arrays back from the
         # device would be a slow D2H round trip of the whole index
         self._host_arrays = {
-            k: np.asarray(arrays[k])
-            for k in ("hits", "table_keys", "table_start", "table_n0",
-                      "table_n1")
+            k: np.asarray(arrays[k]) for k in ("hits", "table")
         }
         self.device = make_device_index(arrays, gb)
         self._host_index = None

@@ -283,40 +283,11 @@ def load_snap_index(directory: str, load_factor: float = 0.5):
     orient = np.concatenate(all_orient)
     locs = np.concatenate(all_locs)
 
-    from .build import _build_hash_table, EMPTY_KEY
+    from .build import _dedup_sorted_triples, assemble_table
 
-    loc_desc = np.uint32(0xFFFFFFFF) - locs
-    order = np.lexsort((loc_desc, orient, keys))
-    keys, orient, locs = keys[order], orient[order], locs[order]
-    unique_keys, start, counts = np.unique(
-        keys, return_index=True, return_counts=True
-    )
-    orient_cum = np.concatenate(([0], np.cumsum(orient.astype(np.int64))))
-    n1 = (orient_cum[start + counts] - orient_cum[start]).astype(np.int32)
-    n0 = (counts - n1).astype(np.int32)
-    table_key_idx, capacity, max_probe = _build_hash_table(
-        unique_keys, load_factor
-    )
-    t_keys = np.full(capacity, EMPTY_KEY, dtype=np.uint64)
-    t_start = np.zeros(capacity, dtype=np.int64)
-    t_n0 = np.zeros(capacity, dtype=np.int32)
-    t_n1 = np.zeros(capacity, dtype=np.int32)
-    occ = table_key_idx >= 0
-    ki = table_key_idx[occ]
-    t_keys[occ] = unique_keys[ki]
-    t_start[occ] = start[ki]
-    t_n0[occ] = n0[ki]
-    t_n1[occ] = n1[ki]
-
-    arrays = {
-        "seed_len": seed_len,
-        "max_probe": max_probe,
-        "hits": locs,
-        "table_keys": t_keys,
-        "table_start": t_start,
-        "table_n0": t_n0,
-        "table_n1": t_n1,
-    }
+    locs_s, uk, start, n0, n1 = _dedup_sorted_triples(keys, orient, locs)
+    arrays = assemble_table(locs_s, uk, start, n0, n1, load_factor)
+    arrays["seed_len"] = seed_len
     return genome, arrays
 
 

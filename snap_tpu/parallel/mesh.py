@@ -41,18 +41,18 @@ def sharded_device_index(arrays: dict, genome_bases: np.ndarray, mesh: Mesh):
     sharded over 'index', genome replicated."""
     idx_spec = NamedSharding(mesh, P("index"))
     repl = NamedSharding(mesh, P())
-    from ..index.index import pack_genome_words
+    from ..index.index import pack_bad16, pack_genome_words
 
     packed, bad = pack_genome_words(genome_bases)
     return DeviceIndex(
-        table_keys=jax.device_put(jnp.asarray(arrays["table_keys"]), idx_spec),
-        table_start=jax.device_put(jnp.asarray(arrays["table_start"]), idx_spec),
-        table_n0=jax.device_put(jnp.asarray(arrays["table_n0"]), idx_spec),
-        table_n1=jax.device_put(jnp.asarray(arrays["table_n1"]), idx_spec),
+        table=jax.device_put(jnp.asarray(arrays["table"]), idx_spec),
         hits=jax.device_put(jnp.asarray(arrays["hits"]), idx_spec),
         genome=jax.device_put(jnp.asarray(genome_bases), repl),
         genome_packed=jax.device_put(jnp.asarray(packed), repl),
         genome_bad=jax.device_put(jnp.asarray(bad), repl),
+        genome_bad16=jax.device_put(
+            jnp.asarray(pack_bad16(genome_bases, packed.shape[0])), repl
+        ),
     )
 
 
@@ -70,14 +70,12 @@ def align_single_sharded(
 
     def local(didx_local, b, q, l):
         local_idx = DeviceIndex(
-            table_keys=didx_local.table_keys[0],
-            table_start=didx_local.table_start[0],
-            table_n0=didx_local.table_n0[0],
-            table_n1=didx_local.table_n1[0],
+            table=didx_local.table[0],
             hits=didx_local.hits[0],
             genome=didx_local.genome,
             genome_packed=didx_local.genome_packed,
             genome_bad=didx_local.genome_bad,
+            genome_bad16=didx_local.genome_bad16,
         )
         out = align_single_device(local_idx, b, q, l, params)
         # a seed's hits live wholly in one shard, so popular-seed skips
@@ -89,14 +87,12 @@ def align_single_sharded(
         return out._replace(popular=popular, truncated=truncated)
 
     idx_specs = DeviceIndex(
-        table_keys=P("index"),
-        table_start=P("index"),
-        table_n0=P("index"),
-        table_n1=P("index"),
+        table=P("index"),
         hits=P("index"),
         genome=P(),
         genome_packed=P(),
         genome_bad=P(),
+        genome_bad16=P(),
     )
     cand2d = P("data", "index")  # [B, K*n_shards] concat across shards
     out_specs = SingleAlignOut(

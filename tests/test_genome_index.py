@@ -97,10 +97,7 @@ def test_index_lookup_matches_brute_force():
     from snap_tpu.index.index import DeviceIndex, probe, gather_hits
 
     dev = DeviceIndex(
-        table_keys=jnp.asarray(idx["table_keys"]),
-        table_start=jnp.asarray(idx["table_start"]),
-        table_n0=jnp.asarray(idx["table_n0"]),
-        table_n1=jnp.asarray(idx["table_n1"]),
+        table=jnp.asarray(idx["table"]),
         hits=jnp.asarray(idx["hits"]),
         genome=jnp.asarray(np.asarray(g.bases)),
     )  # no packed genome: exercises the full-DP fallback path

@@ -59,10 +59,7 @@ def test_sharded_matches_single():
 
     _p1, _b1 = pack_genome_words(bases_g)
     didx1 = DeviceIndex(
-        table_keys=jnp.asarray(single["table_keys"]),
-        table_start=jnp.asarray(single["table_start"]),
-        table_n0=jnp.asarray(single["table_n0"]),
-        table_n1=jnp.asarray(single["table_n1"]),
+        table=jnp.asarray(single["table"]),
         hits=jnp.asarray(single["hits"]),
         genome=jnp.asarray(bases_g),
         genome_packed=jnp.asarray(_p1),

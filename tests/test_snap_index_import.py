@@ -48,14 +48,17 @@ def ref_index(snap_binary, tmp_path_factory):
 
 def _hit_map(arrays):
     m = {}
-    ek = np.uint64(0xFFFFFFFFFFFFFFFF)
-    tk, ts = arrays["table_keys"], arrays["table_start"]
-    n0, n1, h = arrays["table_n0"], arrays["table_n1"], arrays["hits"]
-    for i in np.flatnonzero(tk != ek):
-        k, s = int(tk[i]), int(ts[i])
+    t = arrays["table"].reshape(-1, 4)
+    h = arrays["hits"]
+    occ = ~((t[:, 0] == 0xFFFFFFFF) & (t[:, 1] == 0xFFFFFFFF))
+    for i in np.flatnonzero(occ):
+        k = int(t[i, 0]) | (int(t[i, 1]) << 32)
+        s = int(t[i, 2])
+        n0 = int(t[i, 3]) & 0xFFFF
+        n1 = int(t[i, 3]) >> 16
         m[k] = (
-            h[s : s + int(n0[i])].tolist(),
-            h[s + int(n0[i]) : s + int(n0[i]) + int(n1[i])].tolist(),
+            h[s : s + n0].tolist(),
+            h[s + n0 : s + n0 + n1].tolist(),
         )
     return m
 
