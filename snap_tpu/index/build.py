@@ -83,6 +83,57 @@ def pack_seeds(bases: np.ndarray, positions: np.ndarray, seed_len: int):
     return fwd, rc, valid
 
 
+def pack_seeds_range(bases: np.ndarray, lo: int, hi: int, seed_len: int):
+    """pack_seeds for the contiguous positions [lo, hi).
+
+    Much faster than pack_seeds on arbitrary positions: bases are read
+    through slices (views) instead of fancy-index gathers, and four
+    bases are funneled into one byte before the u64 extends, so the
+    seed loop runs seed_len/4 times instead of seed_len.
+    """
+    n = hi - lo
+    win = bases[lo : hi + seed_len - 1]
+    m = win.shape[0]
+    with np.errstate(over="ignore"):
+        # q[j] packs bases j..j+3 string-order (j in the high bits).
+        # Bytes touching a base >= 4 hold garbage, but every seed whose
+        # window contains that base is marked invalid below and dropped.
+        q = (
+            (win[: m - 3] << np.uint8(6))
+            | (win[1 : m - 2] << np.uint8(4))
+            | (win[2 : m - 1] << np.uint8(2))
+            | win[3:]
+        )
+        cb = np.uint8(3) - win
+        # rq[j] packs complements reversed: base j in the low bits
+        rq = (
+            cb[: m - 3]
+            | (cb[1 : m - 2] << np.uint8(2))
+            | (cb[2 : m - 1] << np.uint8(4))
+            | (cb[3:] << np.uint8(6))
+        )
+    fwd = np.zeros(n, dtype=np.uint64)
+    rc = np.zeros(n, dtype=np.uint64)
+    for j in range(seed_len // 4):
+        i = 4 * j
+        fwd |= q[i : i + n].astype(np.uint64) << np.uint64(
+            2 * (seed_len - 4 - i)
+        )
+        rc |= rq[i : i + n].astype(np.uint64) << np.uint64(2 * i)
+    for i in range(4 * (seed_len // 4), seed_len):  # tail bases
+        b = np.where(win[i : i + n] < 4, win[i : i + n], 0).astype(
+            np.uint64
+        )
+        fwd |= b << np.uint64(2 * (seed_len - 1 - i))
+        rc |= (np.uint64(3) - b) << np.uint64(2 * i)
+    inv = np.concatenate(
+        ([0], np.cumsum((win >= 4).astype(np.int32), dtype=np.int64))
+    )
+    valid = (inv[seed_len:] - inv[:n]) == 0
+    # fwd/rc are unspecified where ~valid (callers drop those positions).
+    return fwd, rc, valid
+
+
 def extract_canonical_seeds(
     genome: Genome, seed_len: int, chunk: int = 1 << 24
 ):
@@ -93,7 +144,7 @@ def extract_canonical_seeds(
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
         pos = np.arange(lo, hi, dtype=np.int64)
-        fwd, rc, valid = pack_seeds(bases, pos, seed_len)
+        fwd, rc, valid = pack_seeds_range(bases, lo, hi, seed_len)
         canonical = np.minimum(fwd, rc)
         orient = (rc < fwd)  # genome seed is the RC of the canonical
         keys_l.append(canonical[valid])
@@ -290,7 +341,7 @@ def build_index_chunked(
     for lo in range(0, n_pos, chunk):
         hi = min(lo + chunk, n_pos)
         pos = np.arange(lo, hi, dtype=np.int64)
-        fwd, rc, valid = pack_seeds(bases, pos, seed_len)
+        fwd, rc, valid = pack_seeds_range(bases, lo, hi, seed_len)
         canonical = np.minimum(fwd, rc)[valid]
         orient = (rc < fwd)[valid]
         loc = pos[valid].astype(np.uint32)

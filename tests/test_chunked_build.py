@@ -15,9 +15,24 @@ from snap_tpu.index.build import (
     build_index_chunked,
     load_index_arrays,
     pack_seeds,
+    pack_seeds_range,
     save_index,
 )
 from snap_tpu.index.host_lookup import HostIndex
+
+
+@pytest.mark.parametrize("seed_len", [8, 20, 22, 24, 25, 32])
+def test_pack_seeds_range_matches_gather(seed_len):
+    rng = np.random.default_rng(seed_len)
+    bases = rng.integers(0, 4, size=5000).astype(np.uint8)
+    bases[rng.integers(0, 5000, size=40)] = PAD  # scattered Ns
+    lo, hi = 7, 5000 - seed_len + 1
+    pos = np.arange(lo, hi, dtype=np.int64)
+    f1, r1, v1 = pack_seeds(bases, pos, seed_len)
+    f2, r2, v2 = pack_seeds_range(bases, lo, hi, seed_len)
+    assert np.array_equal(v1, v2)
+    assert np.array_equal(f1[v1], f2[v2])
+    assert np.array_equal(r1[v1], r2[v2])
 
 
 def _mk_genome(n=200_000, seed=3):
