@@ -26,7 +26,11 @@ from ..constants import (
     DEFAULT_MAX_SPACING,
     DEFAULT_MIN_SPACING,
     PAIRED_MERGE_ANCHOR_DIST,
+    SNP_PROB,
+    indel_probability_table,
+    phred_to_probability_table,
 )
+from ..genome import reverse_complement_codes
 from .post import ReadAlignment, compute_mapq, finalize_read
 
 MIN_SCORE_REALIGNMENT = 3       # ChimericPairedEndAligner.h:60
@@ -82,22 +86,33 @@ def finalize_pair(
     min_score_realignment: int = MIN_SCORE_REALIGNMENT,   # -en
     min_ag_improvement: int = MIN_AG_SCORE_IMPROVEMENT,   # -eg
     flatten_mapq_at_or_below: int = 3,                    # -fmb
+    max_secondary_edit: int = -1,                         # -om
+    max_secondary: int = 0x7FFFFFFF,                      # -omax
+    max_k: int = 127,
 ) -> tuple[
     PairEndResult, PairEndResult,
     tuple[PairEndResult, PairEndResult] | None,
+    list[tuple[PairEndResult, PairEndResult]],
 ]:
     """Pick the pair (or chimeric single) results for one read pair.
 
-    Returns (end0, end1, alt_supplementary_pair | None). ALT handling
-    mirrors the intersecting aligner's dual score sets
+    Returns (end0, end1, alt_supplementary_pair | None, secondaries).
+    ALT handling mirrors the intersecting aligner's dual score sets
     (IntersectingPairedEndAligner.cpp:834,1211,1251-1257): a pair is
     non-ALT when its location is below the first-ALT boundary; the
     non-ALT set is emitted unless its best pair score is more than
     max_score_gap worse, and the distinct best ALT pair becomes a
     supplementary result under emit_alt.
+
+    Secondaries (-om): merge-anchor representative pairs other than the
+    primary whose pair score is within max_secondary_edit of the best
+    pair (and <= 2*max_k), sorted by pair score, truncated to -omax and
+    emitted with MAPQ 0 (IntersectingPairedEndAligner.cpp:999-1049).
     """
     if not (len_ok0 or len_ok1):
-        return PairEndResult("filtered"), PairEndResult("filtered"), None
+        return (
+            PairEndResult("filtered"), PairEndResult("filtered"), None, []
+        )
 
     alt_boundary = (
         first_alt_start
@@ -208,11 +223,39 @@ def finalize_pair(
     s0 = single_end(c0, popular0, len_ok0)
     s1 = single_end(c1, popular1, len_ok1)
 
+    def _end_secondaries(c, s, which):
+        """Single-end -om secondaries for the chimeric fallback path
+        (the reference's BaseAligner collects these via the secondary
+        buffers ChimericPairedEndAligner passes through)."""
+        if max_secondary_edit < 0 or s.status in ("notfound", "filtered"):
+            return []
+        from .post import collect_secondary_results
+
+        secs = collect_secondary_results(
+            c["dist"], c["log_prob"], c["ag_score"], c["end_loc"],
+            c["cand_loc"], c["direction"], c["valid"], s.cand_index,
+            s.dist, max_k, max_secondary_edit, max_secondary,
+        )
+        out = []
+        for sec in secs:
+            pr = PairEndResult(
+                status="multi", cand_index=sec.cand_index,
+                direction=sec.direction, end_loc=sec.end_loc,
+                dist=sec.dist, mapq=0, aligned_as_pair=False,
+            )
+            out.append((pr, None) if which == 0 else (None, pr))
+        return out
+
     def single_fallback():
         out = []
         for s, ok in ((s0, len_ok0), (s1, len_ok1)):
             if not ok or s.status in ("notfound", "filtered"):
                 out.append(PairEndResult("filtered" if not ok else "notfound"))
+                continue
+            if s.dist > max_k // 2:
+                # the chimeric single-end realignment runs with
+                # maxKSingleEnd = maxK/2 (ChimericPairedEndAligner.cpp:75)
+                out.append(PairEndResult("notfound"))
                 continue
             mapq = s.mapq // 3  # chimeric penalty (ChimericPairedEndAligner.cpp:421)
             mapq = 0 if mapq <= flatten_mapq_at_or_below else mapq
@@ -227,13 +270,17 @@ def finalize_pair(
                     aligned_as_pair=False,
                 )
             )
-        return out[0], out[1], None
+        secs = _end_secondaries(c0, s0, 0) + _end_secondaries(c1, s1, 1)
+        return out[0], out[1], None, secs
 
     if not pair_found:
         if force_spacing:
             # -fs: either both ends align as a pair or neither does
             # (PairedAligner.cpp:826-834; the chimeric fallback is off)
-            return PairEndResult("notfound"), PairEndResult("notfound"), None
+            return (
+                PairEndResult("notfound"), PairEndResult("notfound"),
+                None, [],
+            )
         return single_fallback()
 
     i0, i1 = best
@@ -269,6 +316,35 @@ def finalize_pair(
                 mapq1 = min(mapq1, s1.mapq)
         if single_ag >= pair_ag + min_ag_improvement:
             return single_fallback()
+
+    # -om pair secondaries: non-primary merge-anchor reps within the
+    # edit-distance window (IntersectingPairedEndAligner.cpp:999-1049)
+    secondaries: list[tuple[PairEndResult, PairEndResult]] = []
+    if max_secondary_edit >= 0:
+        worst = min(2 * max_k, int(dsum[bi]) + max_secondary_edit)
+        cands = [
+            int(r) for r in reps_arr
+            if int(r) != int(bi) and int(dsum[r]) <= worst
+        ]
+        cands.sort(key=lambda r: (int(dsum[r]), -float(probs[r])))
+        for r in cands[:max_secondary]:
+            j0, j1 = int(i0s[r]), int(i1s[r])
+            secondaries.append((
+                PairEndResult(
+                    status="multi", cand_index=j0,
+                    direction=int(c0["direction"][j0]),
+                    end_loc=int(c0["end_loc"][j0]),
+                    dist=int(c0["dist"][j0]), mapq=0,
+                    aligned_as_pair=True,
+                ),
+                PairEndResult(
+                    status="multi", cand_index=j1,
+                    direction=int(c1["direction"][j1]),
+                    end_loc=int(c1["end_loc"][j1]),
+                    dist=int(c1["dist"][j1]), mapq=0,
+                    aligned_as_pair=True,
+                ),
+            ))
 
     r0 = PairEndResult(
         status="single" if mapq0 >= 10 else "multi",
@@ -314,4 +390,131 @@ def finalize_pair(
                 supplementary=True,
             ),
         )
-    return r0, r1, alt_pair
+    return r0, r1, alt_pair, secondaries
+
+
+# ---------------------------------------------------------------------------
+# -eh Hamming rescue (ChimericPairedEndAligner.cpp:330-363)
+# ---------------------------------------------------------------------------
+
+_PHRED_ERR = phred_to_probability_table()
+_INDEL_PROB = indel_probability_table()
+
+
+def _gapless_extend(match: np.ndarray, quals: np.ndarray,
+                    ag_match: int, ag_sub: int):
+    """One directional computeGaplessScore scan
+    (AffineGapVectorized.h:139-248): walk the extent accumulating
+    +match/-sub, keep the best-scoring prefix, soft-clip the rest.
+
+    Returns (ok, kept, edits_kept, log_prob) — ok False when no prefix
+    scores above zero (could not extend past the seed).
+    """
+    n = match.shape[0]
+    if n == 0:
+        return True, 0, 0, 0.0
+    scores = np.cumsum(np.where(match, ag_match, -ag_sub))
+    best = int(np.argmax(scores))
+    if scores[best] <= 0:
+        return False, 0, 0, 0.0
+    kept = best + 1
+    mis = ~match[:kept]
+    edits = int(mis.sum())
+    log_prob = float(
+        np.log(_PHRED_ERR[quals[:kept][mis]]).sum()
+        + (kept - edits) * np.log1p(-SNP_PROB)
+    )
+    clip = n - kept
+    if clip:
+        log_prob += float(np.log(_INDEL_PROB[min(clip, len(_INDEL_PROB) - 1)]))
+    return True, kept, edits, log_prob
+
+
+def hamming_rescue(
+    genome_np: np.ndarray,
+    bases: np.ndarray,       # [L] uint8 read codes (unoriented)
+    quals: np.ndarray,       # [L] uint8 raw phred+33
+    plen: int,               # quality-clipped effective length
+    seed_len: int,
+    cand_loc: np.ndarray,    # [K] int64 candidate locations (oriented)
+    seed_off: np.ndarray,    # [K] int32 oriented anchor offsets
+    direction: np.ndarray,   # [K] int32
+    cand_ok: np.ndarray,     # [K] bool candidate slots that exist
+    score_limit: int,        # maxKSingleEnd = maxK/2
+    popular: int,
+    ag_match: int = 1,
+    ag_sub: int = 4,
+):
+    """Rescore an unmapped end's candidates with gapless soft-clip
+    scoring. Reads whose tails are unalignable under the LV/AG edit
+    budget (e.g. adapter or chimera tails) often fit once the tail is
+    clipped; SNAP reruns BaseAligner with useHamming for exactly this
+    case (ChimericPairedEndAligner.cpp:330-363). Returns
+    (best_result_dict | None) with MAPQ already computed (before the
+    chimeric /3 penalty).
+    """
+    accepted = []
+    fwd = np.ascontiguousarray(bases[:plen])
+    fq = np.ascontiguousarray(quals[:plen])
+    rc = reverse_complement_codes(fwd.copy())
+    rq = fq[::-1].copy()
+    G = genome_np.shape[0]
+    for k in np.flatnonzero(cand_ok):
+        loc = int(cand_loc[k])
+        off = int(seed_off[k])
+        d = int(direction[k])
+        if loc < 0 or loc + plen > G:
+            continue
+        pat = rc if d else fwd
+        pq = rq if d else fq
+        text = genome_np[loc : loc + plen]
+        match = (text == pat) & (pat < 4) & (text < 4)
+        tail_start = min(off + seed_len, plen)
+        # the anchoring seed's bases match the genome exactly at a real
+        # hit (candidates are normalized hit - seedOffset); a window
+        # that doesn't is a fuzzy-merged alias — don't rescue off it
+        if not match[off:tail_start].all():
+            continue
+        ok1, kept1, e1, lp1 = _gapless_extend(
+            match[tail_start:], pq[tail_start:], ag_match, ag_sub
+        )
+        if not ok1 and tail_start < plen:
+            continue
+        if e1 > score_limit:
+            continue
+        ok2, kept2, e2, lp2 = _gapless_extend(
+            match[:off][::-1], pq[:off][::-1], ag_match, ag_sub
+        )
+        if not ok2 and off > 0:
+            continue
+        if e2 > score_limit - e1:
+            continue
+        clip_after = (plen - tail_start) - kept1
+        clip_before = off - kept2
+        dist = e1 + e2 + clip_after + clip_before
+        log_prob = (
+            lp1 + lp2 + seed_len * float(np.log1p(-SNP_PROB))
+        )
+        accepted.append({
+            "cand_index": int(k),
+            "direction": d,
+            "loc": loc,
+            "start_loc": loc + clip_before,
+            "clip_before": clip_before,
+            "clip_after": clip_after,
+            "dist": dist,
+            "nm": e1 + e2,
+            "log_prob": log_prob,
+            "ref_span": plen - clip_before - clip_after,
+        })
+    if not accepted:
+        return None
+    probs = np.exp(np.array([a["log_prob"] for a in accepted]))
+    p_all = float(probs.sum())
+    bi = min(
+        range(len(accepted)),
+        key=lambda j: (accepted[j]["dist"], -probs[j]),
+    )
+    best = accepted[bi]
+    best["mapq"] = compute_mapq(p_all, float(probs[bi]), popular)
+    return best

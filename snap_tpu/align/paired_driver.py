@@ -63,6 +63,11 @@ class PairedEndAligner:
     min_ag_improvement: int = 24             # -eg
     flatten_mapq_at_or_below: int = 3        # -fmb
     read_secondary: bool = False             # -sa
+    max_secondary_edit: int = -1             # -om
+    max_secondary: int = 0x7FFFFFFF          # -omax
+    max_secondary_per_contig: int = -1       # -mpc
+    enable_hamming: bool = True              # -eh (default on,
+                                             # PairedAligner.cpp:241)
     force_kind: str | None = None            # -pairedFastq
     force_gzip: bool = False                 # -pairedCompressed...
     force_interleaved: bool = False          # -pairedInterleavedFastq
@@ -182,7 +187,7 @@ class PairedEndAligner:
             len_ok1 = int(b1.lengths[i]) >= self.min_read_length
             c0 = {k: f[k][i] for k in per_cand}
             c1 = {k: f[k][j] for k in per_cand}
-            r0, r1, alt_pair = finalize_pair(
+            r0, r1, alt_pair, sec_pairs = finalize_pair(
                 c0, c1, int(f["popular"][i]), int(f["popular"][j]),
                 self.min_spacing, self.max_spacing, len_ok0, len_ok1,
                 first_alt_start=self.first_alt_start,
@@ -195,6 +200,9 @@ class PairedEndAligner:
                 min_score_realignment=self.min_score_realignment,
                 min_ag_improvement=self.min_ag_improvement,
                 flatten_mapq_at_or_below=self.flatten_mapq_at_or_below,
+                max_secondary_edit=self.max_secondary_edit,
+                max_secondary=self.max_secondary,
+                max_k=self.params.max_k,
             )
             if (
                 self.infer_spacing
@@ -226,13 +234,85 @@ class PairedEndAligner:
 
             rec0 = to_rec(r0, b0, i)
             rec1 = to_rec(r1, b1, j)
+            if self.enable_hamming and not self.force_spacing:
+                # -eh Hamming rescue of still-unmapped ends
+                # (ChimericPairedEndAligner.cpp:330-363)
+                if rec0["status"] == "notfound" and len_ok0:
+                    rec0 = self._try_hamming_rescue(b0, i, i, f, pc) or rec0
+                if rec1["status"] == "notfound" and len_ok1:
+                    rec1 = self._try_hamming_rescue(b1, i, j, f, pc) or rec1
             if alt_pair is not None:
                 rec0["alt_supplementary"] = to_rec(alt_pair[0], b0, i)
                 rec1["alt_supplementary"] = to_rec(alt_pair[1], b1, j)
+            if sec_pairs:
+                rec0["secondaries"] = [
+                    to_rec(s0_, b0, i) if s0_ is not None else None
+                    for s0_, _ in sec_pairs
+                ]
+                rec1["secondaries"] = [
+                    to_rec(s1_, b1, j) if s1_ is not None else None
+                    for _, s1_ in sec_pairs
+                ]
             results.append((rec0, rec1))
         if self.infer_spacing:
             self._update_spacing(spacing_samples)
         return results
+
+    def _try_hamming_rescue(self, batch, i, row, f, pc):
+        """Gapless soft-clip rescore of an unmapped end's candidates
+        (-eh, ChimericPairedEndAligner.cpp:330-363). Returns a full
+        emission record dict or None."""
+        from .paired import hamming_rescue
+
+        plen = int(f["len_eff"][row])
+        res = hamming_rescue(
+            self.genome_np,
+            batch.bases[i], batch.quals[i], plen,
+            self.params.seed_len,
+            pc.loc[row], pc.off[row], pc.dir[row], pc.valid[row],
+            self.params.max_k // 2, int(f["popular"][row]),
+            ag_match=self.params.ag_match, ag_sub=self.params.ag_sub,
+        )
+        if res is None:
+            return None
+        mapq = res["mapq"] // 3  # chimeric penalty
+        mapq = 0 if mapq <= self.flatten_mapq_at_or_below else mapq
+        d = res["direction"]
+        back_q = int(batch.lengths[i]) - plen
+        cb, ca = res["clip_before"], res["clip_after"]
+        fs = cb + (back_q if d else 0)
+        bs = ca + (0 if d else back_q)
+        body = res["ref_span"]
+        if self.use_m:
+            body_cig = f"{body}M"
+        else:
+            from ..genome import reverse_complement_codes
+            from .adjust import _split_eq_x, render_cigar
+
+            pat = batch.bases[i, :plen]
+            pat = reverse_complement_codes(pat.copy()) if d else pat
+            body_cig = render_cigar(
+                _split_eq_x(
+                    [[body, "M"]], res["start_loc"], pat[cb : plen - ca],
+                    self.genome_np,
+                )
+            )
+        cigar = (
+            (f"{fs}S" if fs else "") + body_cig + (f"{bs}S" if bs else "")
+        )
+        return {
+            "status": "single" if mapq >= 10 else "multi",
+            "start_loc": res["start_loc"],
+            "cigar": cigar,
+            "nm": res["nm"],
+            "front_soft": fs,
+            "ref_span": body,
+            "direction": d,
+            "mapq": mapq,
+            "dist": res["dist"],
+            "aligned_as_pair": False,
+            "supplementary": False,
+        }
 
     def align_files(
         self, path1: str, path2: str | None, writer: SamWriter
@@ -436,6 +516,82 @@ class PairedEndAligner:
                     rnext=rnext, pnext=pnext, tlen=0,
                 )
                 self.stats.extra_alignments += 1
+
+        # -om secondary pairs (and fallback per-end secondaries): each
+        # emitted with 0x100, MAPQ 0, mate info from the paired
+        # secondary when present else the primary mate
+        # (IntersectingPairedEndAligner.cpp:999-1049)
+        secs0 = r0.get("secondaries")
+        secs1 = r1.get("secondaries")
+        if secs0 or secs1:
+            from ..io.sam import FLAG_SECONDARY
+
+            contig_counts: dict[str, int] = {}
+            for loc in located:
+                if loc is not None:
+                    contig_counts[loc[0]] = contig_counts.get(loc[0], 0) + 1
+            n_rows = max(len(secs0 or ()), len(secs1 or ()))
+            for row in range(n_rows):
+                s_recs = (
+                    (secs0 or [None] * n_rows)[row],
+                    (secs1 or [None] * n_rows)[row],
+                )
+                s_locs = [
+                    writer.locate(s["start_loc"]) if s is not None else None
+                    for s in s_recs
+                ]
+                if self.max_secondary_per_contig > 0:
+                    capped = False
+                    for sl in s_locs:
+                        if sl is None:
+                            continue
+                        n_ct = contig_counts.get(sl[0], 0) + 1
+                        if n_ct > self.max_secondary_per_contig:
+                            capped = True
+                        contig_counts[sl[0]] = n_ct
+                    if capped:
+                        continue
+                for which in (0, 1):
+                    s = s_recs[which]
+                    sloc = s_locs[which]
+                    if s is None or sloc is None:
+                        continue
+                    batch = b0 if which == 0 else b1
+                    L = int(batch.lengths[i])
+                    seq = BASE_DECODE[batch.bases[i, :L]].tobytes()
+                    qual = batch.quals[i, :L].tobytes()
+                    flag = (
+                        FLAG_PAIRED | FLAG_SECONDARY
+                        | (FLAG_FIRST if which == 0 else FLAG_LAST)
+                    )
+                    if s["direction"]:
+                        flag |= FLAG_RC
+                    mate_loc = s_locs[1 - which]
+                    mate_dir = (
+                        s_recs[1 - which]["direction"]
+                        if s_recs[1 - which] is not None
+                        else (
+                            recs[1 - which].get("direction", 0)
+                            if located[1 - which] is not None
+                            else 0
+                        )
+                    )
+                    if mate_loc is None:
+                        mate_loc = located[1 - which]
+                    rnext, pnext, tlen = "*", 0, 0
+                    if mate_loc is not None:
+                        rnext = "=" if mate_loc[0] == sloc[0] else mate_loc[0]
+                        pnext = mate_loc[1]
+                        if mate_dir:
+                            flag |= FLAG_NEXT_RC
+                        if s.get("aligned_as_pair"):
+                            flag |= FLAG_PROPER
+                    writer.write_record(
+                        pair_ids[which], flag, sloc[0], sloc[1], 0,
+                        s["cigar"], seq, qual, nm=s["nm"],
+                        rnext=rnext, pnext=pnext, tlen=tlen,
+                    )
+                    self.stats.extra_alignments += 1
 
 
 def _template_length(r: dict, mate: dict, pos: int, mpos: int) -> int:

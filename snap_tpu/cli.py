@@ -258,6 +258,7 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         "clip_back": True, "sort_memory_mb": None, "sort_tmp_dir": None,
         "is_tag": None, "fmb": 3, "en": 3, "eg": 24,
         "read_secondary": False, "at": False, "sam_no_sq": False,
+        "eh": True,
         "quiet": False, "very_quiet": False, "hdp": False, "kts": False,
         "force_kind": None, "force_gzip": False, "interleaved": False,
     }
@@ -275,7 +276,7 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
     # pair wavefront's candidates, so these have no separate knob.
     noop_flags = {"-map", "-map-", "-pre", "-pre-", "-hp", "-b-", "-P",
                   "-di", "-lp", "-nu", "-no", "-nt", "-ne",
-                  "-nb", "-ni", "-B", "-eh", "-eh-", "-ins-", "-proAg"}
+                  "-nb", "-ni", "-B", "-ins-", "-proAg"}
     noop_with_arg = {"-wbs", "-mcp", "-xf", "-es", "-N"}
     i = 0
     while i < len(rest):
@@ -442,6 +443,10 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
             o["eg"] = int(rest[i + 1]); i += 2
         elif a == "-sa":
             o["read_secondary"] = True; i += 1
+        elif a == "-eh":
+            o["eh"] = True; i += 1
+        elif a == "-eh-":
+            o["eh"] = False; i += 1
         elif a == "-at":
             o["at"] = True; i += 1
         elif a == "-samNoSQ":
@@ -574,6 +579,9 @@ def cmd_paired(args: list[str]) -> int:
         min_ag_improvement=opts["eg"],
         flatten_mapq_at_or_below=opts["fmb"],
         read_secondary=opts["read_secondary"],
+        max_secondary_edit=opts["om"], max_secondary=opts["omax"],
+        max_secondary_per_contig=opts["mpc"],
+        enable_hamming=opts["eh"],
         attach_times=opts["at"],
         force_kind=opts["force_kind"],
         force_gzip=opts["force_gzip"],

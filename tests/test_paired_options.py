@@ -31,18 +31,58 @@ def test_force_spacing_kills_unpaired():
     # two ends aligning far apart (no valid pair spacing)
     c0 = _cand([1000], [0], [0])
     c1 = _cand([900000], [0], [1])
-    r0, r1, _ = finalize_pair(c0, c1, 0, 0, 0, 1000)
+    r0, r1, _, _ = finalize_pair(c0, c1, 0, 0, 0, 1000)
     # default: chimeric single fallback keeps both ends
     assert r0.status in ("single", "multi") and not r0.aligned_as_pair
-    r0, r1, _ = finalize_pair(c0, c1, 0, 0, 0, 1000, force_spacing=True)
+    r0, r1, _, _ = finalize_pair(c0, c1, 0, 0, 0, 1000, force_spacing=True)
     assert r0.status == "notfound" and r1.status == "notfound"
 
 
 def test_force_spacing_keeps_real_pairs():
     c0 = _cand([1000], [0], [0])
     c1 = _cand([1300], [0], [1])
-    r0, r1, _ = finalize_pair(c0, c1, 0, 0, 0, 1000, force_spacing=True)
+    r0, r1, _, _ = finalize_pair(c0, c1, 0, 0, 0, 1000, force_spacing=True)
     assert r0.aligned_as_pair and r1.aligned_as_pair
+
+
+def test_pair_secondaries_om():
+    # two competing pair locations: primary at 1000/1300 (dist 0+0),
+    # secondary at 5000/5300 (dist 1+1), a far-off pair at 9000/9300
+    # with dist 5+5 beyond the -om window
+    c0 = _cand([1000, 5000, 9000], [0, 1, 5], [0, 0, 0],
+               ag=[100, 95, 60])
+    c1 = _cand([1300, 5300, 9300], [0, 1, 5], [1, 1, 1],
+               ag=[100, 95, 60])
+    r0, r1, _, secs = finalize_pair(
+        c0, c1, 0, 0, 0, 1000, max_secondary_edit=3
+    )
+    assert r0.aligned_as_pair and r0.cand_index == 0
+    assert len(secs) == 1
+    s0, s1 = secs[0]
+    assert s0.cand_index == 1 and s1.cand_index == 1
+    assert s0.mapq == 0 and s0.aligned_as_pair
+    # -omax truncation
+    _, _, _, secs0 = finalize_pair(
+        c0, c1, 0, 0, 0, 1000, max_secondary_edit=30, max_secondary=1
+    )
+    assert len(secs0) == 1
+    # om off -> no secondaries
+    _, _, _, secs_off = finalize_pair(c0, c1, 0, 0, 0, 1000)
+    assert secs_off == []
+
+
+def test_fallback_single_end_secondaries_om():
+    # no valid pair spacing -> chimeric fallback; end 0 has a second
+    # candidate within om of its best
+    c0 = _cand([1000, 4000], [0, 1], [0, 0], ag=[100, 95])
+    c1 = _cand([900000], [0], [1])
+    r0, r1, _, secs = finalize_pair(
+        c0, c1, 0, 0, 0, 1000, max_secondary_edit=2
+    )
+    assert not r0.aligned_as_pair
+    assert len(secs) == 1
+    s0, s1 = secs[0]
+    assert s1 is None and s0.cand_index == 1 and s0.mapq == 0
 
 
 def test_update_spacing_quartiles():
@@ -102,3 +142,67 @@ def test_preserve_fastq_comments(tmp_path):
         if not ln.startswith("@")
     ][0]
     assert "BC:Z" not in line2
+
+
+def test_fallback_maxk_half_cap():
+    # chimeric fallback realigns with maxKSingleEnd = maxK/2
+    # (ChimericPairedEndAligner.cpp:75): dist 5 with max_k 8 -> notfound
+    c0 = _cand([1000], [5], [0])
+    c1 = _cand([900000], [0], [1])
+    r0, r1, _, _ = finalize_pair(c0, c1, 0, 0, 0, 1000, max_k=8)
+    assert r0.status == "notfound"
+    assert r1.status in ("single", "multi")
+    # a fit within maxK/2 survives
+    r0b, _, _, _ = finalize_pair(c0, c1, 0, 0, 0, 1000, max_k=12)
+    assert r0b.status in ("single", "multi")
+
+
+def test_hamming_rescue_clips_bad_tail():
+    from snap_tpu.align.paired import hamming_rescue
+
+    rng = np.random.default_rng(7)
+    G = 4000
+    genome = rng.integers(0, 4, size=G).astype(np.uint8)
+    L, seed = 100, 24
+    loc = 1200
+    read = genome[loc : loc + L].copy()
+    # trash the last 30 bases so LV/AG cannot fit them under maxK/2,
+    # but the gapless scorer can soft-clip them away
+    read[70:] = (read[70:] + 1 + rng.integers(0, 3, 30).astype(np.uint8)) % 4
+    quals = np.full(L, ord("I"), dtype=np.uint8)
+    res = hamming_rescue(
+        genome, read, quals, L, seed,
+        cand_loc=np.array([loc], dtype=np.int64),
+        seed_off=np.array([0], dtype=np.int32),
+        direction=np.array([0], dtype=np.int32),
+        cand_ok=np.array([True]),
+        score_limit=13, popular=0,
+    )
+    assert res is not None
+    assert res["start_loc"] == loc
+    assert res["clip_before"] == 0
+    # clips roughly the trashed tail (boundary depends on chance matches)
+    assert 25 <= res["clip_after"] <= 31
+    assert res["nm"] <= 2
+    assert res["mapq"] > 0
+
+
+def test_hamming_rescue_rejects_garbage():
+    from snap_tpu.align.paired import hamming_rescue
+
+    rng = np.random.default_rng(8)
+    G = 4000
+    genome = rng.integers(0, 4, size=G).astype(np.uint8)
+    read = rng.integers(0, 4, size=100).astype(np.uint8)
+    quals = np.full(100, ord("I"), dtype=np.uint8)
+    res = hamming_rescue(
+        genome, read, quals, 100, 24,
+        cand_loc=np.array([1200], dtype=np.int64),
+        seed_off=np.array([0], dtype=np.int32),
+        direction=np.array([0], dtype=np.int32),
+        cand_ok=np.array([True]),
+        score_limit=13, popular=0,
+    )
+    # unrelated sequence: too many mismatches inside any kept extent
+    assert res is None or res["nm"] > 13 or res is None
+    assert res is None
