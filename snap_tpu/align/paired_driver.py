@@ -63,11 +63,13 @@ class PairedEndAligner:
     min_ag_improvement: int = 24             # -eg
     flatten_mapq_at_or_below: int = 3        # -fmb
     read_secondary: bool = False             # -sa
+    keep_unpaired: bool = False              # -ku
     max_secondary_edit: int = -1             # -om
     max_secondary: int = 0x7FFFFFFF          # -omax
     max_secondary_per_contig: int = -1       # -mpc
     enable_hamming: bool = True              # -eh (default on,
                                              # PairedAligner.cpp:241)
+    mesh: object = None                      # multi-chip (data x index)
     force_kind: str | None = None            # -pairedFastq
     force_gzip: bool = False                 # -pairedCompressed...
     force_interleaved: bool = False          # -pairedInterleavedFastq
@@ -133,8 +135,19 @@ class PairedEndAligner:
         n = len(b0)
         B = self.batch_size
         bases, quals, lens = self._pad_two(b0, b1)
-        dev_bases = jnp.asarray(bases)
-        dev_quals = jnp.asarray(quals)
+        if self.mesh is not None:
+            # multi-chip: pairs data-parallel over the mesh; pair
+            # scoring reads only the (replicated) genome arrays, so the
+            # jitted scoring graphs partition over 'data' via GSPMD
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ds = NamedSharding(self.mesh, P("data"))
+            dev_bases = jax.device_put(jnp.asarray(bases), ds)
+            dev_quals = jax.device_put(jnp.asarray(quals), ds)
+        else:
+            dev_bases = jnp.asarray(bases)
+            dev_quals = jnp.asarray(quals)
 
         # Phases 1-2 of the intersecting aligner on the host: full
         # per-seed hit lists, fuzzy mate windows, bestPossibleScore
@@ -154,15 +167,21 @@ class PairedEndAligner:
                 max_spacing=self.max_spacing,
             ),
         )
+        if self.mesh is None:
+            didx_sc = self.index.device
+        else:
+            from ..parallel.mesh import local_index_view
+
+            didx_sc = local_index_view(self.index.device_sharded)
         t1 = score_candidates(
-            self.index.device, dev_bases, dev_quals,
+            didx_sc, dev_bases, dev_quals,
             jnp.asarray(len_eff), jnp.asarray(pc.loc),
             jnp.asarray(pc.off), jnp.asarray(pc.dir),
             jnp.asarray(pc.valid), jnp.asarray(pc.weight),
             jnp.asarray(pc.popular), self.params, tier1_only=True,
         )
         f = two_phase_merge(
-            self.index.device, t1, dev_bases, dev_quals, self.params
+            didx_sc, t1, dev_bases, dev_quals, self.params
         )
         per_cand = (
             "dist", "log_prob", "ag_score", "end_loc", "cand_loc",
@@ -326,6 +345,7 @@ class PairedEndAligner:
             self.batch_size, self.max_read_len,
             keep_secondary=self.read_secondary,
             force_kind=self.force_kind, force_gzip=self.force_gzip,
+            keep_unpaired=self.keep_unpaired,
         )
         )
         while True:

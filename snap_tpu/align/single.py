@@ -239,8 +239,10 @@ class SingleEndAligner:
         kill_if_too_slow: bool = False,        # -kts
         force_kind: str | None = None,         # -fastq
         force_gzip: bool = False,              # -compressedFastq
+        mesh=None,                             # multi-chip (data x index)
     ):
         self.index = index
+        self.mesh = mesh
         self.params = params or AlignParams(
             seed_len=index.seed_len, max_probe=index.max_probe
         )
@@ -288,6 +290,17 @@ class SingleEndAligner:
         return bases, quals, lens
 
     @property
+    def _scoring_didx(self):
+        """DeviceIndex for scoring-only consumers (two_phase_merge /
+        score_candidates use the genome arrays, never the hash table);
+        in mesh mode that's the flat view of the sharded index."""
+        if self.mesh is not None:
+            from ..parallel.mesh import local_index_view
+
+            return local_index_view(self.index.device_sharded)
+        return self.index.device
+
+    @property
     def _fast_ok(self) -> bool:
         """Device-finalize fast path applies under default modes; the
         per-candidate extras (-om secondaries, -ea ALT supplementaries,
@@ -313,6 +326,41 @@ class SingleEndAligner:
             )
         else:
             front_clips = np.zeros(len(lens), dtype=np.int32)
+        if self.mesh is not None:
+            # multi-chip: reads data-parallel, index sharded over the
+            # 'index' mesh axis (SURVEY section 2.6); same align +
+            # device-finalize step, shard_mapped
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import (
+                align_tier1_sharded,
+                align_winners_sharded,
+                local_index_view,
+            )
+
+            ds = NamedSharding(self.mesh, P("data"))
+            dev_bases = jax.device_put(jnp.asarray(bases), ds)
+            dev_quals = jax.device_put(jnp.asarray(quals), ds)
+            dev_lens = jax.device_put(jnp.asarray(lens), ds)
+            didx_sh = self.index.device_sharded
+            if self._fast_ok:
+                win, out = align_winners_sharded(
+                    didx_sh, dev_bases, dev_quals, dev_lens,
+                    jnp.int64(self.first_alt_start), self.params,
+                    self.mesh,
+                    alt_awareness=self.alt_awareness,
+                    max_score_gap=self.max_score_gap,
+                )
+                return (
+                    ("fast", win, out, dev_bases, dev_quals, dev_lens),
+                    front_clips,
+                )
+            t1 = align_tier1_sharded(
+                didx_sh, dev_bases, dev_quals, dev_lens, self.params,
+                self.mesh,
+            )
+            return (t1, dev_bases, dev_quals), front_clips
         dev_bases = jnp.asarray(bases)
         dev_quals = jnp.asarray(quals)
         dev_lens = jnp.asarray(lens)
@@ -342,7 +390,7 @@ class SingleEndAligner:
             return self._finalize_fast(batch, handles, front_clips)
         (t1, dev_bases, dev_quals) = handles
         merged = two_phase_merge(
-            self.index.device, t1, dev_bases, dev_quals, self.params
+            self._scoring_didx, t1, dev_bases, dev_quals, self.params
         )
         dist = merged["dist"]
         logp = merged["log_prob"]
@@ -528,7 +576,7 @@ class SingleEndAligner:
             [a, np.zeros((Mp - M,) + a.shape[1:], a.dtype)]
         )
         t1 = score_candidates(
-            self.index.device, jnp.asarray(pad2(sub_b)),
+            self._scoring_didx, jnp.asarray(pad2(sub_b)),
             jnp.asarray(pad2(sub_q)), jnp.asarray(pad2(len_eff)),
             jnp.asarray(pad2(wc.loc[:, :K])),
             jnp.asarray(pad2(wc.off[:, :K])),
@@ -538,7 +586,7 @@ class SingleEndAligner:
             jnp.asarray(pad2(wc.popular)), self.params, tier1_only=True,
         )
         merged = two_phase_merge(
-            self.index.device, t1, jnp.asarray(pad2(sub_b)),
+            self._scoring_didx, t1, jnp.asarray(pad2(sub_b)),
             jnp.asarray(pad2(sub_q)), self.params,
         )
         arrays = {
@@ -640,10 +688,18 @@ class SingleEndAligner:
         if bool(win.dp_overflow):
             # DP tier truncated (extremely gappy batch): redo through the
             # host-gated two-phase path, which sizes the tier exactly
-            t1 = align_tier1(
-                self.index.device, dev_bases, dev_quals, dev_lens,
-                self.params,
-            )
+            if self.mesh is not None:
+                from ..parallel.mesh import align_tier1_sharded
+
+                t1 = align_tier1_sharded(
+                    self.index.device_sharded, dev_bases, dev_quals,
+                    dev_lens, self.params, self.mesh,
+                )
+            else:
+                t1 = align_tier1(
+                    self.index.device, dev_bases, dev_quals, dev_lens,
+                    self.params,
+                )
             return self._finalize(
                 batch, (t1, dev_bases, dev_quals), front_clips
             )

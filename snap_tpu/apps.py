@@ -45,7 +45,7 @@ def cmd_tofastq(args: list[str]) -> int:
     opener = gzip.open if dst.endswith(".gz") else open
     n = 0
     with opener(dst, "wb") as out:
-        for qname, seq, qual, _flag in it:
+        for qname, seq, qual, _flag, _mi in it:
             out.write(b"@" + qname + b"\n" + seq + b"\n+\n" + qual + b"\n")
             n += 1
     print(f"Wrote {n} reads to {dst}", file=sys.stderr)

@@ -175,6 +175,35 @@ def _load_index_cached(index_dir: str) -> GenomeIndex:
     return idx
 
 
+
+def _maybe_mesh(opts: dict):
+    """Multi-chip routing: when more than one jax device is visible (or
+    -ishards asks for index sharding), build the (data x index) mesh and
+    initialize jax.distributed for multi-host runs (coordinator env vars
+    present). Returns (mesh | None, n_index). SURVEY section 2.6."""
+    import jax
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and not getattr(
+        _maybe_mesh, "_dist_init", False
+    ):
+        jax.distributed.initialize()
+        _maybe_mesh._dist_init = True
+    n_devices = len(jax.devices())
+    n_index = max(1, opts.get("ishards", 1))
+    if n_devices == 1 and n_index == 1:
+        return None, 1
+    if n_devices % n_index != 0:
+        n_index = 1
+    from .parallel.mesh import make_mesh
+
+    n_data = n_devices // n_index
+    mesh = make_mesh(n_data, n_index)
+    # device batches split evenly over the data axis
+    if opts["batch_size"] % n_data:
+        opts["batch_size"] = ((opts["batch_size"] // n_data) + 1) * n_data
+    return mesh, n_index
+
+
 def cmd_single(args: list[str]) -> int:
     if len(args) < 2:
         print(
@@ -207,6 +236,9 @@ def cmd_single(args: list[str]) -> int:
             1, int(opts["max_read_len"] * opts["seed_coverage"]
                    / index.seed_len)
         )
+    mesh, n_index = _maybe_mesh(opts)
+    if mesh is not None:
+        index.to_mesh(mesh, n_index)
     params = AlignParams(
         seed_len=index.seed_len,
         max_probe=index.max_probe,
@@ -229,6 +261,7 @@ def cmd_single(args: list[str]) -> int:
         kill_if_too_slow=opts["kts"],
         force_kind=opts["force_kind"],
         force_gzip=opts["force_gzip"],
+        mesh=mesh,
     )
 
     def run_all(writer):
@@ -258,7 +291,7 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         "clip_back": True, "sort_memory_mb": None, "sort_tmp_dir": None,
         "is_tag": None, "fmb": 3, "en": 3, "eg": 24,
         "read_secondary": False, "at": False, "sam_no_sq": False,
-        "eh": True,
+        "eh": True, "ishards": 1, "ku": False,
         "quiet": False, "very_quiet": False, "hdp": False, "kts": False,
         "force_kind": None, "force_gzip": False, "interleaved": False,
     }
@@ -316,10 +349,10 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         elif a == "-ins":
             o["infer_spacing"] = True; i += 1
         elif a == "-ku":
-            # keep unpaired reads pending for late mates; our SAM/BAM
-            # pair matcher never drops pending mates, so this is the
-            # default behavior (PairedAligner.cpp:311-313)
-            i += 1
+            # keep reads without RNEXT/PNEXT in the pair matcher
+            # instead of quickly dropping them
+            # (quicklyDropUnpairedReads, PairedAligner.cpp:311-313)
+            o["ku"] = True; i += 1
         elif a == "-pfc":
             o["pfc"] = True; i += 1
         elif a == "-rg":
@@ -443,6 +476,8 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
             o["eg"] = int(rest[i + 1]); i += 2
         elif a == "-sa":
             o["read_secondary"] = True; i += 1
+        elif a == "-ishards":
+            o["ishards"] = int(rest[i + 1]); i += 2
         elif a == "-eh":
             o["eh"] = True; i += 1
         elif a == "-eh-":
@@ -559,6 +594,9 @@ def cmd_paired(args: list[str]) -> int:
         from .constants import DEFAULT_NUM_SEEDS_PAIRED
 
         opts["overrides"]["num_seeds"] = DEFAULT_NUM_SEEDS_PAIRED
+    mesh, n_index = _maybe_mesh(opts)
+    if mesh is not None:
+        index.to_mesh(mesh, n_index)
     params = AlignParams(
         seed_len=index.seed_len,
         max_probe=index.max_probe,
@@ -582,10 +620,12 @@ def cmd_paired(args: list[str]) -> int:
         max_secondary_edit=opts["om"], max_secondary=opts["omax"],
         max_secondary_per_contig=opts["mpc"],
         enable_hamming=opts["eh"],
+        keep_unpaired=opts["ku"],
         attach_times=opts["at"],
         force_kind=opts["force_kind"],
         force_gzip=opts["force_gzip"],
         force_interleaved=opts["interleaved"],
+        mesh=mesh,
     )
     return _run_with_writer(
         index, "paired " + " ".join(args), opts,

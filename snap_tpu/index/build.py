@@ -485,6 +485,85 @@ def shard_index(
     }
 
 
+def reshard_index(
+    arrays: dict, n_shards: int, load_factor: float = 0.5
+) -> dict:
+    """Re-shard an already-built (or disk-loaded) flat index into the
+    stacked [n_shards, ...] layout for the 'index' mesh axis — without
+    rescanning the genome. v3 table slots carry the full canonical key
+    (key_lo, key_hi, hits_start, n0|n1<<16), so the key groups and their
+    hit runs can be extracted straight from the table and regrouped by
+    the top murmur bits (the same ownership rule as shard_index).
+    """
+    assert n_shards >= 1 and (n_shards & (n_shards - 1)) == 0
+    if n_shards == 1:
+        return {
+            "seed_len": arrays["seed_len"],
+            "n_shards": 1,
+            "max_probe": arrays["max_probe"],
+            "hits": np.asarray(arrays["hits"])[None],
+            "table": np.asarray(arrays["table"])[None],
+        }
+    table = np.asarray(arrays["table"]).reshape(-1, 4)
+    hits = np.asarray(arrays["hits"])
+    occ = ~((table[:, 0] == 0xFFFFFFFF) & (table[:, 1] == 0xFFFFFFFF))
+    keys = table[occ, 0].astype(np.uint64) | (
+        table[occ, 1].astype(np.uint64) << np.uint64(32)
+    )
+    start = table[occ, 2].astype(np.int64)
+    n0 = (table[occ, 3] & 0xFFFF).astype(np.int64)
+    n1 = (table[occ, 3] >> 16).astype(np.int64)
+    shift = np.uint64(64 - int(np.log2(n_shards)))
+    shard_of = (murmur_finalize64(keys) >> shift).astype(np.int64)
+
+    shards = []
+    for s in range(n_shards):
+        m = shard_of == s
+        ks, st, a0, a1 = keys[m], start[m], n0[m], n1[m]
+        tot = a0 + a1
+        T = int(tot.sum())
+        new_start = np.zeros(len(ks), dtype=np.int64)
+        if len(ks):
+            new_start[1:] = np.cumsum(tot)[:-1]
+        if T:
+            run_id = np.repeat(np.arange(len(ks)), tot)
+            within = np.arange(T) - np.repeat(new_start, tot)
+            new_hits = hits[st[run_id] + within]
+        else:
+            new_hits = np.zeros(0, dtype=hits.dtype)
+        shards.append(
+            assemble_table(
+                new_hits, ks, new_start, a0.astype(np.int32),
+                a1.astype(np.int32), load_factor,
+            )
+        )
+
+    bank_slots = max(sh["table"].shape[1] for sh in shards)
+    hmax = max(max(sh["hits"].shape[0], 1) for sh in shards)
+
+    def pad_hits(a):
+        out = np.zeros((hmax,), dtype=a.dtype)
+        out[: len(a)] = a
+        return out
+
+    def pad_table(t):
+        if t.shape[1] == bank_slots:
+            return t
+        out = np.zeros((t.shape[0], bank_slots, 4), dtype=np.uint32)
+        out[:, :, 0] = 0xFFFFFFFF
+        out[:, :, 1] = 0xFFFFFFFF
+        out[:, : t.shape[1]] = t
+        return out
+
+    return {
+        "seed_len": arrays["seed_len"],
+        "n_shards": n_shards,
+        "max_probe": max(sh["max_probe"] for sh in shards),
+        "hits": np.stack([pad_hits(sh["hits"]) for sh in shards]),
+        "table": np.stack([pad_table(sh["table"]) for sh in shards]),
+    }
+
+
 def save_index(index: dict, genome: Genome, directory: str) -> None:
     os.makedirs(directory, exist_ok=True)
     genome.save(directory)

@@ -280,6 +280,29 @@ class GenomeIndex:
         arrays = load_index_arrays(directory)
         return cls(genome, arrays)
 
+    def to_mesh(self, mesh, n_index: int = 1) -> "GenomeIndex":
+        """Place the index for multi-chip execution: re-shard the hash
+        table over the 'index' mesh axis (no genome rescan; see
+        build.reshard_index) and device_put with the mesh shardings.
+        Sets .device_sharded; max_probe widens to cover shard spans."""
+        from ..parallel.mesh import sharded_device_index
+        from .build import reshard_index
+
+        arrays = reshard_index(
+            {
+                "seed_len": self.seed_len,
+                "max_probe": self.max_probe,
+                **self._host_arrays,
+            },
+            n_index,
+        )
+        self.max_probe = max(self.max_probe, arrays["max_probe"])
+        self.device_sharded = sharded_device_index(
+            arrays, np.asarray(self.genome_meta.bases), mesh
+        )
+        self.mesh = mesh
+        return self
+
     def save(self, directory: str) -> None:
         from .build import save_index
 

@@ -221,9 +221,45 @@ class BamRecord:
     tags: bytes
 
 
-def read_bam(path: str):
-    """Parse a BAM file -> (header_text, ref_names, records)."""
-    r = BgzfReader(path)
+def _parse_bam_record(body: bytes) -> BamRecord:
+    (
+        ref_id, pos0, l_qname, mapq, _bin, n_cigar, flag, l_seq,
+        next_ref, next_pos, tlen,
+    ) = struct.unpack_from("<iiBBHHHiiii", body, 0)
+    off = 32
+    qname = body[off : off + l_qname - 1]
+    off += l_qname
+    ops = []
+    for _ in range(n_cigar):
+        (v,) = struct.unpack_from("<I", body, off)
+        ops.append(f"{v >> 4}{CIGAR_OPS[v & 0xF]}")
+        off += 4
+    cigar = "".join(ops) if ops else "*"
+    nib = body[off : off + (l_seq + 1) // 2]
+    off += (l_seq + 1) // 2
+    seq = bytearray()
+    for i in range(l_seq):
+        v = nib[i // 2] >> 4 if i % 2 == 0 else nib[i // 2] & 0xF
+        seq.append(ord(NIBBLE_SEQ[v]))
+    qual_raw = body[off : off + l_seq]
+    off += l_seq
+    qual = bytes((q + 33) & 0xFF for q in qual_raw)
+    return BamRecord(
+        qname=bytes(qname), flag=flag, ref_id=ref_id, pos0=pos0,
+        mapq=mapq, cigar=cigar, next_ref_id=next_ref,
+        next_pos0=next_pos, tlen=tlen, seq=bytes(seq), qual=qual,
+        tags=body[off:],
+    )
+
+
+def open_bam_stream(path: str):
+    """Open a BAM for streaming: returns (header_text, ref_names,
+    record iterator). Blocks decompress on demand through a rolling
+    window, so memory stays bounded by the window, not the file
+    (the reference's BGZF DataReader, Bam.h:93-398)."""
+    from .bgzf import BgzfStreamReader
+
+    r = BgzfStreamReader(path)
     magic = r.read(4)
     if magic != b"BAM\x01":
         raise ValueError("not a BAM file")
@@ -236,39 +272,23 @@ def read_bam(path: str):
         name = r.read(l_name)[:-1].decode()
         r.read(4)  # l_ref
         ref_names.append(name)
-    records = []
-    while r.pos < len(r.data):
-        (block_size,) = struct.unpack("<i", r.read(4))
-        body = r.read(block_size)
-        (
-            ref_id, pos0, l_qname, mapq, _bin, n_cigar, flag, l_seq,
-            next_ref, next_pos, tlen,
-        ) = struct.unpack_from("<iiBBHHHiiii", body, 0)
-        off = 32
-        qname = body[off : off + l_qname - 1]
-        off += l_qname
-        ops = []
-        for _ in range(n_cigar):
-            (v,) = struct.unpack_from("<I", body, off)
-            ops.append(f"{v >> 4}{CIGAR_OPS[v & 0xF]}")
-            off += 4
-        cigar = "".join(ops) if ops else "*"
-        nib = body[off : off + (l_seq + 1) // 2]
-        off += (l_seq + 1) // 2
-        seq = bytearray()
-        for i in range(l_seq):
-            v = nib[i // 2] >> 4 if i % 2 == 0 else nib[i // 2] & 0xF
-            seq.append(ord(NIBBLE_SEQ[v]))
-        qual_raw = body[off : off + l_seq]
-        off += l_seq
-        qual = bytes((q + 33) & 0xFF for q in qual_raw)
-        tags = body[off:]
-        records.append(
-            BamRecord(
-                qname=bytes(qname), flag=flag, ref_id=ref_id, pos0=pos0,
-                mapq=mapq, cigar=cigar, next_ref_id=next_ref,
-                next_pos0=next_pos, tlen=tlen, seq=bytes(seq), qual=qual,
-                tags=tags,
-            )
-        )
-    return header_text, ref_names, records
+
+    def records():
+        while not r.at_eof():
+            head = r.read(4)
+            if len(head) < 4:
+                break
+            (block_size,) = struct.unpack("<i", head)
+            body = r.read(block_size)
+            if len(body) < block_size:
+                break
+            yield _parse_bam_record(body)
+        r.close()
+
+    return header_text, ref_names, records()
+
+
+def read_bam(path: str):
+    """Parse a whole BAM file -> (header_text, ref_names, records)."""
+    header_text, ref_names, it = open_bam_stream(path)
+    return header_text, ref_names, list(it)

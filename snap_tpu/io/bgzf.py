@@ -119,3 +119,57 @@ class BgzfReader:
         b = self.data[self.pos : self.pos + n]
         self.pos += n
         return b
+
+
+class BgzfStreamReader:
+    """Streaming BGZF reader: decompresses block-by-block on demand,
+    holding only a rolling window (the bounded-memory analogue of the
+    reference's BGZF-decompressing DataReader, DataReader.cpp:2209)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        self._buf = bytearray()
+        self._off = 0           # consumed bytes within _buf
+        self._eof = False
+
+    def _fill(self, need: int) -> None:
+        while len(self._buf) - self._off < need and not self._eof:
+            hdr = self._f.read(12)
+            if len(hdr) < 12:
+                self._eof = True
+                break
+            if hdr[:2] != b"\x1f\x8b":
+                raise ValueError("bad gzip magic in BGZF stream")
+            (xlen,) = struct.unpack_from("<H", hdr, 10)
+            extra = self._f.read(xlen)
+            bsize = None
+            e = 0
+            while e < len(extra):
+                sid = extra[e : e + 2]
+                (slen,) = struct.unpack_from("<H", extra, e + 2)
+                if sid == b"BC":
+                    (bs,) = struct.unpack_from("<H", extra, e + 4)
+                    bsize = bs + 1
+                e += 4 + slen
+            if bsize is None:
+                raise ValueError("missing BGZF BC field")
+            body = self._f.read(bsize - 12 - xlen)
+            payload = body[:-8]
+            self._buf.extend(zlib.decompress(payload, -15))
+            # drop consumed prefix so memory stays bounded
+            if self._off > (1 << 20):
+                del self._buf[: self._off]
+                self._off = 0
+
+    def read(self, n: int) -> bytes:
+        self._fill(n)
+        b = bytes(self._buf[self._off : self._off + n])
+        self._off += len(b)
+        return b
+
+    def at_eof(self) -> bool:
+        self._fill(1)
+        return self._off >= len(self._buf) and self._eof
+
+    def close(self) -> None:
+        self._f.close()

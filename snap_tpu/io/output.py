@@ -114,6 +114,11 @@ class OutputWriter:
         self._dup_sigs: list = []  # per-record (hash128-hi, lo, qualsum, ordinal)
         self._records: list[OutRecord] = []
         self._stream_sam = not (bam or sort)
+        # unsorted BAM streams straight through the BGZF writer instead
+        # of buffering every record until close (DataWriter's unsorted
+        # path is a plain async multi-buffer stream, DataWriter.h:36-139)
+        self._stream_bam = bam and not sort
+        self._bw = None
         self._contig_order = {
             c.name: c.original_index for c in genome.contigs
         }
@@ -154,6 +159,11 @@ class OutputWriter:
         if self._stream_sam and not self._header_written:
             self.out.write(self.header_text().encode())
             self._header_written = True
+        elif self._stream_bam and self._bw is None:
+            self._bw = BamWriter(
+                self.out, self.genome, self.header_text(),
+                build_index=self.build_bai,
+            )
 
     # -- records --------------------------------------------------------
     def write_record(
@@ -176,6 +186,11 @@ class OutputWriter:
         )
         if self._stream_sam:
             self.out.write(self._format_sam(rec))
+            return
+        if self._stream_bam:
+            if self._bw is None:
+                self.write_header()
+            self._emit_bam_record(self._bw, rec)
             return
         self._records.append(rec)
         if self.sort_memory_mb is not None and self.sort:
@@ -340,6 +355,11 @@ class OutputWriter:
     def close(self) -> None:
         if self._stream_sam:
             return
+        if self._stream_bam:
+            if self._bw is None:
+                self.write_header()
+            self._bw.close(self.bai_path)
+            return
         if self._spill_files:
             # external merge: stream every sorted block + dup marking by
             # precomputed ordinal (SortedDataWriter's merge phase)
@@ -374,26 +394,26 @@ class OutputWriter:
                 self._mark_dups()
         self._emit_all(self._records)
 
+    def _emit_bam_record(self, bw: BamWriter, rec: OutRecord) -> None:
+        seq, qual = self._oriented(rec)
+        rid = bw.ref_ids.get(rec.rname, -1)
+        nrid = rid if rec.rnext == "=" else bw.ref_ids.get(rec.rnext, -1)
+        span = cigar_ref_span(rec.cigar)
+        data = encode_record(
+            rec.qname, rec.flag, rid, rec.pos - 1, rec.mapq,
+            rec.cigar, nrid, rec.pnext - 1, rec.tlen, seq, qual,
+            encode_tags(self._tags(rec, bam=True)),
+        )
+        bw.write_record_bytes(data, rid, rec.pos - 1, span)
+
     def _emit_all(self, records) -> None:
         if self.bam:
             bw = BamWriter(
                 self.out, self.genome, self.header_text(),
                 build_index=self.build_bai,
             )
-            ref_ids = bw.ref_ids
             for rec in records:
-                seq, qual = self._oriented(rec)
-                rid = ref_ids.get(rec.rname, -1)
-                nrid = (
-                    rid if rec.rnext == "=" else ref_ids.get(rec.rnext, -1)
-                )
-                span = cigar_ref_span(rec.cigar)
-                data = encode_record(
-                    rec.qname, rec.flag, rid, rec.pos - 1, rec.mapq,
-                    rec.cigar, nrid, rec.pnext - 1, rec.tlen, seq, qual,
-                    encode_tags(self._tags(rec, bam=True)),
-                )
-                bw.write_record_bytes(data, rid, rec.pos - 1, span)
+                self._emit_bam_record(bw, rec)
             bw.close(self.bai_path)
         else:
             self.out.write(self.header_text().encode())

@@ -8,8 +8,12 @@ AlignerOptions.h:60-72, PairedReadMatcher.cpp:44-95). Semantics kept:
 - RC-flagged records are un-reverse-complemented so the aligner sees
   the read as sequenced;
 - paired SAM/BAM streams are matched by QNAME with FIRST/LAST flags
-  (PairedReadMatcher's id-hash pairing; -ku keeps unpaired... dropped
-  here, matching SNAP's default);
+  (PairedReadMatcher's id-hash pairing); by default, reads whose
+  RNEXT/PNEXT say "no mate" are quickly dropped as probable
+  single-end-aligned records, and -ku keeps them in the matcher
+  (quicklyDropUnpairedReads, PairedReadMatcher.cpp:247-258); reads
+  still unmatched at EOF are discarded with a warning either way
+  (PairedReadMatcher.cpp:207-210);
 - input type by extension: .sam / .bam / anything else = FASTQ
   (optionally .gz).
 """
@@ -69,18 +73,21 @@ def iter_sam_reads(
             if flag & FLAG_RC:
                 seq = seq.translate(COMPLEMENT)[::-1]
                 qual = qual[::-1]
-            yield t[0], seq, qual, flag
+            has_mate_info = bool(flag & 0x8) or not (
+                t[7] == b"0" or t[6] == b"*"
+            )
+            yield t[0], seq, qual, flag, has_mate_info
 
 
 def iter_bam_reads(
     path: str, keep_secondary: bool = False
 ) -> Iterator[tuple[bytes, bytes, bytes, int]]:
-    from .bam import read_bam
+    from .bam import open_bam_stream
 
     skip = FLAG_SUPPLEMENTARY if keep_secondary else (
         FLAG_SECONDARY | FLAG_SUPPLEMENTARY
     )
-    _, _, records = read_bam(path)
+    _, _, records = open_bam_stream(path)
     for r in records:
         if r.flag & skip:
             continue
@@ -88,7 +95,10 @@ def iter_bam_reads(
         if r.flag & FLAG_RC:
             seq = seq.translate(COMPLEMENT)[::-1]
             qual = qual[::-1]
-        yield r.qname, seq, qual, r.flag
+        has_mate_info = bool(r.flag & 0x8) or not (
+            r.next_pos0 < 0 or r.next_ref_id < 0
+        )
+        yield r.qname, seq, qual, r.flag, has_mate_info
 
 
 def _to_batch(records: list[tuple[bytes, bytes, bytes]], max_len: int) -> ReadBatch:
@@ -124,7 +134,7 @@ def single_batches(
         else iter_bam_reads(path, keep_secondary)
     )
     buf = []
-    for qname, seq, qual, _flag in it:
+    for qname, seq, qual, _flag, _mi in it:
         buf.append((qname, seq, qual))
         if len(buf) == batch_size:
             yield _to_batch(buf, max_len)
@@ -141,6 +151,7 @@ def paired_batches(
     keep_secondary: bool = False,
     force_kind: str | None = None,
     force_gzip: bool = False,
+    keep_unpaired: bool = False,
 ) -> Iterator[tuple[ReadBatch, ReadBatch]]:
     kind = force_kind or input_kind(path1)
     if kind == "fastq":
@@ -156,8 +167,14 @@ def paired_batches(
     )
     pending: dict[bytes, tuple[bytes, bytes, bytes, int]] = {}
     buf1, buf2 = [], []
-    for qname, seq, qual, flag in it:
+    quickly_dropped = 0
+    for qname, seq, qual, flag, has_mate_info in it:
         if not flag & FLAG_PAIRED:
+            continue
+        if not keep_unpaired and not has_mate_info:
+            # quicklyDropUnpairedReads: no RNEXT/PNEXT -> probably from
+            # a single-end alignment; -ku keeps them in the matcher
+            quickly_dropped += 1
             continue
         key = qname.split()[0]
         if key in pending:
@@ -175,3 +192,17 @@ def paired_batches(
             pending[key] = (seq, qual, flag)
     if buf1:
         yield _to_batch(buf1, max_len), _to_batch(buf2, max_len)
+    from ..errors import write_error
+
+    if pending:
+        write_error(
+            f" warning: PairedReadMatcher discarding {len(pending)} "
+            "unpaired reads at eof\n"
+        )
+    if quickly_dropped:
+        write_error(
+            f" warning: PairedReadMatcher dropped {quickly_dropped} reads "
+            "because they didn't have RNEXT and PNEXT filled in.\n"
+            " If your input file was generated by a single-end alignment "
+            "(or this seems too big), use the -ku flag\n"
+        )

@@ -26,7 +26,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..align.pipeline import AlignParams, SingleAlignOut, align_single_device
+from ..align.pipeline import (
+    AlignParams,
+    SingleAlignOut,
+    Tier1Out,
+    _align_impl,
+    _device_finalize,
+    align_single_device,
+    pack_winners,
+)
 from ..index.index import DeviceIndex
 
 
@@ -108,6 +116,173 @@ def align_single_sharded(
         local,
         mesh=mesh,
         in_specs=(idx_specs, P("data"), P("data"), P("data")),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return f(didx, bases, quals, lens)
+
+
+def local_index_view(didx: DeviceIndex) -> DeviceIndex:
+    """Flat view of a stacked sharded index for genome-only consumers
+    (score_rows / score_candidates never probe the hash table)."""
+    return DeviceIndex(
+        table=didx.table[0],
+        hits=didx.hits[0],
+        genome=didx.genome,
+        genome_packed=didx.genome_packed,
+        genome_bad=didx.genome_bad,
+        genome_bad16=didx.genome_bad16,
+    )
+
+
+_IDX_SPECS = DeviceIndex(
+    table=P("index"), hits=P("index"), genome=P(),
+    genome_packed=P(), genome_bad=P(), genome_bad16=P(),
+)
+
+
+def _local_didx(didx_local: DeviceIndex) -> DeviceIndex:
+    return DeviceIndex(
+        table=didx_local.table[0],
+        hits=didx_local.hits[0],
+        genome=didx_local.genome,
+        genome_packed=didx_local.genome_packed,
+        genome_bad=didx_local.genome_bad,
+        genome_bad16=didx_local.genome_bad16,
+    )
+
+
+def _merge_out_across_index(out: SingleAlignOut) -> SingleAlignOut:
+    """Concatenate per-shard candidate lists along K; reduce per-read
+    scalars. A seed's full hit list lives in exactly one shard (shard =
+    top murmur bits of the key), so popular-skip counts and truncation
+    flags sum/or across shards while len_eff/n_lookups are identical."""
+    g2 = lambda x: jax.lax.all_gather(x, "index", axis=1, tiled=True)
+    return out._replace(
+        dist=g2(out.dist), indels=g2(out.indels),
+        log_prob=g2(out.log_prob), ag_score=g2(out.ag_score),
+        end_loc=g2(out.end_loc), body_loc=g2(out.body_loc),
+        cand_loc=g2(out.cand_loc), escalated=g2(out.escalated),
+        clip_before=g2(out.clip_before), clip_after=g2(out.clip_after),
+        seed_off=g2(out.seed_off), direction=g2(out.direction),
+        valid=g2(out.valid),
+        popular=jax.lax.psum(out.popular, "index"),
+        truncated=jax.lax.psum(out.truncated.astype(jnp.int32), "index") > 0,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "mesh", "dp_rows", "alt_awareness",
+                     "max_score_gap"),
+)
+def align_winners_sharded(
+    didx: DeviceIndex,          # stacked [n_shards, ...] tables
+    bases: jax.Array,           # [B, L] sharded over 'data'
+    quals: jax.Array,
+    lens: jax.Array,
+    first_alt_start: jax.Array,
+    params: AlignParams,
+    mesh: Mesh,
+    dp_rows: int | None = None,
+    alt_awareness: bool = True,
+    max_score_gap: int = 64,
+):
+    """Multi-chip production fast path: the same align + device-finalize
+    step the single-chip CLI runs (align_winners_device), as a shard_map
+    over a (data x index) mesh. Each device probes its index shard for
+    its data column, candidate lists all-gather over ICI along the
+    'index' axis, and winner selection + MAPQ run on the merged [B_loc,
+    K*n_idx] tile. Output winners are replicated along 'index'.
+    """
+    if dp_rows is None:
+        n_data = mesh.shape["data"]
+        dp_rows = max(1024, (bases.shape[0] // n_data * params.max_cand) // 256)
+
+    def local(didx_local, b, q, l, fas):
+        out, needs_total = _align_impl(
+            _local_didx(didx_local), b, q, l, params,
+            tier1_only=False, dp_rows=dp_rows, return_needs=True,
+        )
+        merged = _merge_out_across_index(out)
+        needs_max = jax.lax.pmax(needs_total, "index")
+        win = _device_finalize(
+            merged, fas, alt_awareness, max_score_gap,
+            params.use_affine_gap, needs_max, dp_rows,
+        )
+        # pack per shard WITHOUT the dp_overflow tail row (tails would
+        # interleave in the data-axis concat); the flag reduces globally
+        packed = pack_winners(win)
+        return (
+            packed[:-1],
+            jax.lax.pmax(jax.lax.pmax(packed[-1:], "data"), "index"),
+            merged,
+        )
+
+    cand2d = P("data")  # K axis already globally merged inside
+    out_specs = (
+        P("data"),
+        P(),
+        SingleAlignOut(
+            dist=cand2d, indels=cand2d, log_prob=cand2d, ag_score=cand2d,
+            end_loc=cand2d, body_loc=cand2d, cand_loc=cand2d,
+            escalated=cand2d, clip_before=cand2d, clip_after=cand2d,
+            seed_off=cand2d, direction=cand2d, valid=cand2d,
+            len_eff=P("data"), popular=P("data"), n_lookups=P("data"),
+            truncated=P("data"),
+        ),
+    )
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(_IDX_SPECS, P("data"), P("data"), P("data"), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    body, tail, merged = f(didx, bases, quals, lens, first_alt_start)
+    return jnp.concatenate([body, tail], axis=0), merged
+
+
+@functools.partial(jax.jit, static_argnames=("params", "mesh"))
+def align_tier1_sharded(
+    didx: DeviceIndex,
+    bases: jax.Array,
+    quals: jax.Array,
+    lens: jax.Array,
+    params: AlignParams,
+    mesh: Mesh,
+) -> Tier1Out:
+    """Sharded tier-1 (candidates + gapless prescreen) for the two-phase
+    host-gated path: per-shard candidate tiles concatenate along K.
+    Downstream score_rows/two_phase_merge use local_index_view (genome
+    is replicated; the DP tier never probes the hash table)."""
+
+    def local(didx_local, b, q, l):
+        t1 = _align_impl(
+            _local_didx(didx_local), b, q, l, params, tier1_only=True
+        )
+        g2 = lambda x: jax.lax.all_gather(x, "index", axis=1, tiled=True)
+        return t1._replace(
+            cand_loc=g2(t1.cand_loc), seed_off=g2(t1.seed_off),
+            direction=g2(t1.direction), valid=g2(t1.valid),
+            weight=g2(t1.weight), gapless_dist=g2(t1.gapless_dist),
+            gapless_logp=g2(t1.gapless_logp),
+            popular=jax.lax.psum(t1.popular, "index"),
+            truncated=(
+                jax.lax.psum(t1.truncated.astype(jnp.int32), "index") > 0
+            ),
+        )
+
+    c2 = P("data")
+    out_specs = Tier1Out(
+        cand_loc=c2, seed_off=c2, direction=c2, valid=c2, weight=c2,
+        gapless_dist=c2, gapless_logp=c2, len_eff=P("data"),
+        popular=P("data"), n_lookups=P("data"), truncated=P("data"),
+    )
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(_IDX_SPECS, P("data"), P("data"), P("data")),
         out_specs=out_specs,
         check_vma=False,
     )

@@ -112,3 +112,63 @@ def test_unclipped_5prime_rc():
     )
     # RC: 5' end = pos + refspan - 1 + back clip = 100 + 8 - 1 + 3
     assert unclipped_5prime(rec) == 110
+
+
+def test_streaming_unsorted_bam(tmp_path):
+    """Unsorted BAM streams through the writer (no buffering until
+    close) and reads back identically via the streaming reader."""
+    g = make_genome()
+    path = tmp_path / "u.bam"
+    with open(path, "wb") as out:
+        w = OutputWriter(out=out, genome=g, bam=True, sort=False)
+        w.write_header()
+        assert w._bw is not None  # streaming: writer exists up front
+        recs = [
+            (b"r1", 0, "c2", 50, 60, "10M", b"ACGTACGTAC", b"IIIIIIIIII", 0),
+            (b"r2", 0, "c1", 10, 60, "10M", b"ACGTACGTAC", b"IIIIIIIIII", 0),
+        ]
+        for r in recs:
+            w.write_record(*r)
+            assert not w._records  # nothing buffered
+        w.close()
+    from snap_tpu.io.bam import open_bam_stream, read_bam as _rb
+
+    _, refs, it = open_bam_stream(str(path))
+    stream_recs = list(it)
+    # write order preserved (GO:query), not position-sorted
+    assert [r.qname for r in stream_recs] == [b"r1", b"r2"]
+    _, _, whole = _rb(str(path))
+    assert [(r.qname, r.pos0) for r in whole] == [
+        (r.qname, r.pos0) for r in stream_recs
+    ]
+
+
+def test_paired_matcher_quick_drop_and_ku(tmp_path):
+    """Default: paired SAM records without RNEXT/PNEXT are quickly
+    dropped; -ku keeps them for QNAME matching
+    (PairedReadMatcher.cpp:247-258)."""
+    from snap_tpu.io.readers import paired_batches
+
+    sam = tmp_path / "in.sam"
+    # p1: proper mate info on both ends; p2: RNEXT/PNEXT empty
+    lines = [
+        "@HD\tVN:1.6",
+        "@SQ\tSN:c1\tLN:1000",
+        "p1\t65\tc1\t10\t60\t5M\t=\t50\t45\tACGTA\tIIIII",
+        "p1\t129\tc1\t50\t60\t5M\t=\t10\t-45\tTTGCA\tIIIII",
+        "p2\t65\tc1\t99\t60\t5M\t*\t0\t0\tCCCCC\tIIIII",
+        "p2\t129\tc1\t120\t60\t5M\t*\t0\t0\tGGGGG\tIIIII",
+    ]
+    sam.write_text("\n".join(lines) + "\n")
+
+    got = list(paired_batches(str(sam), None, batch_size=8, max_len=16))
+    ids = [i for b0, _ in got for i in b0.ids]
+    assert ids == [b"p1"]  # p2 quickly dropped
+
+    got_ku = list(
+        paired_batches(
+            str(sam), None, batch_size=8, max_len=16, keep_unpaired=True
+        )
+    )
+    ids_ku = sorted(i for b0, _ in got_ku for i in b0.ids)
+    assert ids_ku == [b"p1", b"p2"]

@@ -96,3 +96,76 @@ def test_sharded_matches_single():
         assert r1.dist == r2.dist, i
         assert r1.mapq == r2.mapq, i
         assert r1.direction == r2.direction, i
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_winners_sharded_matches_single():
+    """The production fast path (align + device finalize) must produce
+    identical packed winners on the (data=4, index=2) mesh and on one
+    device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from snap_tpu.align.pipeline import (
+        HostWinners,
+        align_winners_device,
+    )
+    from snap_tpu.index.build import reshard_index
+    from snap_tpu.index.index import make_device_index
+    from snap_tpu.parallel.mesh import align_winners_sharded
+
+    rng = np.random.default_rng(11)
+    glen = 30000
+    codes = rng.integers(0, 4, size=glen).astype(np.uint8)
+    bases_g = np.full(glen + 2000, PAD, np.uint8)
+    bases_g[1000 : 1000 + glen] = codes
+    genome = Genome(
+        bases=bases_g, contigs=[Contig(name="c1", start=1000, length=glen)]
+    )
+    seed_len = 20
+    single = build_index(genome, seed_len)
+    sharded = reshard_index(single, 2)
+
+    B, L = 16, 64
+    starts = rng.integers(0, glen - L - 1, size=B)
+    reads = codes[starts[:, None] + np.arange(L)[None, :]].copy()
+    mut = rng.random(reads.shape) < 0.02
+    reads = np.where(mut, rng.integers(0, 4, reads.shape), reads).astype(
+        np.uint8
+    )
+    quals = np.full((B, L), ord("I"), np.uint8)
+    lens = np.full(B, L, np.int32)
+
+    params = AlignParams(
+        seed_len=seed_len,
+        max_probe=max(single["max_probe"], sharded["max_probe"]),
+        num_seeds=9, hit_cap=8, max_cand=8,
+    )
+
+    didx1 = make_device_index(single, bases_g)
+    fas = jnp.int64(bases_g.shape[0])
+    win1, _ = align_winners_device(
+        didx1, jnp.asarray(reads), jnp.asarray(quals), jnp.asarray(lens),
+        fas, params,
+    )
+    w1 = HostWinners(np.asarray(win1))
+
+    mesh = make_mesh(4, 2)
+    didx8 = sharded_device_index(sharded, bases_g, mesh)
+    ds = NamedSharding(mesh, P("data"))
+    win8, _ = align_winners_sharded(
+        didx8,
+        jax.device_put(jnp.asarray(reads), ds),
+        jax.device_put(jnp.asarray(quals), ds),
+        jax.device_put(jnp.asarray(lens), ds),
+        fas, params, mesh,
+    )
+    w8 = HostWinners(np.asarray(win8))
+
+    assert (w1.found == w8.found).all()
+    m = w1.found
+    # identical final alignment fields for every found read
+    for f in ("direction", "dist", "mapq", "end_loc", "clip_before",
+              "clip_after", "popular"):
+        np.testing.assert_array_equal(
+            getattr(w1, f)[m], getattr(w8, f)[m], err_msg=f
+        )
