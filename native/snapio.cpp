@@ -413,3 +413,111 @@ extern "C" int32_t snapio_ag_traceback(
         if (!push('I')) return -1;
     return n_runs;
 }
+
+// ---------------------------------------------------------------------------
+// Batched SAM record formatter — the unsorted-SAM emission hot path.
+//
+// The reference assembles SAM text per record in C++ (SAM.cpp:1740-1900,
+// SAMFormat::writeRead); our Python driver's per-read f-string loop was
+// the end-to-end bottleneck (~hundreds of microseconds/read).  This
+// formats every "simple" record of a batch (primary, gapless CIGAR
+// fS/mM/bS, constant tag tail) into one output buffer in a single call.
+//
+// SEQ is decoded from base codes (0..3 ACGT, 4 N, 5 n); records with
+// FLAG 0x10 emit the reverse complement and reversed qualities, matching
+// OutputWriter._oriented.  QNAME is truncated at the first space or tab
+// (SAM.cpp:1750-1753).  Tags are "PG\tNM:i:<nm><tag_tail>".
+//
+// rec_end[i] receives the cumulative end offset of record i so the
+// caller can slice runs of records out of the buffer without copies.
+// Returns total bytes written, or -1 if out_cap would overflow.
+// ---------------------------------------------------------------------------
+extern "C" {
+
+static const char DECODE_FWD[8] = {'A', 'C', 'G', 'T', 'N', 'n', 'N', 'N'};
+static const char DECODE_RC[8]  = {'T', 'G', 'C', 'A', 'N', 'n', 'N', 'N'};
+
+static inline char* put_u64(char* p, uint64_t v) {
+    char tmp[20];
+    int k = 0;
+    do { tmp[k++] = (char)('0' + v % 10); v /= 10; } while (v);
+    while (k) *p++ = tmp[--k];
+    return p;
+}
+
+static inline char* put_i64(char* p, int64_t v) {
+    if (v < 0) { *p++ = '-'; return put_u64(p, (uint64_t)(-v)); }
+    return put_u64(p, (uint64_t)v);
+}
+
+int64_t snapio_format_sam_simple(
+    const uint8_t* bases, const uint8_t* quals, int64_t stride,
+    const uint8_t* qname_buf, const int64_t* qname_off,   // per batch row
+    const uint8_t* rname_buf, const int64_t* rname_off,   // contig names
+    const int32_t* rows, int64_t n,
+    const int32_t* flag, const int32_t* rname_id, const int64_t* pos,
+    const int32_t* mapq, const int32_t* fs, const int32_t* mlen,
+    const int32_t* bs, const int32_t* nm, const int32_t* rlen,
+    const uint8_t* tag_pg, int64_t tag_pg_len,
+    const uint8_t* tag_tail, int64_t tag_tail_len,
+    uint8_t* out, int64_t out_cap, int64_t* rec_end)
+{
+    char* p = (char*)out;
+    char* lim = (char*)out + out_cap;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t r = rows[i];
+        int64_t qn0 = qname_off[r], qn1 = qname_off[r + 1];
+        int64_t L = rlen[i];
+        // worst case: qname + 11 tabs + flag/pos/mapq/cigar digits +
+        // seq + qual + tags
+        if (p + (qn1 - qn0) + 2 * L + tag_pg_len + tag_tail_len + 96 > lim)
+            return -1;
+        for (int64_t q = qn0; q < qn1; q++) {
+            uint8_t c = qname_buf[q];
+            if (c == ' ' || c == '\t') break;
+            *p++ = (char)c;
+        }
+        *p++ = '\t';
+        p = put_u64(p, (uint64_t)flag[i]);
+        *p++ = '\t';
+        int64_t rn0 = rname_off[rname_id[i]], rn1 = rname_off[rname_id[i] + 1];
+        memcpy(p, rname_buf + rn0, rn1 - rn0);
+        p += rn1 - rn0;
+        *p++ = '\t';
+        p = put_i64(p, pos[i]);
+        *p++ = '\t';
+        p = put_u64(p, (uint64_t)mapq[i]);
+        *p++ = '\t';
+        if (fs[i]) { p = put_u64(p, (uint64_t)fs[i]); *p++ = 'S'; }
+        p = put_u64(p, (uint64_t)mlen[i]);
+        *p++ = 'M';
+        if (bs[i]) { p = put_u64(p, (uint64_t)bs[i]); *p++ = 'S'; }
+        memcpy(p, "\t*\t0\t0\t", 7);
+        p += 7;
+        const uint8_t* b = bases + r * stride;
+        const uint8_t* q8 = quals + r * stride;
+        if (flag[i] & 0x10) {
+            for (int64_t j = L - 1; j >= 0; j--) *p++ = DECODE_RC[b[j] & 7];
+            *p++ = '\t';
+            for (int64_t j = L - 1; j >= 0; j--) *p++ = (char)q8[j];
+        } else {
+            for (int64_t j = 0; j < L; j++) *p++ = DECODE_FWD[b[j] & 7];
+            *p++ = '\t';
+            memcpy(p, q8, L);
+            p += L;
+        }
+        *p++ = '\t';
+        memcpy(p, tag_pg, tag_pg_len);
+        p += tag_pg_len;
+        memcpy(p, "\tNM:i:", 6);
+        p += 6;
+        p = put_i64(p, nm[i]);
+        memcpy(p, tag_tail, tag_tail_len);
+        p += tag_tail_len;
+        *p++ = '\n';
+        rec_end[i] = p - (char*)out;
+    }
+    return p - (char*)out;
+}
+
+}  // extern "C"

@@ -186,6 +186,10 @@ def winner_record(
     }
 
 
+# sentinel marking a row handled by the vectorized emission plan
+_PLANNED = {"status": "planned"}
+
+
 def _inside_one_contig(start_loc: int, span: int, contig_bounds) -> bool:
     starts, ends = contig_bounds
     # ndarray.searchsorted avoids the np.searchsorted dispatch overhead
@@ -276,6 +280,10 @@ class SingleEndAligner:
             np.array([c.start for c in cs], dtype=np.int64),
             np.array([c.start + c.length for c in cs], dtype=np.int64),
         )
+        self._sorted_contig_names = [
+            c.name.encode() if isinstance(c.name, str) else c.name
+            for c in cs
+        ]
         self.stats = AlignerStats()
 
     def _pad(self, batch: ReadBatch):
@@ -385,9 +393,34 @@ class SingleEndAligner:
         out, front_clips = self._submit(batch)
         return self._finalize(batch, out, front_clips)
 
-    def _finalize(self, batch: ReadBatch, handles, front_clips):
+    def _plan_ok(self, writer) -> bool:
+        """Whether batched native SAM emission applies: the default
+        streaming-SAM config with no per-read variable tags/filters."""
+        from ..io.native import has_sam_formatter
+
+        return (
+            self._fast_ok
+            and self.use_m
+            and self.internal_score_tag is None
+            and not self.attach_times
+            and self.filter_flags == 0
+            and getattr(writer, "_stream_sam", False)
+            and not getattr(writer, "preserve_fastq_comments", False)
+            and has_sam_formatter()
+        )
+
+    def _finalize(
+        self, batch: ReadBatch, handles, front_clips, plan_writer=None
+    ):
         if isinstance(handles[0], str) and handles[0] == "fast":
-            return self._finalize_fast(batch, handles, front_clips)
+            return self._finalize_fast(
+                batch, handles, front_clips, plan_writer=plan_writer
+            )
+        if plan_writer is not None:
+            return (
+                self._finalize(batch, handles, front_clips),
+                None,
+            )
         (t1, dev_bases, dev_quals) = handles
         merged = two_phase_merge(
             self._scoring_didx, t1, dev_bases, dev_quals, self.params
@@ -672,9 +705,16 @@ class SingleEndAligner:
                     rec["secondaries"] = sec_recs
             results[i] = rec
 
-    def _finalize_fast(self, batch: ReadBatch, handles, front_clips):
+    def _finalize_fast(
+        self, batch: ReadBatch, handles, front_clips, plan_writer=None
+    ):
         """Host half of the device-finalize path: fetch compact per-read
-        winners, re-finalize the rare flagged rows exactly, emit."""
+        winners, re-finalize the rare flagged rows exactly, emit.
+
+        With plan_writer set (batched native SAM emission eligible),
+        "simple" rows — found, gapless, unclipped, inside one contig —
+        are returned as a vectorized emission plan instead of per-read
+        dicts; results holds the _PLANNED sentinel at those indices."""
         import jax
         import jax.numpy as jnp
 
@@ -701,7 +741,8 @@ class SingleEndAligner:
                     self.params,
                 )
             return self._finalize(
-                batch, (t1, dev_bases, dev_quals), front_clips
+                batch, (t1, dev_bases, dev_quals), front_clips,
+                plan_writer=plan_writer,
             )
         n = len(batch)
         self.stats.lv_calls += int(
@@ -741,8 +782,70 @@ class SingleEndAligner:
         end_locs = np.asarray(win.end_loc).astype(np.int64)
         popular = np.asarray(win.popular).astype(np.int64)
 
+        # -- batched-emission plan: the overwhelmingly common case of a
+        # found, gapless, unclipped, single-contig primary alignment is
+        # fully determined by the packed winner columns — vectorize it
+        # and skip the per-read Python below (the e2e hot path)
+        plan = None
+        simple_mask = None
+        if plan_writer is not None:
+            orig = np.asarray(batch.lengths[:n]).astype(np.int64)
+            plen = len_eff[:n]
+            fe = np.asarray(front_clips[:n]).astype(np.int64)
+            back_q = orig - fe - plen
+            start_loc = end_locs[:n] - plen
+            starts, ends = self.contig_bounds
+            ci = np.searchsorted(starts, start_loc, side="right") - 1
+            cis = np.clip(ci, 0, len(starts) - 1)
+            inside = (
+                (ci >= 0)
+                & (start_loc >= starts[cis])
+                & (start_loc + plen <= ends[cis])
+            )
+            simple_mask = (
+                found[:n]
+                & ~np.asarray(win.fallback[:n]).astype(bool)
+                & ~np.asarray(win.truncated[:n]).astype(bool)
+                & (orig >= self.min_read_length)
+                & (np.asarray(win.indels[:n]) == 0)
+                & (np.asarray(win.clip_before[:n]) == 0)
+                & (np.asarray(win.clip_after[:n]) == 0)
+                & (back_q >= 0)
+                & inside
+            )
+            srows = np.flatnonzero(simple_mask)
+            if srows.size:
+                mq = mapqs[srows].astype(np.int32)
+                if self.stop_on_first_hit:
+                    mq = np.zeros_like(mq)
+                d = dirs[srows]
+                plan = {
+                    "mask": simple_mask,
+                    "rows": srows.astype(np.int32),
+                    "flag": (d.astype(np.int32) * 16),
+                    "rname_id": cis[srows].astype(np.int32),
+                    "pos": (
+                        start_loc[srows] - starts[cis[srows]] + 1
+                    ).astype(np.int64),
+                    "mapq": mq,
+                    "fs": np.where(
+                        d == 1, back_q[srows], fe[srows]
+                    ).astype(np.int32),
+                    "mlen": plen[srows].astype(np.int32),
+                    "bs": np.where(
+                        d == 1, fe[srows], back_q[srows]
+                    ).astype(np.int32),
+                    "nm": dists[srows].astype(np.int32),
+                    "rlen": orig[srows].astype(np.int32),
+                }
+            else:
+                simple_mask = None
+
         results = []
         for i in range(n):
+            if simple_mask is not None and simple_mask[i]:
+                results.append(_PLANNED)
+                continue
             orig_len = int(batch.lengths[i])
             if orig_len < self.min_read_length:
                 results.append({"status": "filtered"})
@@ -798,11 +901,14 @@ class SingleEndAligner:
             np.flatnonzero(np.asarray(win.truncated[:n])),
             front_clips,
         )
+        if plan_writer is not None:
+            return results, plan
         return results
 
     def align_file(self, fastq_path: str, writer: SamWriter) -> AlignerStats:
         writer.write_header()
         t0 = time.time()
+        plan_ok = self._plan_ok(writer)
         progress = ProgressReporter()
         batches = iter(
             single_batches(
@@ -828,7 +934,13 @@ class SingleEndAligner:
             if pending is not None:
                 pbatch, pout, pfc = pending
                 ta = time.time()
-                results = self._finalize(pbatch, pout, pfc)
+                pw = writer if plan_ok else None
+                if pw is not None:
+                    results, plan = self._finalize(
+                        pbatch, pout, pfc, plan_writer=pw
+                    )
+                else:
+                    results, plan = self._finalize(pbatch, pout, pfc), None
                 dt = time.time() - ta
                 self.stats.seconds_aligning += dt
                 if self.attach_times:
@@ -838,8 +950,11 @@ class SingleEndAligner:
                         dt * 1e6 / max(len(pbatch), 1)
                     )
                 tw = time.time()
-                for i, res in enumerate(results):
-                    self._emit(writer, pbatch, i, res)
+                if plan is not None:
+                    self._emit_planned(writer, pbatch, results, plan)
+                else:
+                    for i, res in enumerate(results):
+                        self._emit(writer, pbatch, i, res)
                 self.stats.seconds_writing += time.time() - tw
                 progress.update(len(pbatch))
                 if self.kill_if_too_slow:
@@ -868,6 +983,66 @@ class SingleEndAligner:
             pending = sub
         self.stats.align_seconds = time.time() - t0
         return self.stats
+
+    def _emit_planned(self, writer, batch: ReadBatch, results, plan):
+        """Batched emission: format every planned (simple) record in one
+        native call, update stats vectorized, and interleave the blob's
+        runs with the per-read path for the remaining rows so output
+        order is exactly the input read order."""
+        from ..io import native as _native
+
+        ids = batch.ids
+        qname_off = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in ids], out=qname_off[1:])
+        qname_buf = b"".join(ids)
+        names = self._sorted_contig_names
+        rname_off = np.zeros(len(names) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in names], out=rname_off[1:])
+        rname_buf = b"".join(names)
+        tag_pg = f"PG:Z:{writer.program_id}".encode()
+        rg = [f"RG:Z:{writer.read_group.rg_id}"] + [
+            f"{k}:Z:{v}" for k, v in writer.read_group.attrs
+        ]
+        tag_tail = ("\t" + "\t".join(rg)).encode()
+        formatted = _native.format_sam_simple(
+            batch.bases, batch.quals, qname_buf, qname_off,
+            rname_buf, rname_off, plan["rows"], plan["flag"],
+            plan["rname_id"], plan["pos"], plan["mapq"], plan["fs"],
+            plan["mlen"], plan["bs"], plan["nm"], plan["rlen"],
+            tag_pg, tag_tail,
+        )
+        if formatted is None:  # native library vanished mid-run
+            for i, res in enumerate(results):
+                if res is _PLANNED:
+                    raise RuntimeError(
+                        "native SAM formatter unavailable after planning"
+                    )
+                self._emit(writer, batch, i, res)
+            return
+        blob, rec_end = formatted
+        srows = plan["rows"]
+        mq = plan["mapq"]
+        ns = len(srows)
+        self.stats.total += ns
+        n_single = int((mq >= MAPQ_LIMIT_FOR_SINGLE_HIT).sum())
+        self.stats.single += n_single
+        self.stats.multi += ns - n_single
+        self.stats.mapq_histogram += np.bincount(
+            np.minimum(mq, 70), minlength=71
+        )
+        out = writer.out
+        complex_rows = np.flatnonzero(~plan["mask"])
+        k = 0  # planned records already flushed
+        for i in complex_rows:
+            j = int(np.searchsorted(srows, i))
+            if j > k:
+                a = 0 if k == 0 else int(rec_end[k - 1])
+                out.write(blob[a : int(rec_end[j - 1])])
+                k = j
+            self._emit(writer, batch, int(i), results[int(i)])
+        if k < ns:
+            a = 0 if k == 0 else int(rec_end[k - 1])
+            out.write(blob[a:])
 
     def _emit(self, writer: SamWriter, batch: ReadBatch, i: int, res: dict):
         from ..constants import BASE_DECODE

@@ -79,6 +79,24 @@ def load():
             ]
         except AttributeError:
             pass  # stale library without the traceback entry point
+        try:
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.snapio_format_sam_simple.restype = ctypes.c_int64
+            lib.snapio_format_sam_simple.argtypes = [
+                u8p, u8p, ctypes.c_int64,            # bases, quals, stride
+                u8p, i64p,                            # qname buf/off
+                u8p, i64p,                            # rname buf/off
+                i32p, ctypes.c_int64,                 # rows, n
+                i32p, i32p, i64p,                     # flag, rname_id, pos
+                i32p, i32p, i32p, i32p, i32p, i32p,   # mapq fs mlen bs nm rlen
+                u8p, ctypes.c_int64,                  # tag_pg
+                u8p, ctypes.c_int64,                  # tag_tail
+                u8p, ctypes.c_int64, i64p,            # out, cap, rec_end
+            ]
+        except AttributeError:
+            pass  # stale library without the SAM formatter
         _lib = lib
         return _lib
 
@@ -115,6 +133,78 @@ def ag_traceback(text, pattern, open_cost, ext_cost, match_sc, sub_sc):
 
 def available() -> bool:
     return load() is not None
+
+
+def has_sam_formatter() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "snapio_format_sam_simple")
+
+
+def format_sam_simple(
+    bases: np.ndarray,          # [B, L] u8 base codes (as sequenced)
+    quals: np.ndarray,          # [B, L] u8 phred+33 bytes
+    qname_buf: bytes,           # b"".join(ids)
+    qname_off: np.ndarray,      # [B+1] i64
+    rname_buf: bytes,           # b"".join(contig names)
+    rname_off: np.ndarray,      # [n_contigs+1] i64
+    rows: np.ndarray,           # [n] i32 batch-row index per record
+    flag: np.ndarray,           # [n] i32 (0 or 16)
+    rname_id: np.ndarray,       # [n] i32
+    pos: np.ndarray,            # [n] i64 1-based
+    mapq: np.ndarray,
+    fs: np.ndarray, mlen: np.ndarray, bs: np.ndarray,
+    nm: np.ndarray, rlen: np.ndarray,
+    tag_pg: bytes, tag_tail: bytes,
+) -> tuple[memoryview, np.ndarray] | None:
+    """Format n simple SAM records in one native call.
+
+    Returns (blob memoryview, rec_end cumulative offsets) so callers
+    can slice per-record runs zero-copy; None if the native library
+    (or this entry point) is unavailable.
+    """
+    lib = load()
+    if lib is None or not hasattr(lib, "snapio_format_sam_simple"):
+        return None
+    n = len(rows)
+    if n == 0:
+        return memoryview(b""), np.zeros(0, dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    name_lens = qname_off[1:] - qname_off[:-1]
+    cap = int(
+        name_lens[rows].sum()
+        + 2 * rlen.astype(np.int64).sum()
+        + n * (96 + len(tag_pg) + len(tag_tail))
+    )
+    out = np.empty(cap, dtype=np.uint8)
+    rec_end = np.empty(n, dtype=np.int64)
+    # keep the contiguous copies alive through the call
+    bases = np.ascontiguousarray(bases)
+    quals = np.ascontiguousarray(quals)
+    args = [np.ascontiguousarray(a) for a in (
+        qname_off, rows, flag, rname_id, pos, mapq, fs, mlen, bs, nm, rlen
+    )]
+    qname_off, rows, flag, rname_id, pos, mapq, fs, mlen, bs, nm, rlen = args
+    as_u8 = lambda b: ctypes.cast(ctypes.c_char_p(b), u8p)
+    total = lib.snapio_format_sam_simple(
+        bases.ctypes.data_as(u8p), quals.ctypes.data_as(u8p),
+        bases.shape[1],
+        as_u8(qname_buf), qname_off.ctypes.data_as(i64p),
+        as_u8(rname_buf), rname_off.ctypes.data_as(i64p),
+        rows.ctypes.data_as(i32p), n,
+        flag.ctypes.data_as(i32p), rname_id.ctypes.data_as(i32p),
+        pos.ctypes.data_as(i64p), mapq.ctypes.data_as(i32p),
+        fs.ctypes.data_as(i32p), mlen.ctypes.data_as(i32p),
+        bs.ctypes.data_as(i32p), nm.ctypes.data_as(i32p),
+        rlen.ctypes.data_as(i32p),
+        as_u8(tag_pg), len(tag_pg), as_u8(tag_tail), len(tag_tail),
+        out.ctypes.data_as(u8p), cap,
+        rec_end.ctypes.data_as(i64p),
+    )
+    if total < 0:
+        return None
+    return memoryview(out.data)[:total], rec_end
 
 
 def parse_fastq_buffer(

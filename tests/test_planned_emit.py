@@ -1,0 +1,74 @@
+"""Batched native SAM emission (the planned fast path) must be
+byte-identical to the per-read Python emission path.
+
+The reference formats SAM text in C++ per record (SAM.cpp:1740-1900,
+SAMFormat::writeRead); our equivalent batches every "simple" record of
+a batch into one native call (native/snapio.cpp snapio_format_sam_simple)
+and interleaves the blob with the per-read path for complex rows so the
+output order stays exactly the input read order.
+"""
+
+import numpy as np
+import pytest
+
+from snap_tpu.io import native as native_io
+
+
+@pytest.mark.skipif(
+    not native_io.has_sam_formatter(), reason="native SAM formatter absent"
+)
+def test_planned_vs_per_read_byte_parity(tmp_path):
+    from snap_tpu.align.single import SingleEndAligner
+    from snap_tpu.cli import main
+
+    rng = np.random.default_rng(11)
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, size=12000))
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">c1\n{seq[:6000]}\n>c2\n{seq[6000:]}\n")
+    idx = tmp_path / "idx"
+    assert main(["index", str(fa), str(idx), "-s", "20"]) == 0
+
+    def rc(s):
+        return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+    reads = []
+    for i in range(96):
+        p = int(rng.integers(0, 11800))
+        r = seq[p : p + 100]
+        kind = i % 6
+        if kind == 1:
+            r = rc(r)
+        elif kind == 2:  # substitutions
+            rl = list(r)
+            for _ in range(3):
+                j = int(rng.integers(0, 100))
+                rl[j] = "ACGT"[int(rng.integers(0, 4))]
+            r = "".join(rl)
+        elif kind == 3:  # deletion → non-gapless CIGAR (complex row)
+            r = seq[p : p + 50] + seq[p + 53 : p + 103]
+        elif kind == 4:  # insertion
+            r = seq[p : p + 50] + "AC" + seq[p + 50 : p + 98]
+        elif kind == 5 and i % 12 == 5:  # junk → unmapped (complex row)
+            r = "".join("ACGT"[c] for c in rng.integers(0, 4, size=100))
+        reads.append((f"rd{i} comment", r))
+    fq = tmp_path / "r.fq"
+    fq.write_text(
+        "".join(f"@{n}\n{r}\n+\n{'I' * len(r)}\n" for n, r in reads)
+    )
+
+    o1, o2 = tmp_path / "a.sam", tmp_path / "b.sam"
+    assert main(["single", str(idx), str(fq), "-o", str(o1)]) == 0
+    orig = SingleEndAligner._plan_ok
+    SingleEndAligner._plan_ok = lambda self, w: False
+    try:
+        assert main(["single", str(idx), str(fq), "-o", str(o2)]) == 0
+    finally:
+        SingleEndAligner._plan_ok = orig
+
+    def body(p):  # @PG embeds the output path in CL
+        return [
+            l for l in p.read_bytes().split(b"\n")
+            if not l.startswith(b"@PG")
+        ]
+
+    assert body(o1) == body(o2)
