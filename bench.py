@@ -89,6 +89,13 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     reads_per_sec = batch * n_iters / dt
+
+    # ---- end-to-end FASTQ -> SAM bytes (the whole production driver:
+    # native FASTQ parse, device align, batched native SAM emission) ----
+    e2e_rps, paired_rps = _bench_end_to_end(
+        genome, codes, glen, read_len, batch
+    )
+
     print(
         json.dumps(
             {
@@ -98,9 +105,103 @@ def main() -> None:
                 "vs_baseline": round(
                     reads_per_sec / BASELINE_READS_PER_SEC_PER_CHIP, 4
                 ),
+                "e2e_fastq_to_sam_reads_per_sec": round(e2e_rps, 1),
+                "paired_e2e_reads_per_sec": round(paired_rps, 1),
             }
         )
     )
+
+
+def _bench_end_to_end(genome, codes, glen, read_len, batch):
+    """Full FASTQ->SAM wall-clock throughput, single and paired.
+
+    Measures what `snap-tpu single/paired` deliver end to end (the
+    reference reports reads/s the same way, AlignerContext.cpp:533-573):
+    file parse, device wavefront, host finalization, record emission,
+    output write. First pass warms the jit caches; the timed pass runs
+    the same files again.
+    """
+    import io
+    import os
+    import tempfile
+    import time as _time
+
+    import numpy as np
+
+    from snap_tpu.align.pipeline import AlignParams
+    from snap_tpu.align.single import SingleEndAligner
+    from snap_tpu.align.paired_driver import PairedEndAligner
+    from snap_tpu.index.index import GenomeIndex
+    from snap_tpu.io.sam import SamWriter
+
+    rng = np.random.default_rng(1)
+    n_single = 8 * batch
+    n_pairs = 2 * batch
+    DEC = np.frombuffer(b"ACGT", np.uint8)
+
+    index = GenomeIndex.build(genome, 24)
+    params = AlignParams(seed_len=24, max_probe=index.max_probe)
+
+    with tempfile.TemporaryDirectory() as td:
+        fq = os.path.join(td, "r.fq")
+        starts = rng.integers(0, glen - read_len - 1, size=n_single)
+        rd = codes[starts[:, None] + np.arange(read_len)[None, :]]
+        mut = rng.random(rd.shape) < 0.01
+        rd = np.where(mut, rng.integers(0, 4, rd.shape), rd).astype(np.uint8)
+        qline = b"I" * read_len
+        with open(fq, "wb") as f:
+            for i in range(n_single):
+                f.write(
+                    b"@r%d\n%s\n+\n%s\n"
+                    % (i, DEC[rd[i]].tobytes(), qline)
+                )
+
+        def run_single():
+            aligner = SingleEndAligner(
+                index, params, batch_size=batch, max_read_len=read_len
+            )
+            with open(os.path.join(td, "out.sam"), "wb") as f:
+                w = SamWriter(out=f, genome=genome, command_line="bench")
+                aligner.align_file(fq, w)
+
+        run_single()  # warm the jit caches
+        t0 = _time.perf_counter()
+        run_single()
+        e2e_rps = n_single / (_time.perf_counter() - t0)
+
+        # paired: proper FR pairs, insert 200..400
+        fq1, fq2 = os.path.join(td, "r1.fq"), os.path.join(td, "r2.fq")
+        ins = rng.integers(2 * read_len, 400, size=n_pairs)
+        p1 = rng.integers(0, glen - 401, size=n_pairs)
+        r1 = codes[p1[:, None] + np.arange(read_len)[None, :]]
+        p2 = p1 + ins - read_len
+        r2f = codes[p2[:, None] + np.arange(read_len)[None, :]]
+        r2 = (3 - r2f[:, ::-1]) % 4
+        with open(fq1, "wb") as f1, open(fq2, "wb") as f2:
+            for i in range(n_pairs):
+                f1.write(
+                    b"@p%d/1\n%s\n+\n%s\n"
+                    % (i, DEC[r1[i]].tobytes(), qline)
+                )
+                f2.write(
+                    b"@p%d/2\n%s\n+\n%s\n"
+                    % (i, DEC[r2[i].astype(np.uint8)].tobytes(), qline)
+                )
+
+        def run_paired():
+            aligner = PairedEndAligner(
+                index, params, batch_size=batch, max_read_len=read_len
+            )
+            with open(os.path.join(td, "outp.sam"), "wb") as f:
+                w = SamWriter(out=f, genome=genome, command_line="bench")
+                aligner.align_files(fq1, fq2, w)
+
+        run_paired()
+        t0 = _time.perf_counter()
+        run_paired()
+        paired_rps = 2 * n_pairs / (_time.perf_counter() - t0)
+
+    return e2e_rps, paired_rps
 
 
 if __name__ == "__main__":

@@ -34,7 +34,6 @@ BASE_DECODE = np.frombuffer(b"ACGTNn", dtype=np.uint8)
 # ---------------------------------------------------------------------------
 DEFAULT_SEED_LEN = 24
 DEFAULT_CONTIG_PADDING = 2000  # ref: GenomeIndex.cpp:48
-GENOME_OUTER_PADDING = 1000    # N padding at both ends, ref: Genome.h:446
 
 # ---------------------------------------------------------------------------
 # Aligner defaults (ref: AlignerOptions.cpp:107-117, PairedAligner.cpp:55-56)

@@ -2,10 +2,16 @@
 
 Behavioral reference: SNAP's Genome.{h,cpp} and FASTA.cpp:190
 (ReadFASTAGenome). The genome is a single contiguous array of base codes
-with GENOME_OUTER_PADDING pad bases at each end and `chromosome_padding`
-pad bases separating (and preceding) each contig. Padding uses the PAD
-code (the analogue of SNAP's lowercase 'n', Genome.h:345) so that read Ns
-never match padding. Contigs carry ALT flags (ref: Genome.h:383-400);
+with `chromosome_padding` pad bases preceding each contig and one
+trailing run after the last — EXACTLY the reference's layout (first
+contig begins at absolute location chromosomePadding, GenomeIndex.cpp:48
+DEFAULT_PADDING). Matching the absolute coordinates matters beyond
+cosmetics: the 48-wide candidate-merge buckets (BaseAligner.h:213
+hashTableElementSize) quantize absolute locations, so a different base
+offset moves bucket boundaries and flips MAPQ on indel reads whose
+split candidates straddle them. Padding uses the PAD code (the analogue
+of SNAP's lowercase 'n', Genome.h:345) so that read Ns never match
+padding. Contigs carry ALT flags (ref: Genome.h:383-400);
 ALT contigs are reordered to the end so "is ALT" is a single location
 comparison (ref: Genome.h:436-438).
 
@@ -28,7 +34,6 @@ from .constants import (
     BASE_ENCODE,
     BASE_N,
     DEFAULT_CONTIG_PADDING,
-    GENOME_OUTER_PADDING,
     PAD,
 )
 
@@ -259,14 +264,16 @@ def load_fasta(
     # each class) — mirrors SNAP's ALT-last reordering.
     order.sort(key=lambda i: (is_alt(names[i], len(seqs[i])), 0))
 
+    # SNAP layout: padding before every contig plus one trailing run
+    # (chr1 of a fresh index sits at absolute location
+    # chromosome_padding, matching the reference's Genome file).
     total = (
-        2 * GENOME_OUTER_PADDING
-        + sum(len(s) for s in seqs)
-        + chromosome_padding * len(seqs)
+        sum(len(s) for s in seqs)
+        + chromosome_padding * (len(seqs) + 1)
     )
     bases = np.full(total, PAD, dtype=np.uint8)
     contigs: list[Contig] = []
-    pos = GENOME_OUTER_PADDING
+    pos = 0
     for i in order:
         pos += chromosome_padding
         seq = seqs[i]

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from snap_tpu.genome import Genome, Contig, load_fasta, reverse_complement_codes
-from snap_tpu.constants import BASE_ENCODE, GENOME_OUTER_PADDING, PAD
+from snap_tpu.constants import BASE_ENCODE, PAD
 from snap_tpu.index.build import (
     build_index,
     extract_canonical_seeds,
@@ -39,7 +39,8 @@ def test_load_fasta(tmp_path):
     assert g.decode(c2.start, 4) == "TTTT"
     # padding between contigs is lowercase-n-equivalent (PAD code)
     assert np.all(g.bases[c1.start + c1.length : c2.start] == PAD)
-    assert c1.start == GENOME_OUTER_PADDING + 10
+    # SNAP layout: first contig at exactly chromosome_padding
+    assert c1.start == 10
 
 
 def test_alt_reordering(tmp_path):

@@ -78,11 +78,10 @@ def test_import_matches_native_build(ref_index):
     )
     m_imp, m_own = _hit_map(arrays), _hit_map(ours)
     assert set(m_imp) == set(m_own)
-    # SNAP stores no outer padding; our loader adds GENOME_OUTER_PADDING
-    shift = 1000
+    # identical layout (padding before each contig): identical locations
     for k in m_imp:
-        assert [x + shift for x in m_imp[k][0]] == m_own[k][0], k
-        assert [x + shift for x in m_imp[k][1]] == m_own[k][1], k
+        assert m_imp[k][0] == m_own[k][0], k
+        assert m_imp[k][1] == m_own[k][1], k
 
 
 def test_align_from_reference_index(ref_index, tmp_path):
