@@ -1026,6 +1026,7 @@ def two_phase_merge(
     dev_bases,          # [B, L] device array from the tier-1 dispatch
     dev_quals,
     params: AlignParams,
+    force_dp: bool = False,
 ) -> dict:
     """Host half of the two-phase path: pull tier-1 results, decide which
     candidates need the DP tier (same rule the monolithic kernel applies
@@ -1053,8 +1054,14 @@ def two_phase_merge(
     truncated = np.asarray(t1_np.truncated)
 
     GOK = params.max_k_same
-    needs = valid & (gd > GOK)
-    if didx.genome_packed is not None:
+    if force_dp:
+        # exact mode (edge-indel redo rows): every imperfect candidate
+        # gets the full DP, matching SNAP's always-LV scoring
+        # (BaseAligner.cpp:1160-1173) with no gapless shortcut
+        needs = valid & (gd > 0)
+    else:
+        needs = valid & (gd > GOK)
+    if not force_dp and didx.genome_packed is not None:
         read_min = np.min(
             np.where(valid, gd, np.int32(1 << 20)), axis=1
         )

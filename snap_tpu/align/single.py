@@ -553,9 +553,115 @@ class SingleEndAligner:
             np.flatnonzero(np.asarray(merged["truncated"][:n])),
             front_clips,
         )
+        # edge-indel honesty (same rule as the fast path): gapless
+        # dist-2 winners where one indel explains both mismatches
+        if self.params.max_k_same >= 2:
+            import re as _re
+
+            rows, dirs_l, starts_l, plens_l, fes_l = [], [], [], [], []
+            for i, rec in enumerate(results):
+                if (
+                    rec.get("status") in ("single", "multi")
+                    and rec.get("nm") == 2
+                    and not _re.search(r"[IDSH]", rec.get("cigar", "S"))
+                ):
+                    rows.append(i)
+                    dirs_l.append(rec["direction"])
+                    starts_l.append(rec["start_loc"])
+                    plens_l.append(rec["ref_span"])
+                    fes_l.append(int(front_clips[i]))
+            if rows:
+                ok = self._one_indel_improves(
+                    batch, rows, dirs_l, starts_l, plens_l, fes_l
+                )
+                hit = [r for r, o in zip(rows, ok) if o]
+                if hit:
+                    self._redo_wide(
+                        batch, results, hit, front_clips, force_dp=True
+                    )
         return results
 
-    def _redo_wide(self, batch, results, rows, front_clips):
+    def _one_indel_improves(
+        self, batch, rows, dirs, start_locs, plens, fes
+    ) -> np.ndarray:
+        """Which of these gapless dist-2 winners admit an LV dist-1
+        alignment (one 1-base indel, no mismatches)?
+
+        SNAP always scores candidates with the full Landau-Vishkin DP
+        (BaseAligner.cpp:1160-1173), so it reports the dist-1 indel
+        alignment where our gapless tier-1 reports 2 edge mismatches
+        and skips the DP (dist <= maxKForSameAlignment). A one-indel
+        dist-1 alignment exists iff the pattern splits into a prefix on
+        one diagonal and a suffix on an adjacent diagonal with no
+        mismatches; that reduces to prefix/suffix-run-length tests on
+        the three diagonal match vectors. Flagged rows are re-scored
+        exactly (force_dp), so over-flagging is safe.
+
+        Returns a bool mask over `rows`.
+        """
+        n = len(rows)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        L = batch.bases.shape[1]
+        G = self.genome_np
+        rows = np.asarray(rows, dtype=np.int64)
+        dirs = np.asarray(dirs, dtype=np.int64)
+        s = np.asarray(start_locs, dtype=np.int64)
+        plens = np.asarray(plens, dtype=np.int64)
+        fes = np.asarray(fes, dtype=np.int64)
+
+        # oriented pattern rows [n, L]
+        pos = np.arange(L, dtype=np.int64)[None, :]
+        src = np.where(
+            dirs[:, None] == 1,
+            fes[:, None] + plens[:, None] - 1 - pos,
+            fes[:, None] + pos,
+        )
+        srcc = np.clip(src, 0, L - 1)
+        P = np.take_along_axis(batch.bases[rows], srcc, axis=1)
+        P = np.where(
+            dirs[:, None] == 1,
+            np.where(P < 4, 3 - P, P),
+            P,
+        )
+        in_read = pos < plens[:, None]
+
+        # genome window [n, L+2] covering s-1 .. s+plen
+        gi = np.clip(s[:, None] + np.arange(-1, L + 1)[None, :], 0, len(G) - 1)
+        Gw = G[gi]
+
+        def m(a, b):  # codes match (N/PAD never match)
+            return (a == b) & (a < 4) & (b < 4)
+
+        TRUE = ~in_read  # positions past plen count as matched
+        eq0 = m(P, Gw[:, 1 : L + 1]) | TRUE
+        eqp = m(P, Gw[:, 2 : L + 2]) | TRUE   # pattern vs genome shifted +1
+        eqm = m(P, Gw[:, 0:L]) | TRUE         # pattern vs genome shifted -1
+
+        def pref(a):  # length of leading all-True run, capped at plen
+            return np.minimum(
+                np.where(a.all(axis=1), L, np.argmin(a, axis=1)), plens
+            )
+
+        def suff(a):  # length of trailing all-True run within [0, plen)
+            ar = a[:, ::-1]
+            tail_pad = L - plens  # reversed array leads with padding Trues
+            run = np.where(ar.all(axis=1), L, np.argmin(ar, axis=1))
+            return np.clip(run - tail_pad, 0, plens)
+
+        L0, R0 = pref(eq0), suff(eq0)
+        ok = (
+            (L0 + suff(eqp) >= plens)        # 1D: tail on +1 diagonal
+            | (L0 + suff(eqm) >= plens - 1)  # 1I: tail on -1 diagonal
+            | (pref(eqp) + R0 >= plens - 1)  # 1I: head on +1 diagonal
+            | (pref(eqm) + R0 >= plens)      # 1D: head on -1 diagonal
+        )
+        # the winner has 2 mismatches on the gapless diagonal, so any
+        # single-diagonal full match is impossible; conditions above
+        # only pass when a genuine one-indel split exists
+        return ok
+
+    def _redo_wide(self, batch, results, rows, front_clips, force_dp=False):
         """maxHits=300 honesty pass: reads whose device gather cap
         dropped hits are re-run over the FULL hit lists (host candidate
         generation, device scoring), replacing their results.
@@ -563,6 +669,11 @@ class SingleEndAligner:
         Mirrors BaseAligner scoring up to maxHits hits per seed
         (BaseAligner.cpp:574-579); without this, pAll — and therefore
         MAPQ — is wrong wherever a seed has hit_cap..maxHits hits.
+
+        With force_dp (edge-indel redo rows) every imperfect candidate
+        is scored with the full DP — SNAP's always-LV semantics
+        (BaseAligner.cpp:1160-1173) — so a 1-base-indel alignment that
+        beats the gapless interpretation is found exactly.
         """
         rows = [
             int(i) for i in rows
@@ -620,7 +731,7 @@ class SingleEndAligner:
         )
         merged = two_phase_merge(
             self._scoring_didx, t1, jnp.asarray(pad2(sub_b)),
-            jnp.asarray(pad2(sub_q)), self.params,
+            jnp.asarray(pad2(sub_q)), self.params, force_dp=force_dp,
         )
         arrays = {
             k: merged[k]
@@ -782,6 +893,30 @@ class SingleEndAligner:
         end_locs = np.asarray(win.end_loc).astype(np.int64)
         popular = np.asarray(win.popular).astype(np.int64)
 
+        # -- edge-indel honesty: gapless dist-2 winners where one
+        # 1-base indel explains both mismatches get SNAP's always-LV
+        # treatment via an exact force-DP redo (see _one_indel_improves)
+        edge_mask = np.zeros(n, dtype=bool)
+        if self.params.max_k_same >= 2:
+            fe_all = np.asarray(front_clips[:n]).astype(np.int64)
+            cmask = (
+                found[:n]
+                & ~np.asarray(win.fallback[:n]).astype(bool)
+                & ~np.asarray(win.truncated[:n]).astype(bool)
+                & (np.asarray(win.indels[:n]) == 0)
+                & (np.asarray(win.clip_before[:n]) == 0)
+                & (np.asarray(win.clip_after[:n]) == 0)
+                & (dists[:n] == 2)
+            )
+            crows = np.flatnonzero(cmask)
+            if crows.size:
+                plen_c = len_eff[crows]
+                ok = self._one_indel_improves(
+                    batch, crows, dirs[crows],
+                    end_locs[crows] - plen_c, plen_c, fe_all[crows],
+                )
+                edge_mask[crows[ok]] = True
+
         # -- batched-emission plan: the overwhelmingly common case of a
         # found, gapless, unclipped, single-contig primary alignment is
         # fully determined by the packed winner columns — vectorize it
@@ -812,6 +947,7 @@ class SingleEndAligner:
                 & (np.asarray(win.clip_after[:n]) == 0)
                 & (back_q >= 0)
                 & inside
+                & ~edge_mask
             )
             srows = np.flatnonzero(simple_mask)
             if srows.size:
@@ -901,6 +1037,11 @@ class SingleEndAligner:
             np.flatnonzero(np.asarray(win.truncated[:n])),
             front_clips,
         )
+        if edge_mask.any():
+            self._redo_wide(
+                batch, results, np.flatnonzero(edge_mask), front_clips,
+                force_dp=True,
+            )
         if plan_writer is not None:
             return results, plan
         return results
