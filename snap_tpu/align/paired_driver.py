@@ -183,6 +183,9 @@ class PairedEndAligner:
         f = two_phase_merge(
             didx_sc, t1, dev_bases, dev_quals, self.params
         )
+        self._fix_edge_indels(
+            f, bases, len_eff, didx_sc, dev_bases, dev_quals
+        )
         per_cand = (
             "dist", "log_prob", "ag_score", "end_loc", "cand_loc",
             "direction", "valid", "escalated",
@@ -276,6 +279,80 @@ class PairedEndAligner:
         if self.infer_spacing:
             self._update_spacing(spacing_samples)
         return results
+
+    def _fix_edge_indels(
+        self, f, bases, len_eff, didx_sc, dev_bases, dev_quals
+    ) -> None:
+        """Edge-indel honesty at candidate level (paired path).
+
+        Gapless dist-2 candidates where one 1-base indel explains both
+        mismatches (see single.one_indel_improves) are re-scored with
+        the full DP via score_rows and patched into the merged arrays
+        in place — before pair finalization, so the corrected distance
+        and probability feed winner selection, pAll/MAPQ, and mate
+        position alike. SNAP semantics: candidates are always LV-scored
+        (BaseAligner.cpp:1160-1173).
+        """
+        if self.params.max_k_same < 2:
+            return
+        from .single import one_indel_improves
+
+        d = f["dist"]
+        cmask = (
+            f["valid"]
+            & (d == 2)
+            & (f["indels"] == 0)
+            & ~f["escalated"]
+            & (f["clip_before"] == 0)
+            & (f["clip_after"] == 0)
+        )
+        rows, ks = np.nonzero(cmask)
+        if rows.size == 0:
+            return
+        locs = f["cand_loc"][rows, ks]
+        dirs = f["direction"][rows, ks]
+        plens = f["len_eff"][rows]
+        ok = one_indel_improves(
+            self.genome_np, bases, rows, dirs, locs, plens,
+            np.zeros(len(rows), dtype=np.int64),
+        )
+        if not ok.any():
+            return
+        import jax
+        import jax.numpy as jnp
+
+        from .pipeline import score_rows
+
+        rows, ks = rows[ok], ks[ok]
+        n = len(rows)
+        M = 16
+        while M < n:
+            M <<= 1
+        pad = lambda a, dt: np.concatenate(
+            [np.asarray(a, dt), np.zeros(M - n, dt)]
+        )
+        live = np.zeros(M, dtype=bool)
+        live[:n] = True
+        sub = jax.device_get(score_rows(
+            didx_sc, dev_bases, dev_quals, jnp.asarray(len_eff),
+            jnp.asarray(pad(rows, np.int64)),
+            jnp.asarray(pad(dirs[ok], np.int32)),
+            jnp.asarray(pad(locs[ok], np.int64)),
+            jnp.asarray(pad(f["seed_off"][rows, ks], np.int32)),
+            jnp.asarray(live), self.params,
+        ))
+        good = np.asarray(sub.valid)[:n]
+        r2, k2 = rows[good], ks[good]
+        sel = np.flatnonzero(good)
+        f["dist"][r2, k2] = np.asarray(sub.dist)[sel]
+        f["indels"][r2, k2] = np.asarray(sub.indels)[sel]
+        f["log_prob"][r2, k2] = np.asarray(sub.log_prob)[sel]
+        f["ag_score"][r2, k2] = np.asarray(sub.ag_score)[sel]
+        f["end_loc"][r2, k2] = np.asarray(sub.end_loc)[sel]
+        f["body_loc"][r2, k2] = np.asarray(sub.body_loc)[sel]
+        f["escalated"][r2, k2] = np.asarray(sub.escalated)[sel]
+        f["clip_before"][r2, k2] = np.asarray(sub.clip_before)[sel]
+        f["clip_after"][r2, k2] = np.asarray(sub.clip_after)[sel]
 
     def _try_hamming_rescue(self, batch, i, row, f, pc):
         """Gapless soft-clip rescore of an unmapped end's candidates
@@ -614,13 +691,34 @@ class PairedEndAligner:
                     self.stats.extra_alignments += 1
 
 
+def _trailing_clip(cigar: str) -> int:
+    """Trailing S/H bases: SNAP's getRefSpanFromCigar skips only a
+    LEADING clip and counts every later op except I — so trailing soft
+    and hard clips extend the TLEN span (SAM.cpp getRefSpanFromCigar)."""
+    import re
+
+    n = 0
+    m = re.search(r"(\d+)H$", cigar)
+    if m:
+        n += int(m.group(1))
+        cigar = cigar[: m.start()]
+    m = re.search(r"(\d+)S$", cigar)
+    if m and m.start() > 0:
+        n += int(m.group(1))
+    return n
+
+
 def _template_length(r: dict, mate: dict, pos: int, mpos: int) -> int:
     """TLEN per fillMateInfo (SAM.cpp:1368-1420): signed span between
-    unclipped starts / CIGAR-derived ends, FR/FF/RF/RR cases."""
+    unclipped starts / unclipped CIGAR-derived ends, FR/FF/RF/RR
+    cases. Ends include trailing clipped bases (the physical fragment
+    boundary), matching getRefSpanFromCigar."""
     my_start = pos - r["front_soft"]
-    my_end = pos + r["ref_span"]
+    my_end = pos + r["ref_span"] + _trailing_clip(r.get("cigar", ""))
     mate_start = mpos - mate["front_soft"]
-    mate_end = mpos + mate["ref_span"]
+    mate_end = mpos + mate["ref_span"] + _trailing_clip(
+        mate.get("cigar", "")
+    )
     my_rc = bool(r["direction"])
     mate_rc = bool(mate["direction"])
     if my_start < mate_start:

@@ -190,6 +190,89 @@ def winner_record(
 _PLANNED = {"status": "planned"}
 
 
+def one_indel_improves(
+    genome_np: np.ndarray,
+    bases_arr: np.ndarray,   # [B, L] raw read codes
+    rows, dirs, start_locs, plens, fes,
+) -> np.ndarray:
+    """Which of these gapless dist-2 alignments admit an LV dist-1
+    alignment (one 1-base indel, no mismatches)?
+
+    SNAP always scores candidates with the full Landau-Vishkin DP
+    (BaseAligner.cpp:1160-1173), so it reports the dist-1 indel
+    alignment where our gapless tier-1 reports 2 edge mismatches and
+    skips the DP (dist <= maxKForSameAlignment). A one-indel dist-1
+    alignment exists iff the pattern splits into a prefix on one
+    diagonal and a suffix on an adjacent diagonal with no mismatches;
+    that reduces to prefix/suffix-run-length tests on the three
+    diagonal match vectors. Flagged rows are re-scored exactly
+    (force_dp), so over-flagging is safe.
+
+    Returns a bool mask over `rows`.
+    """
+    n = len(rows)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    L = bases_arr.shape[1]
+    G = genome_np
+    rows = np.asarray(rows, dtype=np.int64)
+    dirs = np.asarray(dirs, dtype=np.int64)
+    s = np.asarray(start_locs, dtype=np.int64)
+    plens = np.asarray(plens, dtype=np.int64)
+    fes = np.asarray(fes, dtype=np.int64)
+
+    # oriented pattern rows [n, L]
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    src = np.where(
+        dirs[:, None] == 1,
+        fes[:, None] + plens[:, None] - 1 - pos,
+        fes[:, None] + pos,
+    )
+    srcc = np.clip(src, 0, L - 1)
+    P = np.take_along_axis(bases_arr[rows], srcc, axis=1)
+    P = np.where(
+        dirs[:, None] == 1,
+        np.where(P < 4, 3 - P, P),
+        P,
+    )
+    in_read = pos < plens[:, None]
+
+    # genome window [n, L+2] covering s-1 .. s+plen
+    gi = np.clip(s[:, None] + np.arange(-1, L + 1)[None, :], 0, len(G) - 1)
+    Gw = G[gi]
+
+    def m(a, b):  # codes match (N/PAD never match)
+        return (a == b) & (a < 4) & (b < 4)
+
+    TRUE = ~in_read  # positions past plen count as matched
+    eq0 = m(P, Gw[:, 1 : L + 1]) | TRUE
+    eqp = m(P, Gw[:, 2 : L + 2]) | TRUE   # pattern vs genome shifted +1
+    eqm = m(P, Gw[:, 0:L]) | TRUE         # pattern vs genome shifted -1
+
+    def pref(a):  # length of leading all-True run, capped at plen
+        return np.minimum(
+            np.where(a.all(axis=1), L, np.argmin(a, axis=1)), plens
+        )
+
+    def suff(a):  # length of trailing all-True run within [0, plen)
+        ar = a[:, ::-1]
+        tail_pad = L - plens  # reversed array leads with padding Trues
+        run = np.where(ar.all(axis=1), L, np.argmin(ar, axis=1))
+        return np.clip(run - tail_pad, 0, plens)
+
+    L0, R0 = pref(eq0), suff(eq0)
+    ok = (
+        (L0 + suff(eqp) >= plens)        # 1D: tail on +1 diagonal
+        | (L0 + suff(eqm) >= plens - 1)  # 1I: tail on -1 diagonal
+        | (pref(eqp) + R0 >= plens - 1)  # 1I: head on +1 diagonal
+        | (pref(eqm) + R0 >= plens)      # 1D: head on -1 diagonal
+    )
+    # a dist-2 gapless alignment has 2 mismatches on its own diagonal,
+    # so a single-diagonal full match is impossible; the conditions
+    # only pass when a genuine one-indel split exists
+    return ok
+
+
 def _inside_one_contig(start_loc: int, span: int, contig_bounds) -> bool:
     starts, ends = contig_bounds
     # ndarray.searchsorted avoids the np.searchsorted dispatch overhead
@@ -584,82 +667,10 @@ class SingleEndAligner:
     def _one_indel_improves(
         self, batch, rows, dirs, start_locs, plens, fes
     ) -> np.ndarray:
-        """Which of these gapless dist-2 winners admit an LV dist-1
-        alignment (one 1-base indel, no mismatches)?
-
-        SNAP always scores candidates with the full Landau-Vishkin DP
-        (BaseAligner.cpp:1160-1173), so it reports the dist-1 indel
-        alignment where our gapless tier-1 reports 2 edge mismatches
-        and skips the DP (dist <= maxKForSameAlignment). A one-indel
-        dist-1 alignment exists iff the pattern splits into a prefix on
-        one diagonal and a suffix on an adjacent diagonal with no
-        mismatches; that reduces to prefix/suffix-run-length tests on
-        the three diagonal match vectors. Flagged rows are re-scored
-        exactly (force_dp), so over-flagging is safe.
-
-        Returns a bool mask over `rows`.
-        """
-        n = len(rows)
-        if n == 0:
-            return np.zeros(0, dtype=bool)
-        L = batch.bases.shape[1]
-        G = self.genome_np
-        rows = np.asarray(rows, dtype=np.int64)
-        dirs = np.asarray(dirs, dtype=np.int64)
-        s = np.asarray(start_locs, dtype=np.int64)
-        plens = np.asarray(plens, dtype=np.int64)
-        fes = np.asarray(fes, dtype=np.int64)
-
-        # oriented pattern rows [n, L]
-        pos = np.arange(L, dtype=np.int64)[None, :]
-        src = np.where(
-            dirs[:, None] == 1,
-            fes[:, None] + plens[:, None] - 1 - pos,
-            fes[:, None] + pos,
+        return one_indel_improves(
+            self.genome_np, batch.bases, rows, dirs, start_locs, plens,
+            fes,
         )
-        srcc = np.clip(src, 0, L - 1)
-        P = np.take_along_axis(batch.bases[rows], srcc, axis=1)
-        P = np.where(
-            dirs[:, None] == 1,
-            np.where(P < 4, 3 - P, P),
-            P,
-        )
-        in_read = pos < plens[:, None]
-
-        # genome window [n, L+2] covering s-1 .. s+plen
-        gi = np.clip(s[:, None] + np.arange(-1, L + 1)[None, :], 0, len(G) - 1)
-        Gw = G[gi]
-
-        def m(a, b):  # codes match (N/PAD never match)
-            return (a == b) & (a < 4) & (b < 4)
-
-        TRUE = ~in_read  # positions past plen count as matched
-        eq0 = m(P, Gw[:, 1 : L + 1]) | TRUE
-        eqp = m(P, Gw[:, 2 : L + 2]) | TRUE   # pattern vs genome shifted +1
-        eqm = m(P, Gw[:, 0:L]) | TRUE         # pattern vs genome shifted -1
-
-        def pref(a):  # length of leading all-True run, capped at plen
-            return np.minimum(
-                np.where(a.all(axis=1), L, np.argmin(a, axis=1)), plens
-            )
-
-        def suff(a):  # length of trailing all-True run within [0, plen)
-            ar = a[:, ::-1]
-            tail_pad = L - plens  # reversed array leads with padding Trues
-            run = np.where(ar.all(axis=1), L, np.argmin(ar, axis=1))
-            return np.clip(run - tail_pad, 0, plens)
-
-        L0, R0 = pref(eq0), suff(eq0)
-        ok = (
-            (L0 + suff(eqp) >= plens)        # 1D: tail on +1 diagonal
-            | (L0 + suff(eqm) >= plens - 1)  # 1I: tail on -1 diagonal
-            | (pref(eqp) + R0 >= plens - 1)  # 1I: head on +1 diagonal
-            | (pref(eqm) + R0 >= plens)      # 1D: head on -1 diagonal
-        )
-        # the winner has 2 mismatches on the gapless diagonal, so any
-        # single-diagonal full match is impossible; conditions above
-        # only pass when a genuine one-indel split exists
-        return ok
 
     def _redo_wide(self, batch, results, rows, front_clips, force_dp=False):
         """maxHits=300 honesty pass: reads whose device gather cap
