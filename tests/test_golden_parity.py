@@ -2,9 +2,11 @@
 
 The correctness metric from BASELINE.md: per-field agreement on
 generated genomes + wgsim-style reads, replicating the reference's own
-golden-diff methodology (tests/datatest.py:93-103). Thresholds leave
-headroom for known tie-break divergences (seed-anchor-dependent AG soft
-clips; pairs the reference's heuristics miss but we find).
+golden-diff methodology (tests/datatest.py:93-103). Thresholds reflect the
+measured, per-diff-adjudicated residual rates in PARITY.md (0.2%
+single-end, 1.2% paired -- tie-break equivalences, pairs the
+reference's heuristics miss but we find, and one known AG-preference
+divergence), plus a few records of sampling head-room.
 
 Skipped when the reference binary can't be built.
 """
@@ -85,7 +87,8 @@ def test_single_end_indel_parity(snap_binary, tmp_path):
         tmp_path, snap_binary, ["--indel-rate", "0.003"]
     )
     assert total >= 120
-    assert exact / total >= 0.97, (exact, total)
+    # measured residual rate 0.2% (PARITY.md), all class-(a) tie-breaks
+    assert exact / total >= 0.98, (exact, total)
 
 
 def test_custom_penalty_parity(snap_binary, tmp_path):
@@ -96,7 +99,7 @@ def test_custom_penalty_parity(snap_binary, tmp_path):
         ["--indel-rate", "0.003", "--gs", "5", "--go", "8"],
     )
     assert total >= 120
-    assert exact / total >= 0.97, (exact, total)
+    assert exact / total >= 0.98, (exact, total)
 
 
 def test_paired_parity(snap_binary, tmp_path):
