@@ -89,6 +89,7 @@ def finalize_pair(
     max_secondary_edit: int = -1,                         # -om
     max_secondary: int = 0x7FFFFFFF,                      # -omax
     max_k: int = 127,
+    extra_search_depth: int = 1,
 ) -> tuple[
     PairEndResult, PairEndResult,
     tuple[PairEndResult, PairEndResult] | None,
@@ -217,6 +218,8 @@ def finalize_pair(
             c["cand_loc"], c["direction"], c["valid"], popular,
             is_alt=is_alt, alt_awareness=alt_awareness,
             max_score_gap_to_prefer_non_alt=max_score_gap_to_prefer_non_alt,
+            max_k=max_k, extra_search_depth=extra_search_depth,
+            lv_dists=c.get("lv_dist"),
         )
         return ra
 

@@ -187,8 +187,8 @@ class PairedEndAligner:
             f, bases, len_eff, didx_sc, dev_bases, dev_quals
         )
         per_cand = (
-            "dist", "log_prob", "ag_score", "end_loc", "cand_loc",
-            "direction", "valid", "escalated",
+            "dist", "lv_dist", "log_prob", "ag_score", "end_loc",
+            "cand_loc", "direction", "valid", "escalated",
         )
         v, esc = f["valid"], f["escalated"]
         self.stats.lv_calls += int(v[:n].sum()) + int(v[B : B + n].sum())
@@ -225,6 +225,7 @@ class PairedEndAligner:
                 max_secondary_edit=self.max_secondary_edit,
                 max_secondary=self.max_secondary,
                 max_k=self.params.max_k,
+                extra_search_depth=self.params.extra_search_depth,
             )
             if (
                 self.infer_spacing
@@ -345,6 +346,7 @@ class PairedEndAligner:
         r2, k2 = rows[good], ks[good]
         sel = np.flatnonzero(good)
         f["dist"][r2, k2] = np.asarray(sub.dist)[sel]
+        f["lv_dist"][r2, k2] = np.asarray(sub.lv_dist)[sel]
         f["indels"][r2, k2] = np.asarray(sub.indels)[sel]
         f["log_prob"][r2, k2] = np.asarray(sub.log_prob)[sel]
         f["ag_score"][r2, k2] = np.asarray(sub.ag_score)[sel]

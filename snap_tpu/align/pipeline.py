@@ -117,6 +117,8 @@ class SingleAlignOut(NamedTuple):
     """
 
     dist: jax.Array      # [B, K] int32 edit distance (AG edits if escalated)
+    lv_dist: jax.Array   # [B, K] int32 pre-clipping LV distance (the
+                         # Ukkonen-limit gate key, = dist when not escalated)
     indels: jax.Array    # [B, K] int32 indel bases on the LV path (0 =>
                          # gapless winner, fast CIGAR emission)
     log_prob: jax.Array  # [B, K] float32 ln match probability
@@ -324,7 +326,8 @@ def _score_rows(
     s_body = jnp.where(s_esc, ag_body_loc, s_loc)
     s_indels = jnp.where(s_esc, jnp.int32(1 << 20), res.indels)
     return SubsetOut(
-        dist=s_dist, indels=s_indels, log_prob=s_logp, ag_score=s_agsc,
+        dist=s_dist, lv_dist=s_lv_dist.astype(jnp.int32), indels=s_indels,
+        log_prob=s_logp, ag_score=s_agsc,
         end_loc=s_end, body_loc=s_body, escalated=s_esc,
         clip_before=s_clip_b, clip_after=s_clip_a, valid=s_ok,
     )
@@ -356,6 +359,10 @@ class SubsetOut(NamedTuple):
     """Full DP + affine-gap results for a compacted row subset."""
 
     dist: jax.Array
+    lv_dist: jax.Array   # pre-clipping Landau-Vishkin distance: SNAP's
+                         # Ukkonen limit gates on THIS (an AG-clipped
+                         # alignment keeps its LV score for limit
+                         # purposes, BaseAligner.cpp:1160-1205)
     indels: jax.Array
     log_prob: jax.Array
     ag_score: jax.Array
@@ -892,6 +899,7 @@ def _score_from_candidates(
 
     gl_ok = flat_valid & ~needs_dp & (gapless_dist <= params.max_k)
     dist = scatter(gapless_dist, s_dist)
+    lv_dist = scatter(gapless_dist, sub.lv_dist.astype(gapless_dist.dtype))
     log_prob = scatter(gapless_logp, s_logp)
     agsc = scatter(
         plen - (params.ag_match + params.ag_sub) * gapless_dist, s_agsc
@@ -906,6 +914,7 @@ def _score_from_candidates(
 
     out = SingleAlignOut(
         dist=dist.reshape(B, K),
+        lv_dist=lv_dist.reshape(B, K).astype(jnp.int32),
         indels=indels.reshape(B, K),
         log_prob=log_prob.reshape(B, K),
         ag_score=agsc.reshape(B, K),
@@ -1073,6 +1082,7 @@ def two_phase_merge(
     plen2 = len_eff[:, None].astype(np.int64)
     merged = {
         "dist": gd.astype(np.int64).copy(),
+        "lv_dist": gd.astype(np.int64).copy(),
         "indels": np.zeros((B, K), np.int32),
         "log_prob": glp.astype(np.float64).copy(),
         "ag_score": (
@@ -1112,6 +1122,7 @@ def two_phase_merge(
         n = min(idx.size, M)
         rows, cols = idx[:n] // K, idx[:n] % K
         merged["dist"][rows, cols] = np.asarray(sub.dist)[:n]
+        merged["lv_dist"][rows, cols] = np.asarray(sub.lv_dist)[:n]
         merged["indels"][rows, cols] = np.asarray(sub.indels)[:n]
         merged["log_prob"][rows, cols] = np.asarray(sub.log_prob)[:n]
         merged["ag_score"][rows, cols] = np.asarray(sub.ag_score)[:n]
@@ -1169,6 +1180,8 @@ def _device_finalize(
     use_affine_gap: bool,
     needs_total: jax.Array,
     dp_rows: int,
+    max_k: int = 127,
+    extra_search_depth: int = 1,
 ) -> WinnerOut:
     from ..constants import MAPQ_MAX, MAX_MERGE_DIST
 
@@ -1226,6 +1239,52 @@ def _device_finalize(
         )
     )
     fallback = near.any(axis=1)
+
+    # Ukkonen dynamic score limit (BaseAligner::scoreLimit,
+    # BaseAligner.cpp:2556-2570): SNAP scores candidates in weight
+    # order; ones above extraSearchDepth + min(maxK, running bests)
+    # at their turn get ScoreAboveLimit — no result, no pAll. Our
+    # candidate slot order IS weight order (top_k by weight), so
+    # replay the running limit over original slots. Without this,
+    # pAll (and MAPQ) is deflated on repetitive genomes.
+    rep_orig = (
+        jnp.zeros((B, K), bool)
+        .at[jnp.arange(B, dtype=jnp.int32)[:, None], k_s]
+        .set(reps)
+    )
+    INF = jnp.int64(1 << 40)
+    d_orig = jnp.where(rep_orig, d, INF)
+    lv_orig = jnp.where(rep_orig, out.lv_dist.astype(jnp.int64), INF)
+    alt_orig = alt
+    D64 = jnp.int64(extra_search_depth)
+    gap64 = jnp.int64(max_score_gap)
+    mk64 = jnp.int64(max_k)
+    run_all = jnp.full((B,), INF)
+    run_na = jnp.full((B,), INF)
+    inc_cols = []
+    for k in range(K):
+        dk = d_orig[:, k]
+        ak = alt_orig[:, k]
+        lim_na = D64 + jnp.minimum(
+            mk64, jnp.minimum(run_all + gap64, run_na)
+        )
+        lim_alt = D64 + jnp.minimum(
+            mk64, jnp.minimum(run_all, run_na - jnp.minimum(gap64, run_na))
+        )
+        lim = jnp.where(ak, lim_alt, lim_na)
+        # gate on the PRE-clipping LV distance (SNAP applies its limit
+        # inside computeEditDistance before any affine-gap clipping);
+        # running bests update with the final (possibly clipped) score
+        ok = rep_orig[:, k] & (lv_orig[:, k] <= lim)
+        inc_cols.append(ok)
+        run_all = jnp.where(ok, jnp.minimum(run_all, dk), run_all)
+        run_na = jnp.where(ok & ~ak, jnp.minimum(run_na, dk), run_na)
+    inc_orig = jnp.stack(inc_cols, axis=1)  # [B, K] original slots
+    # back to sorted space: included flag of the rep at each sorted slot
+    inc_s = jnp.take_along_axis(
+        inc_orig, k_s.astype(jnp.int64), axis=1
+    )
+    reps = reps & inc_s
 
     probs = jnp.where(reps, jnp.exp(lp_s.astype(jnp.float64)), 0.0)
     p_all = probs.sum(axis=1)
@@ -1352,6 +1411,7 @@ def align_winners_device(
     win = _device_finalize(
         out, first_alt_start, alt_awareness, max_score_gap,
         params.use_affine_gap, needs_total, dp_rows,
+        max_k=params.max_k, extra_search_depth=params.extra_search_depth,
     )
     return pack_winners(win), out
 
@@ -1404,6 +1464,7 @@ def gather_merged_rows(out: SingleAlignOut, rows: jax.Array):
     r = rows.astype(jnp.int64)
     return {
         "dist": out.dist[r],
+        "lv_dist": out.lv_dist[r],
         "log_prob": out.log_prob[r],
         "ag_score": out.ag_score[r],
         "end_loc": out.end_loc[r],

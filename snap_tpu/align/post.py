@@ -24,6 +24,60 @@ import numpy as np
 from ..constants import MAPQ_MAX, MAX_MERGE_DIST
 
 
+def ukkonen_included(
+    rep_mask: np.ndarray,   # [B, K] bool, reps in original (weight-rank) slots
+    d: np.ndarray,          # [B, K] int final distances (post AG clipping)
+    alt: np.ndarray,        # [B, K] bool
+    max_k: int,
+    extra_search_depth: int,
+    max_score_gap: int,
+    lv: np.ndarray | None = None,  # [B, K] pre-clipping LV distances (gate
+                                   # key; SNAP's limit applies inside
+                                   # computeEditDistance before AG clipping)
+) -> np.ndarray:
+    """Which reps SNAP would have scored within its dynamic limit.
+
+    SNAP scores candidates in weight order under a running Ukkonen
+    limit (BaseAligner::scoreLimit, BaseAligner.cpp:2556-2570):
+    extraSearchDepth + min(maxK, min(bestAll + gap, bestNonAlt)) for
+    non-ALT locations (ALT variant symmetric). Candidates above the
+    limit at their turn get ScoreAboveLimit — no result, no pAll
+    contribution. Our candidate slots come out of top_k by weight, so
+    slot order IS SNAP's weight order; the running bests update only
+    with candidates that scored within their limit, exactly like
+    ScoreSet::bestScore. Without this, pAll (and therefore MAPQ) is
+    deflated on repetitive genomes where many in-budget but worse
+    candidates exist.
+    """
+    B, K = d.shape
+    if lv is None:
+        lv = d
+    INF = np.int64(1 << 40)
+    run_all = np.full(B, INF)
+    run_na = np.full(B, INF)
+    inc = np.zeros((B, K), dtype=bool)
+    D = np.int64(extra_search_depth)
+    gap = np.int64(max_score_gap)
+    mk = np.int64(max_k)
+    for k in range(K):
+        m = rep_mask[:, k]
+        if not m.any():
+            continue
+        a = alt[:, k]
+        lim_na = D + np.minimum(mk, np.minimum(run_all + gap, run_na))
+        lim_alt = D + np.minimum(
+            mk, np.minimum(run_all, run_na - np.minimum(gap, run_na))
+        )
+        lim = np.where(a, lim_alt, lim_na)
+        ok = m & (lv[:, k] <= lim)
+        inc[:, k] = ok
+        run_all = np.where(ok, np.minimum(run_all, d[:, k]), run_all)
+        run_na = np.where(
+            ok & ~a, np.minimum(run_na, d[:, k]), run_na
+        )
+    return inc
+
+
 @dataclass
 class ReadAlignment:
     status: str            # 'single' | 'multi' | 'notfound' | 'filtered'
@@ -85,6 +139,9 @@ def finalize_batch(
     is_alt: np.ndarray | None = None,
     alt_awareness: bool = True,
     max_score_gap_to_prefer_non_alt: int = 64,
+    max_k: int = 127,
+    extra_search_depth: int = 1,
+    lv_dists: np.ndarray | None = None,
 ) -> list[tuple[ReadAlignment, None]]:
     """Vectorized finalize_read over a whole batch.
 
@@ -119,6 +176,7 @@ def finalize_batch(
     # rep selection inside each (row, dir, bin) cluster: lowest dist,
     # then highest prob (BaseAligner.cpp:1363-1371)
     order = np.lexsort((cl, -probs, d, bins, dr_k, rows))
+    orig_of_sorted = order  # sorted slot -> original flat [B*K] index
     ro, dro, bo, do_, po, eo, clo, ago, alto, vo = (
         rows[order], dr_k[order], bins[order], d[order], probs[order],
         e[order], cl[order], ag[order], alt[order], v[order],
@@ -141,6 +199,24 @@ def finalize_batch(
             & (np.minimum(do_[a], do_[b]) < 2)
         )
         fallback[ro[a[near]]] = True
+
+    # Ukkonen dynamic score limit (see ukkonen_included): reps SNAP
+    # would never have scored are dropped from results and pAll alike
+    rep_mask2 = np.zeros(B * K, dtype=bool)
+    rep_mask2[orig_of_sorted[ri]] = True
+    alt_orig = (
+        is_alt.astype(bool)
+        if is_alt is not None
+        else np.zeros((B, K), dtype=bool)
+    )
+    inc = ukkonen_included(
+        rep_mask2.reshape(B, K), dists.astype(np.int64), alt_orig,
+        max_k, extra_search_depth, max_score_gap_to_prefer_non_alt,
+        lv=(
+            lv_dists.astype(np.int64) if lv_dists is not None else None
+        ),
+    )
+    ri = ri[inc.reshape(-1)[orig_of_sorted[ri]]]
 
     p_all = np.bincount(ri_rows := ro[ri], weights=po[ri], minlength=B)
 
@@ -204,6 +280,11 @@ def finalize_batch(
                     alt_awareness=alt_awareness,
                     max_score_gap_to_prefer_non_alt=(
                         max_score_gap_to_prefer_non_alt
+                    ),
+                    max_k=max_k,
+                    extra_search_depth=extra_search_depth,
+                    lv_dists=(
+                        lv_dists[i] if lv_dists is not None else None
                     ),
                 )
             )
@@ -317,6 +398,9 @@ def finalize_read(
     alt_awareness: bool = True,
     emit_alt: bool = False,
     max_score_gap_to_prefer_non_alt: int = 64,
+    max_k: int = 127,
+    extra_search_depth: int = 1,
+    lv_dists: np.ndarray | None = None,
 ) -> tuple[ReadAlignment, ReadAlignment | None]:
     """Merge scored candidates of one read and pick the primary.
 
@@ -391,6 +475,30 @@ def finalize_read(
                 keep[a + 1] = False
 
     reps = reps[keep]
+
+    # Ukkonen dynamic score limit: drop reps SNAP would never have
+    # scored (see ukkonen_included) — they exist neither as results
+    # nor in pAll
+    K_all = len(dists)
+    rep_mask = np.zeros((1, K_all), dtype=bool)
+    rep_mask[0, sel[reps]] = True
+    alt_orig = (
+        is_alt.astype(bool)
+        if is_alt is not None
+        else np.zeros(K_all, dtype=bool)
+    )
+    inc = ukkonen_included(
+        rep_mask, dists.astype(np.int64)[None], alt_orig[None],
+        max_k, extra_search_depth, max_score_gap_to_prefer_non_alt,
+        lv=(
+            lv_dists.astype(np.int64)[None]
+            if lv_dists is not None
+            else None
+        ),
+    )
+    reps = reps[inc[0, sel[reps]]]
+    if reps.size == 0:
+        return ReadAlignment(status="notfound"), None
 
     def pick(subset: np.ndarray):
         """Best rep + (pBest, pAll) over a score-set subset of reps."""

@@ -558,6 +558,9 @@ class SingleEndAligner:
                 is_alt=is_alt[:n],
                 alt_awareness=self.alt_awareness,
                 max_score_gap_to_prefer_non_alt=self.max_score_gap,
+                max_k=self.params.max_k,
+                extra_search_depth=self.params.extra_search_depth,
+                lv_dists=merged["lv_dist"][:n],
             )
         for i in range(len(batch)):
             orig_len = int(batch.lengths[i])
@@ -574,6 +577,9 @@ class SingleEndAligner:
                     alt_awareness=self.alt_awareness,
                     emit_alt=self.emit_alt,
                     max_score_gap_to_prefer_non_alt=self.max_score_gap,
+                    max_k=self.params.max_k,
+                    extra_search_depth=self.params.extra_search_depth,
+                    lv_dists=merged["lv_dist"][i],
                 )
             if ra.status == "notfound":
                 results.append({"status": "notfound"})
@@ -770,6 +776,9 @@ class SingleEndAligner:
                 alt_awareness=self.alt_awareness,
                 emit_alt=self.emit_alt,
                 max_score_gap_to_prefer_non_alt=self.max_score_gap,
+                max_k=self.params.max_k,
+                extra_search_depth=self.params.extra_search_depth,
+                lv_dists=merged["lv_dist"][j],
             )
             if ra.status == "notfound":
                 results[i] = {"status": "notfound"}
@@ -1009,6 +1018,9 @@ class SingleEndAligner:
                     ),
                     alt_awareness=self.alt_awareness,
                     max_score_gap_to_prefer_non_alt=self.max_score_gap,
+                    max_k=self.params.max_k,
+                    extra_search_depth=self.params.extra_search_depth,
+                    lv_dists=np.asarray(fb["lv_dist"][j]),
                 )
                 if ra.status == "notfound":
                     results.append({"status": "notfound"})

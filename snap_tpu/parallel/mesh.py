@@ -104,8 +104,8 @@ def align_single_sharded(
     )
     cand2d = P("data", "index")  # [B, K*n_shards] concat across shards
     out_specs = SingleAlignOut(
-        dist=cand2d, indels=cand2d, log_prob=cand2d, ag_score=cand2d,
-        end_loc=cand2d,
+        dist=cand2d, lv_dist=cand2d, indels=cand2d, log_prob=cand2d,
+        ag_score=cand2d, end_loc=cand2d,
         body_loc=cand2d, cand_loc=cand2d, escalated=cand2d,
         clip_before=cand2d, clip_after=cand2d, seed_off=cand2d,
         direction=cand2d, valid=cand2d,
@@ -159,7 +159,7 @@ def _merge_out_across_index(out: SingleAlignOut) -> SingleAlignOut:
     flags sum/or across shards while len_eff/n_lookups are identical."""
     g2 = lambda x: jax.lax.all_gather(x, "index", axis=1, tiled=True)
     return out._replace(
-        dist=g2(out.dist), indels=g2(out.indels),
+        dist=g2(out.dist), lv_dist=g2(out.lv_dist), indels=g2(out.indels),
         log_prob=g2(out.log_prob), ag_score=g2(out.ag_score),
         end_loc=g2(out.end_loc), body_loc=g2(out.body_loc),
         cand_loc=g2(out.cand_loc), escalated=g2(out.escalated),
@@ -209,6 +209,8 @@ def align_winners_sharded(
         win = _device_finalize(
             merged, fas, alt_awareness, max_score_gap,
             params.use_affine_gap, needs_max, dp_rows,
+            max_k=params.max_k,
+            extra_search_depth=params.extra_search_depth,
         )
         # pack per shard WITHOUT the dp_overflow tail row (tails would
         # interleave in the data-axis concat); the flag reduces globally
@@ -224,7 +226,8 @@ def align_winners_sharded(
         P("data"),
         P(),
         SingleAlignOut(
-            dist=cand2d, indels=cand2d, log_prob=cand2d, ag_score=cand2d,
+            dist=cand2d, lv_dist=cand2d, indels=cand2d, log_prob=cand2d,
+            ag_score=cand2d,
             end_loc=cand2d, body_loc=cand2d, cand_loc=cand2d,
             escalated=cand2d, clip_before=cand2d, clip_after=cand2d,
             seed_off=cand2d, direction=cand2d, valid=cand2d,

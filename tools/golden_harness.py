@@ -26,12 +26,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASES = "ACGT"
 
 
-def gen_genome(rng, size: int, n_contigs: int = 2) -> dict[str, str]:
+def gen_genome(
+    rng, size: int, n_contigs: int = 2, repeat_frac: float = 0.0
+) -> dict[str, str]:
+    """Random genome; with repeat_frac > 0, plant repeated segments
+    (a chr21-class workload: SINE/LINE-like 300bp and 6kb units copied
+    across the genome, plus tandem microsatellites) so seeds collect
+    many hits and MAPQ depends on honest pAll accumulation."""
     contigs = {}
     per = size // n_contigs
     for c in range(n_contigs):
-        seq = "".join(BASES[i] for i in rng.integers(0, 4, size=per))
-        contigs[f"chr{c + 1}"] = seq
+        seq = rng.integers(0, 4, size=per).astype(np.uint8)
+        if repeat_frac > 0:
+            budget = int(per * repeat_frac)
+            # "Alu": ~300bp unit, many copies with 1% divergence
+            alu = rng.integers(0, 4, size=300).astype(np.uint8)
+            n_alu = budget // 2 // 300
+            for _ in range(max(1, n_alu)):
+                p = int(rng.integers(0, per - 300))
+                unit = alu.copy()
+                div = rng.random(300) < 0.01
+                unit[div] = rng.integers(0, 4, div.sum())
+                seq[p : p + 300] = unit
+            # "LINE": 6kb unit, few copies
+            line = rng.integers(0, 4, size=6000).astype(np.uint8)
+            for _ in range(max(1, budget // 2 // 6000)):
+                p = int(rng.integers(0, per - 6000))
+                seq[p : p + 6000] = line
+            # microsatellite: (ACGT-derived 4-mer)^N tandem runs
+            for _ in range(max(1, per // 20000)):
+                unit = rng.integers(0, 4, size=4)
+                reps = int(rng.integers(20, 60))
+                p = int(rng.integers(0, per - 4 * reps))
+                seq[p : p + 4 * reps] = np.tile(unit, reps)
+        contigs[f"chr{c + 1}"] = "".join(BASES[i] for i in seq)
     return contigs
 
 
@@ -195,6 +223,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=200)
     ap.add_argument("--genome-size", type=int, default=100_000)
+    ap.add_argument("--repeat-frac", type=float, default=0.0)
     ap.add_argument("--read-len", type=int, default=100)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--snp-rate", type=float, default=0.01)
@@ -222,7 +251,7 @@ def main():
 
     os.makedirs(args.workdir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
-    contigs = gen_genome(rng, args.genome_size)
+    contigs = gen_genome(rng, args.genome_size, repeat_frac=args.repeat_frac)
     fa = os.path.join(args.workdir, "genome.fa")
     write_fasta(contigs, fa)
 
