@@ -418,15 +418,15 @@ class PairedEndAligner:
         writer.write_header()
         t0 = time.time()
         progress = ProgressReporter()
-        batches = iter(
-            paired_batches(
+        from ..io.readers import ReadAheadQueue
+
+        batches = iter(ReadAheadQueue(paired_batches(
             path1, None if self.force_interleaved else path2,
             self.batch_size, self.max_read_len,
             keep_secondary=self.read_secondary,
             force_kind=self.force_kind, force_gzip=self.force_gzip,
             keep_unpaired=self.keep_unpaired,
-        )
-        )
+        )))
         while True:
             tr = time.time()
             item = next(batches, None)

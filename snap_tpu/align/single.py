@@ -1074,13 +1074,15 @@ class SingleEndAligner:
         t0 = time.time()
         plan_ok = self._plan_ok(writer)
         progress = ProgressReporter()
-        batches = iter(
+        from ..io.readers import ReadAheadQueue
+
+        batches = iter(ReadAheadQueue(
             single_batches(
                 fastq_path, self.batch_size, self.max_read_len,
                 keep_secondary=self.read_secondary,
                 force_kind=self.force_kind, force_gzip=self.force_gzip,
             )
-        )
+        ))
         # pipelined loop: batch i+1 is dispatched to the device before
         # batch i's host finalization/emission (double-buffered, the
         # moral equivalent of SNAP's reader/aligner thread decoupling)

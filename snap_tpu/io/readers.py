@@ -206,3 +206,48 @@ def paired_batches(
             " If your input file was generated by a single-end alignment "
             "(or this seems too big), use the -ku flag\n"
         )
+
+
+class ReadAheadQueue:
+    """Bounded read-ahead supplier thread: the TPU-driver analogue of
+    SNAP's ReadSupplierQueue + double-buffered async readers
+    (ReadSupplierQueue.cpp, DataReader.cpp:1641 BufferedAsync). A
+    daemon thread parses upcoming batches while the aligner works the
+    current one; depth=2 double-buffers like the reference's
+    two-buffer readers. The native FASTQ scanner releases the GIL in
+    C, so parse genuinely overlaps host finalization/emission.
+    """
+
+    _DONE = object()
+
+    def __init__(self, iterable, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=max(1, depth))
+        self._it = iter(iterable)
+        self._exc = None
+        self._t = threading.Thread(
+            target=self._run, name="read-ahead", daemon=True
+        )
+        self._t.start()
+
+    def _run(self):
+        try:
+            for item in self._it:
+                self._q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            self._exc = e
+        finally:
+            self._q.put(self._DONE)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            if self._exc is not None:
+                raise self._exc
+            raise StopIteration
+        return item

@@ -37,7 +37,7 @@ def main():
     n = int(args.gbp * 1e9)
     rng = np.random.default_rng(42)
     print(f"synthesizing {n:,} bases...", flush=True)
-    codes = rng.integers(0, 4, size=n, dtype=np.int64).astype(np.uint8)
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
     # plant repeats: a 50kb unit copied ~500 times, a 5kb unit ~5000
     # times (~8% of the genome repetitive, like real mammalian content)
     rep1 = codes[1_000_000 : 1_050_000].copy()
@@ -49,18 +49,20 @@ def main():
     for s in spots2:
         codes[s : s + rep2.size] = rep2
 
-    # 24 contigs of ~equal size with 2000-base padding between
+    # 24 contigs of ~equal size, SNAP layout (padding before each
+    # contig + one trailing run, first contig at exactly pad)
     n_contigs = 24
     clen = n // n_contigs
     pad = 2000
-    total = 1000 + n_contigs * (clen + pad) + 1000
+    total = n_contigs * (pad + clen) + pad
     bases = np.full(total, PAD, dtype=np.uint8)
     contigs = []
-    off = 1000
+    off = 0
     for c in range(n_contigs):
+        off += pad
         bases[off : off + clen] = codes[c * clen : (c + 1) * clen]
         contigs.append(Contig(name=f"chr{c + 1}", start=off, length=clen))
-        off += clen + pad
+        off += clen
     del codes
     genome = Genome(bases=bases, contigs=contigs)
     print(
