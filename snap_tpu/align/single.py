@@ -327,6 +327,7 @@ class SingleEndAligner:
         force_kind: str | None = None,         # -fastq
         force_gzip: bool = False,              # -compressedFastq
         mesh=None,                             # multi-chip (data x index)
+        threads: int = 1,                      # -t: input parser threads
     ):
         self.index = index
         self.mesh = mesh
@@ -355,6 +356,7 @@ class SingleEndAligner:
         self.kill_if_too_slow = kill_if_too_slow
         self.force_kind = force_kind
         self.force_gzip = force_gzip
+        self.threads = threads
         self._kts_last_check = 0.0
         self._kts_writes = 0
         self._batch_us_per_read = 0
@@ -1074,15 +1076,29 @@ class SingleEndAligner:
         t0 = time.time()
         plan_ok = self._plan_ok(writer)
         progress = ProgressReporter()
-        from ..io.readers import ReadAheadQueue
+        from ..io.readers import ReadAheadQueue, input_kind
 
-        batches = iter(ReadAheadQueue(
-            single_batches(
+        if (
+            self.threads > 1
+            and (self.force_kind or input_kind(fastq_path)) == "fastq"
+            and not self.force_gzip
+            and not fastq_path.endswith(".gz")
+        ):
+            # -t N: RangeSplitter parse threads over record-aligned
+            # byte ranges (RangeSplitter.h:38); output order unchanged
+            from ..io.range_split import parallel_read_batches
+
+            source = parallel_read_batches(
+                fastq_path, self.batch_size, self.max_read_len,
+                threads=self.threads,
+            )
+        else:
+            source = single_batches(
                 fastq_path, self.batch_size, self.max_read_len,
                 keep_secondary=self.read_secondary,
                 force_kind=self.force_kind, force_gzip=self.force_gzip,
             )
-        ))
+        batches = iter(ReadAheadQueue(source))
         # pipelined loop: batch i+1 is dispatched to the device before
         # batch i's host finalization/emission (double-buffered, the
         # moral equivalent of SNAP's reader/aligner thread decoupling)

@@ -262,6 +262,7 @@ def cmd_single(args: list[str]) -> int:
         force_kind=opts["force_kind"],
         force_gzip=opts["force_gzip"],
         mesh=mesh,
+        threads=opts["threads"],
     )
 
     def run_all(writer):
@@ -279,6 +280,7 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
     """Shared single/paired option parsing (SNAP flag names)."""
     o = {
         "out_path": "-", "overrides": {}, "batch_size": batch_size,
+        "threads": 1,
         "max_read_len": 128, "mrl": 50, "sort": False,
         "no_dup": False, "no_index": False, "min_sp": 0, "max_sp": 1000,
         "force_sam": False, "force_bam": False,
@@ -445,7 +447,9 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         elif a == "-asg":
             o["asg"] = int(rest[i + 1]); i += 2
         elif a == "-t":
-            i += 2  # thread count: parallelism is the device mesh
+            # -t N: input parser threads (RangeSplitter analogue);
+            # ALIGNMENT parallelism is the device mesh
+            o["threads"] = max(1, int(rest[i + 1])); i += 2
         elif a == "-sc":
             o["seed_coverage"] = float(rest[i + 1]); i += 2
         elif a == "-dp":
