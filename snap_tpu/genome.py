@@ -22,7 +22,6 @@ and 2-bit packing.
 
 from __future__ import annotations
 
-import gzip
 import json
 import os
 from dataclasses import dataclass, field
@@ -170,8 +169,10 @@ def parse_alt_file(path: str) -> dict[str, tuple[str, int, bool]]:
     onto the primary assembly; ref: GenomeIndex.cpp:315-423 which reads
     the same format for -altLiftoverFile). Returns
     {alt_contig_name: (primary_contig, 1-based pos, is_rc)}."""
+    from .io.genericfile import open_generic
+
     out: dict[str, tuple[str, int, bool]] = {}
-    with open(path, "rb") as f:
+    with open_generic(path, "rb") as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith(b"@"):
@@ -208,7 +209,11 @@ def load_fasta(
     minus any named non-ALT; ALT contigs are moved after all non-ALT
     contigs (ref: Genome.h:436-438 comment on contig reordering).
     """
-    opener = gzip.open if path.endswith(".gz") else open
+    from .io.genericfile import open_generic
+
+    def opener(p, mode):
+        return open_generic(p, mode)
+
     names: list[str] = []
     seqs: list[np.ndarray] = []
     cur: list[bytes] = []

@@ -53,9 +53,11 @@ def iter_sam_reads(
     keep_secondary = -sa (ignoreSecondaryAlignments off,
     AlignerOptions.cpp:592-594); supplementary records are always
     skipped like the reference SAMReader."""
-    import gzip
+    from .genericfile import open_generic
 
-    opener = gzip.open if path.endswith(".gz") else open
+    def opener(p, mode):
+        return open_generic(p, mode)
+
     skip = FLAG_SUPPLEMENTARY if keep_secondary else (
         FLAG_SECONDARY | FLAG_SUPPLEMENTARY
     )
