@@ -534,7 +534,14 @@ def _run_with_writer(index, command_line: str, opts: dict, run) -> int:
     bam = opts["force_bam"] or (
         out_path.endswith(".bam") and not opts["force_sam"]
     )
-    out = sys.stdout.buffer if out_path == "-" else open(out_path, "wb")
+    if out_path == "-":
+        out = sys.stdout.buffer
+    else:
+        # double-buffered async writes so record emission overlaps disk
+        # latency (the BufferedAsyncWriter analogue, BufferedAsync.h:40-66)
+        from .io.bufferedasync import BufferedAsyncWriter
+
+        out = BufferedAsyncWriter(open(out_path, "wb"))
     try:
         writer = OutputWriter(
             out=out,
@@ -567,6 +574,7 @@ def _run_with_writer(index, command_line: str, opts: dict, run) -> int:
     finally:
         if out_path != "-":
             out.close()
+            out.out.close()
     return 0
 
 
