@@ -90,6 +90,7 @@ def finalize_pair(
     max_secondary: int = 0x7FFFFFFF,                      # -omax
     max_k: int = 127,
     extra_search_depth: int = 1,
+    counters: dict | None = None,
 ) -> tuple[
     PairEndResult, PairEndResult,
     tuple[PairEndResult, PairEndResult] | None,
@@ -301,6 +302,12 @@ def finalize_pair(
         and max(sc0, sc1) >= min_score_realignment
     )
     if compare_single:
+        # -proAg: the AG-suspicion single-end comparison was forced
+        # (PairedAligner.cpp:1003-1007 counts both ends)
+        if counters is not None:
+            counters["ag_forced_single"] = (
+                counters.get("ag_forced_single", 0) + 2
+            )
         pair_ag = int(c0["ag_score"][i0]) + int(c1["ag_score"][i1])
         single_ag = 0
         choose_single_mapq = True
@@ -318,6 +325,10 @@ def finalize_pair(
             if s1.status not in ("notfound", "filtered"):
                 mapq1 = min(mapq1, s1.mapq)
         if single_ag >= pair_ag + min_ag_improvement:
+            if counters is not None:
+                counters["ag_used_single"] = (
+                    counters.get("ag_used_single", 0) + 2
+                )
             return single_fallback()
 
     # -om pair secondaries: non-primary merge-anchor reps within the

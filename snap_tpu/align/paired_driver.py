@@ -89,6 +89,8 @@ class PairedEndAligner:
         )
         self.stats.is_paired = True
         self._spacing_samples: list[int] = []
+        # finalize_pair fills these; flushed into stats per batch
+        self._ag_counters: dict = {}
 
     def _update_spacing(self, samples: list[int]) -> None:
         """-ins adaptive insert-size inference: after every
@@ -226,6 +228,7 @@ class PairedEndAligner:
                 max_secondary=self.max_secondary,
                 max_k=self.params.max_k,
                 extra_search_depth=self.params.extra_search_depth,
+                counters=self._ag_counters,
             )
             if (
                 self.infer_spacing
@@ -279,6 +282,12 @@ class PairedEndAligner:
             results.append((rec0, rec1))
         if self.infer_spacing:
             self._update_spacing(spacing_samples)
+        self.stats.ag_forced_single += self._ag_counters.pop(
+            "ag_forced_single", 0
+        )
+        self.stats.ag_used_single += self._ag_counters.pop(
+            "ag_used_single", 0
+        )
         return results
 
     def _fix_edge_indels(
@@ -579,6 +588,9 @@ class PairedEndAligner:
                 pair_ids[which], flag, rname, pos, mapq, cigar, seq, qual,
                 nm=nm, rnext=rnext, pnext=pnext, tlen=tlen,
                 extra_tags=extra,
+                input_aux=(
+                    batch.aux[i] if batch.aux is not None else b""
+                ),
             )
 
         # ALT supplementary pair (-ea): both ends at the best ALT pair

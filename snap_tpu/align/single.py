@@ -945,7 +945,10 @@ class SingleEndAligner:
         # and skip the per-read Python below (the e2e hot path)
         plan = None
         simple_mask = None
-        if plan_writer is not None:
+        # SAM-input aux passthrough needs per-read variable tags: take
+        # the per-record path for this batch (plan stays None)
+        plan_batch_ok = plan_writer is not None and batch.aux is None
+        if plan_batch_ok:
             orig = np.asarray(batch.lengths[:n]).astype(np.int64)
             plen = len_eff[:n]
             fe = np.asarray(front_clips[:n]).astype(np.int64)
@@ -1234,6 +1237,7 @@ class SingleEndAligner:
         L = int(batch.lengths[i])
         seq = BASE_DECODE[batch.bases[i, :L]].tobytes()
         qual = batch.quals[i, :L].tobytes()
+        in_aux = batch.aux[i] if batch.aux is not None else b""
         status = res["status"]
         if status in ("filtered", "notfound"):
             if status == "filtered":
@@ -1242,7 +1246,8 @@ class SingleEndAligner:
                 self.stats.not_found += 1
             if pass_filter(self.filter_flags, status):
                 writer.write_record(
-                    qname, FLAG_UNMAPPED, "*", 0, 0, "*", seq, qual, nm=None
+                    qname, FLAG_UNMAPPED, "*", 0, 0, "*", seq, qual,
+                    nm=None, input_aux=in_aux,
                 )
             else:
                 self.stats.filtered += 1
@@ -1252,7 +1257,8 @@ class SingleEndAligner:
             self.stats.not_found += 1
             if pass_filter(self.filter_flags, "notfound"):
                 writer.write_record(
-                    qname, FLAG_UNMAPPED, "*", 0, 0, "*", seq, qual, nm=None
+                    qname, FLAG_UNMAPPED, "*", 0, 0, "*", seq, qual,
+                    nm=None, input_aux=in_aux,
                 )
             else:
                 self.stats.filtered += 1
@@ -1275,7 +1281,7 @@ class SingleEndAligner:
                 extra = list(extra) + [f"AT:i:{self._batch_us_per_read}"]
             writer.write_record(
                 qname, flag, rname, pos, mapq, res["cigar"], seq, qual,
-                nm=res["nm"], extra_tags=extra,
+                nm=res["nm"], extra_tags=extra, input_aux=in_aux,
             )
         else:
             self.stats.filtered += 1

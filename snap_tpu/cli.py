@@ -287,7 +287,8 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         "alt_awareness": True, "emit_alt": False, "asg": 64,
         "use_m": True, "filter_flags": 0, "stop_on_first": False,
         "om": -1, "omax": 0x7FFFFFFF, "mpc": -1, "ignore_ids": False,
-        "profile": False, "perf_file": None, "read_group": None,
+        "profile": False, "profile_ag": False,
+        "perf_file": None, "read_group": None,
         "force_spacing": False, "infer_spacing": False, "pfc": False,
         "seed_coverage": 0.0, "dp": 0.0, "clip_front": False,
         "clip_back": True, "sort_memory_mb": None, "sort_tmp_dir": None,
@@ -311,7 +312,7 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
     # pair wavefront's candidates, so these have no separate knob.
     noop_flags = {"-map", "-map-", "-pre", "-pre-", "-hp", "-b-", "-P",
                   "-di", "-lp", "-nu", "-no", "-nt", "-ne",
-                  "-nb", "-ni", "-B", "-ins-", "-proAg"}
+                  "-nb", "-ni", "-B", "-ins-"}
     noop_with_arg = {"-wbs", "-mcp", "-xf", "-es", "-N"}
     i = 0
     while i < len(rest):
@@ -395,6 +396,10 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
             o["sort_tmp_dir"] = rest[i + 1]; i += 2
         elif a == "-pro":
             o["profile"] = True; i += 1
+        elif a == "-proAg":
+            # affine-gap usage ratios in the stats table
+            # (AlignerContext.cpp:547-549)
+            o["profile_ag"] = True; i += 1
         elif a == "-pf":
             o["perf_file"] = rest[i + 1]; i += 2
         elif a == "-om":
@@ -562,6 +567,7 @@ def _run_with_writer(index, command_line: str, opts: dict, run) -> int:
         stats = run(writer)
         writer.close()
         stats.profile = opts["profile"]
+        stats.profile_ag = opts["profile_ag"]
         stats.print_table()
         if opts["perf_file"]:
             from .constants import DEFAULT_MAX_DIST, DEFAULT_MAX_HITS
@@ -660,6 +666,8 @@ def run_one_command(argv: list[str]) -> int:
 
     if cmd == "tofastq":
         return apps.cmd_tofastq(rest)
+    if cmd == "depth":
+        return apps.cmd_depth(rest)
     if cmd == "roc":
         return apps.cmd_roc(rest)
     if cmd == "daemon":

@@ -29,6 +29,10 @@ class ReadBatch:
     bases: np.ndarray         # [n, L] uint8 codes (pad = 4/N beyond length)
     quals: np.ndarray         # [n, L] uint8 raw phred+33 bytes (pad = 0)
     lengths: np.ndarray       # [n] int32
+    # SAM-input aux tags per read (b"" when none): passed through to the
+    # output record ahead of our own tags (SAM.cpp:1854-1875). None for
+    # FASTQ/BAM inputs (BAM aux is not translated, like the reference).
+    aux: list[bytes] | None = None
 
     def __len__(self) -> int:
         return len(self.ids)

@@ -47,6 +47,9 @@ class OutRecord:
     nm: int | None
     comment: bytes = b""  # FASTQ comment, emitted under -pfc
     extra_tags: tuple = ()  # -is / AT:i: / QS:i: / LB:Z: etc.
+    # input SAM aux fields, emitted first (SAM.cpp:1854-1875); dropped
+    # on BAM output like the reference's untranslated-aux path
+    input_aux: bytes = b""
 
 
 def _clips(cigar: str) -> tuple[int, int]:
@@ -168,7 +171,7 @@ class OutputWriter:
     # -- records --------------------------------------------------------
     def write_record(
         self, qname, flag, rname, pos, mapq, cigar, seq, qual, nm,
-        rnext="*", pnext=0, tlen=0, extra_tags=(),
+        rnext="*", pnext=0, tlen=0, extra_tags=(), input_aux=b"",
     ) -> None:
         # QNAME truncates at the first space (SAM.cpp:1750-1753); the
         # remainder is the FASTQ comment, kept under -pfc
@@ -182,7 +185,7 @@ class OutputWriter:
             qname=parts[0] if parts else qname, flag=flag, rname=rname,
             pos=pos, mapq=mapq, cigar=cigar, rnext=rnext, pnext=pnext,
             tlen=tlen, seq=seq, qual=qual, nm=nm, comment=comment,
-            extra_tags=tuple(extra_tags),
+            extra_tags=tuple(extra_tags), input_aux=input_aux,
         )
         if self._stream_sam:
             self.out.write(self._format_sam(rec))
@@ -291,11 +294,14 @@ class OutputWriter:
         nm = f"NM:i:{-1 if rec.nm is None else rec.nm}"
         extra = list(rec.extra_tags)
         if bam:
-            # the reference's BAM records order tags RG-block, PG, NM
+            # the reference's BAM records order tags RG-block, PG, NM;
+            # input SAM aux is not translated to BAM (reference warns)
             return rg + [pg, nm] + extra
-        # tag order: PG, NM, RG block, then the optional tail tags
-        # (internal score, AT:i:, QS:i:, LB:Z:; SAM.cpp:1854-1875)
-        return [pg, nm] + rg + extra
+        # tag order: input aux first, then PG, NM, RG block, then the
+        # optional tail tags (internal score, AT:i:, QS:i:, LB:Z:;
+        # SAM.cpp:1854-1875)
+        aux = [rec.input_aux.decode()] if rec.input_aux else []
+        return aux + [pg, nm] + rg + extra
 
     def _oriented(self, rec: OutRecord) -> tuple[bytes, bytes]:
         seq, qual = rec.seq, rec.qual

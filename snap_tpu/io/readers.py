@@ -78,7 +78,10 @@ def iter_sam_reads(
             has_mate_info = bool(flag & 0x8) or not (
                 t[7] == b"0" or t[6] == b"*"
             )
-            yield t[0], seq, qual, flag, has_mate_info
+            # input aux fields ride through to the output record
+            # (SAM.cpp:1854-1875 puts them first after QUAL)
+            aux = b"\t".join(t[11:]) if len(t) > 11 else b""
+            yield t[0], seq, qual, flag, has_mate_info, aux
 
 
 def iter_bam_reads(
@@ -100,22 +103,31 @@ def iter_bam_reads(
         has_mate_info = bool(r.flag & 0x8) or not (
             r.next_pos0 < 0 or r.next_ref_id < 0
         )
-        yield r.qname, seq, qual, r.flag, has_mate_info
+        # BAM aux is not translated (the reference SAMFormat warns
+        # "BAM aux data not translated to SAM" and drops it)
+        yield r.qname, seq, qual, r.flag, has_mate_info, b""
 
 
-def _to_batch(records: list[tuple[bytes, bytes, bytes]], max_len: int) -> ReadBatch:
+def _to_batch(
+    records: list[tuple[bytes, bytes, bytes, bytes]], max_len: int
+) -> ReadBatch:
     n = len(records)
     bases = np.full((n, max_len), 4, dtype=np.uint8)
     quals = np.zeros((n, max_len), dtype=np.uint8)
     lengths = np.zeros(n, dtype=np.int32)
     ids = []
-    for i, (rid, seq, qual) in enumerate(records):
+    aux = []
+    for i, (rid, seq, qual, ax) in enumerate(records):
         ids.append(rid)
+        aux.append(ax)
         L = min(len(seq), max_len)
         lengths[i] = L
         bases[i, :L] = BASE_ENCODE[np.frombuffer(seq[:L], dtype=np.uint8)]
         quals[i, :L] = np.frombuffer(qual[:L], dtype=np.uint8)
-    return ReadBatch(ids=ids, bases=bases, quals=quals, lengths=lengths)
+    return ReadBatch(
+        ids=ids, bases=bases, quals=quals, lengths=lengths,
+        aux=aux if any(aux) else None,
+    )
 
 
 def single_batches(
@@ -136,8 +148,8 @@ def single_batches(
         else iter_bam_reads(path, keep_secondary)
     )
     buf = []
-    for qname, seq, qual, _flag, _mi in it:
-        buf.append((qname, seq, qual))
+    for qname, seq, qual, _flag, _mi, aux in it:
+        buf.append((qname, seq, qual, aux))
         if len(buf) == batch_size:
             yield _to_batch(buf, max_len)
             buf = []
@@ -167,10 +179,10 @@ def paired_batches(
         if kind == "sam"
         else iter_bam_reads(path1, keep_secondary)
     )
-    pending: dict[bytes, tuple[bytes, bytes, bytes, int]] = {}
+    pending: dict[bytes, tuple[bytes, bytes, int, bytes]] = {}
     buf1, buf2 = [], []
     quickly_dropped = 0
-    for qname, seq, qual, flag, has_mate_info in it:
+    for qname, seq, qual, flag, has_mate_info, aux in it:
         if not flag & FLAG_PAIRED:
             continue
         if not keep_unpaired and not has_mate_info:
@@ -180,18 +192,18 @@ def paired_batches(
             continue
         key = qname.split()[0]
         if key in pending:
-            oseq, oqual, oflag = pending.pop(key)
+            oseq, oqual, oflag, oaux = pending.pop(key)
             if oflag & FLAG_FIRST:
-                buf1.append((key, oseq, oqual))
-                buf2.append((key, seq, qual))
+                buf1.append((key, oseq, oqual, oaux))
+                buf2.append((key, seq, qual, aux))
             else:
-                buf1.append((key, seq, qual))
-                buf2.append((key, oseq, oqual))
+                buf1.append((key, seq, qual, aux))
+                buf2.append((key, oseq, oqual, oaux))
             if len(buf1) == batch_size:
                 yield _to_batch(buf1, max_len), _to_batch(buf2, max_len)
                 buf1, buf2 = [], []
         else:
-            pending[key] = (seq, qual, flag)
+            pending[key] = (seq, qual, flag, aux)
     if buf1:
         yield _to_batch(buf1, max_len), _to_batch(buf2, max_len)
     from ..errors import write_error

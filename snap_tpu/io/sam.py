@@ -117,12 +117,16 @@ class SamWriter:
         pnext: int = 0,
         tlen: int = 0,
         extra_tags=(),
+        input_aux: bytes = b"",
     ) -> None:
         qname = qname.split()[0]
         if flag & FLAG_RC and not flag & FLAG_UNMAPPED:
             seq = seq.translate(COMPLEMENT)[::-1]
             qual = qual[::-1]
-        tags = [f"PG:Z:{self.program_id}"]
+        # input SAM aux fields come first, ahead of our own tags
+        # (SAM.cpp:1854-1875 format string starts with the copied aux)
+        tags = [input_aux.decode()] if input_aux else []
+        tags.append(f"PG:Z:{self.program_id}")
         # unmapped reads carry NM:i:-1 in the reference's output
         tags.append(f"NM:i:{-1 if nm is None else nm}")
         tags.append(self.read_group.record_tags())

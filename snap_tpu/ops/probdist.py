@@ -17,6 +17,13 @@ compute() returns the max log probability over all shifts and states at
 the final row (ProbabilityDistance.cpp:126-134). Here it is batched:
 [N] (reference window, read, quality) triples score in one wavefront of
 elementwise VPU ops with a lax.fori_loop over read positions.
+
+Wiring parity: the reference constructs a ProbabilityDistance in every
+BaseAligner (BaseAligner.cpp:134) but never calls compute() anywhere in
+the codebase — it is a retained alternative scorer, not part of the
+production align path. This port keeps the same status: implemented and
+unit-tested (tests/test_probdist.py), available for callers, wired into
+no default pipeline — matching the reference exactly.
 """
 
 from __future__ import annotations

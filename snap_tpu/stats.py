@@ -38,12 +38,18 @@ class AlignerStats:
     aligned_as_pairs: int = 0
     lv_calls: int = 0
     affine_gap_calls: int = 0
+    # -proAg counters (AlignerStats.h:62-63): pairs where the chimeric
+    # aligner was forced into a single-end comparison by affine-gap
+    # suspicion, and pairs where that single-end result won
+    ag_forced_single: int = 0
+    ag_used_single: int = 0
     seconds_reading: float = 0.0
     seconds_aligning: float = 0.0
     seconds_writing: float = 0.0
     align_seconds: float = 0.0    # wall time of the whole align loop
     is_paired: bool = False
     profile: bool = False
+    profile_ag: bool = False      # -proAg (AlignerContext.cpp:547-549)
     mapq_histogram: np.ndarray = field(
         default_factory=lambda: np.zeros(71, dtype=np.int64)
     )
@@ -54,6 +60,7 @@ class AlignerStats:
             "total", "single", "multi", "not_found", "too_short",
             "filtered", "extra_alignments", "aligned_as_pairs",
             "lv_calls", "affine_gap_calls",
+            "ag_forced_single", "ag_used_single",
         ):
             setattr(self, f, getattr(self, f) + getattr(other, f))
         for f in (
@@ -101,6 +108,20 @@ class AlignerStats:
                 f"{100.0 * self.seconds_aligning / t:.0f}%",
                 f"{100.0 * self.seconds_writing / t:.0f}%",
             ]
+        if self.profile_ag:
+            # AlignerContext.cpp:547-549: paired runs additionally show
+            # how often affine-gap suspicion forced (and won) the
+            # single-end comparison; AG/Edit = AG calls per LV call
+            if self.is_paired:
+                header += ["%AgSingle", "%AgUsedSingle"]
+                row += [
+                    f"{100.0 * self.ag_forced_single / max(1, self.total):0.2f}%",
+                    f"{100.0 * self.ag_used_single / max(1, self.total):0.2f}%",
+                ]
+            header.append("AG/Edit")
+            row.append(
+                f"{100.0 * self.affine_gap_calls / max(1, self.lv_calls):0.2f}%"
+            )
         print("\t".join(header), file=out)
         print("\t".join(row), file=out)
 

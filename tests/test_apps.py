@@ -166,3 +166,26 @@ def test_daemon_roundtrip(small_index, tmp_path):
     assert apps.cmd_command([sock, "exit"]) == 0
     srv.join(timeout=5)
     assert not srv.is_alive()
+
+
+def test_depth_tool(small_index, tmp_path):
+    """HitDepth analogue: per-locus min seed-hit depth histogram.
+
+    On a random unique genome every locus is covered by some unique
+    seed, so nearly all loci report depth 1 (SNAPLib/HitDepth.cpp's
+    stated intent; the upstream tool never finished the computation)."""
+    from snap_tpu.cli import main
+
+    idx, _, _ = small_index
+    out = tmp_path / "depth.tsv"
+    assert main(["depth", str(idx), str(out)]) == 0
+    rows = [
+        ln.split("\t")
+        for ln in out.read_text().splitlines()[1:]
+        if ln.startswith("TOTAL\t")
+    ]
+    hist = {int(v): int(c) for _, v, c in rows}
+    total_loci = sum(hist.values())
+    assert total_loci == 4000
+    # unique random genome: >99% of loci have a depth-1 seed
+    assert hist.get(1, 0) >= 3950

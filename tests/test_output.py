@@ -172,3 +172,51 @@ def test_paired_matcher_quick_drop_and_ku(tmp_path):
     )
     ids_ku = sorted(i for b0, _ in got_ku for i in b0.ids)
     assert ids_ku == [b"p1", b"p2"]
+
+
+def test_sam_input_aux_passthrough(tmp_path):
+    """Input SAM aux fields ride through to the output record ahead of
+    our own tags (SAM.cpp:1854-1875); BAM aux is not translated."""
+    import numpy as np
+
+    from snap_tpu.align.pipeline import AlignParams
+    from snap_tpu.align.single import SingleEndAligner
+    from snap_tpu.index.index import GenomeIndex
+    from snap_tpu.io.sam import SamWriter
+
+    rng = np.random.default_rng(11)
+    g = 6000
+    codes = rng.integers(0, 4, size=g).astype(np.uint8)
+    DEC = np.frombuffer(b"ACGT", np.uint8)
+    seq = DEC[codes].tobytes().decode()
+    from snap_tpu.constants import PAD
+    from snap_tpu.genome import Contig, Genome
+
+    bases = np.full(g + 4000, PAD, dtype=np.uint8)
+    bases[2000 : 2000 + g] = codes
+    genome = Genome(
+        bases=bases, contigs=[Contig(name="c1", start=2000, length=g)]
+    )
+    index = GenomeIndex.build(genome, 20)
+
+    read = seq[1000:1100]
+    sam_in = tmp_path / "in.sam"
+    sam_in.write_text(
+        "@HD\tVN:1.6\n@SQ\tSN:c1\tLN:6000\n"
+        f"r1\t0\tc1\t1001\t60\t100M\t*\t0\t0\t{read}\t{'I' * 100}\t"
+        "XA:Z:keepme\tBC:Z:ACGT\n"
+    )
+    params = AlignParams(seed_len=20, max_probe=index.max_probe)
+    aligner = SingleEndAligner(index, params, batch_size=4, max_read_len=100)
+    out = tmp_path / "out.sam"
+    with open(out, "wb") as f:
+        w = SamWriter(out=f, genome=genome, command_line="t")
+        aligner.align_file(str(sam_in), w)
+    body = [
+        ln for ln in out.read_text().splitlines() if not ln.startswith("@")
+    ]
+    assert len(body) == 1
+    fields = body[0].split("\t")
+    # aux fields come first after QUAL, in input order
+    assert fields[11] == "XA:Z:keepme" and fields[12] == "BC:Z:ACGT"
+    assert any(f.startswith("PG:Z:") for f in fields[13:])
