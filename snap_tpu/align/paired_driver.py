@@ -250,6 +250,7 @@ class PairedEndAligner:
                     r.cand_index, r.direction, r.dist, r.end_loc,
                     arr_i=row, use_m=self.use_m,
                     contig_bounds=self.contig_bounds,
+                    use_affine_gap=self.params.use_affine_gap,
                 )
                 rec.update(
                     status=r.status, direction=r.direction, mapq=r.mapq,

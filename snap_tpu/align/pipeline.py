@@ -311,7 +311,26 @@ def _score_rows(
     ag_body_loc = s_loc + (s_off - head.text_used).astype(jnp.int64)
 
     if params.use_affine_gap:
-        s_esc = s_lv_ok & (s_lv_dist > params.max_k_same)
+        # SNAP's LV is seed-ANCHORED (head/tail from the seed,
+        # BaseAligner.cpp:1160-1176), so its escalation gate
+        # (score1+score2 > maxKForSameAlignment, :1204) fires whenever
+        # the anchored-diagonal alignment needs gaps. Our windowed
+        # fitting DP can find a lower-distance pure-substitution twin
+        # at a SHIFTED diagonal (invisible to anchored LV because the
+        # seed region wouldn't match there) and under-report lv_dist,
+        # skipping the escalation SNAP performs — the PARITY.md p89 /
+        # r136 class (e.g. a 3-base deletion whose affine score 91
+        # beats the gapless twin's 90). Escalating those rows is safe:
+        # when the anchored LV distance really is <= max_k_same, affine
+        # gap reports the same alignment by the definition of
+        # maxKForSameAlignment, and the anchored AG head/tail is
+        # already computed for every row here.
+        shifted_twin = (
+            (res.indels == 0)
+            & (s_lv_dist > 0)
+            & (s_end != s_loc + s_plen.astype(jnp.int64))
+        )
+        s_esc = s_lv_ok & ((s_lv_dist > params.max_k_same) | shifted_twin)
     else:  # -G-: never escalate to affine gap
         s_esc = jnp.zeros_like(s_lv_ok)
     s_dist = jnp.where(s_esc, ag_edits, s_lv_dist)

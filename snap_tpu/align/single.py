@@ -41,6 +41,7 @@ def winner_record(
     use_m: bool = True,
     front_extra: int = 0,
     contig_bounds: tuple[np.ndarray, np.ndarray] | None = None,
+    use_affine_gap: bool = True,
 ) -> dict:
     """Compute (start_loc, cigar, nm) for a chosen candidate of read i.
 
@@ -62,12 +63,24 @@ def winner_record(
     # determined and NM equals the edit distance. This is the
     # overwhelmingly common case for short reads.
     indels = arrays.get("indels")
-    if (
+    fast_ok = (
         indels is not None
         and int(indels[ai, k]) == 0
         and int(arrays["clip_before"][ai, k]) == 0
         and int(arrays["clip_after"][ai, k]) == 0
-    ):
+    )
+    if fast_ok and use_affine_gap and dist >= 2:
+        # the reference recomputes every score>0 CIGAR with affine gap
+        # at emission (ReadWriter.cpp:231, SAM.cpp:1653): when a
+        # single-gap interpretation ties/beats the substitutions, take
+        # the real AG traceback below instead of emitting {plen}M
+        fast_ok = not bool(
+            ag_restructure_possible(
+                genome_np, batch.bases, [i], [direction],
+                [end_loc - plen], [plen], [front_extra], [dist],
+            )[0]
+        )
+    if fast_ok:
         start_loc = end_loc - plen
         if contig_bounds is None or _inside_one_contig(
             start_loc, plen, contig_bounds
@@ -186,8 +199,141 @@ def winner_record(
     }
 
 
+def ag_restructure_possible(
+    genome_np: np.ndarray,
+    bases_arr: np.ndarray,   # [B, L] raw read codes
+    rows, dirs, start_locs, plens, fes, dists,
+    match: int = 1, sub: int = 4, gap_open: int = 6, gap_extend: int = 1,
+) -> np.ndarray:
+    """Which gapless dist-m winners could the affine-gap CIGAR pass
+    restructure?
+
+    The reference recomputes every score>0 record's CIGAR with
+    AffineGapVectorizedWithCigar at emission time (SimpleReadWriter
+    ReadWriter.cpp:231, paired SAM.cpp:1653), so a record whose best
+    AFFINE interpretation is a single gap (e.g. 96M3D4M at penalty
+    open+3*ext = 9) beats its all-substitution twin (2*(sub+match) =
+    10) even though the Landau-Vishkin score kept the substitutions
+    (PARITY.md p89/r179 class). This screen computes the exact best
+    single-gap-plus-substitutions penalty over gap lengths 1..3 and
+    every split point (prefix on the anchor diagonal, suffix on the
+    shifted diagonal, via cumulative mismatch counts) and flags rows
+    where it ties or beats the all-substitution penalty — those rows
+    take the real AG traceback instead of the fast {plen}M path.
+    Multi-gap-preferred-but-no-single-gap cases are not screened
+    (vanishingly rare); over-flagging only costs a traceback.
+
+    Returns a bool mask over `rows`.
+    """
+    n = len(rows)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    MS = 3
+    eq, in_read, plens = _oriented_vs_genome(
+        genome_np, bases_arr, rows, dirs, start_locs, plens, fes,
+        max_shift=MS,
+    )
+    plens = np.asarray(plens, dtype=np.int64)
+    dists = np.asarray(dists, dtype=np.int64)
+    L = bases_arr.shape[1]
+    unit = sub + match
+    baseline = unit * dists
+
+    def cum(shift):  # [n, L+1] prefix mismatch counts on a diagonal
+        mism = ~eq(shift)  # past-plen positions read as matches
+        c = np.zeros((n, L + 1), dtype=np.int64)
+        np.cumsum(mism, axis=1, out=c[:, 1:])
+        return c
+
+    c0 = cum(0)
+    kpos = np.arange(L + 1, dtype=np.int64)[None, :]
+    in_split = kpos <= plens[:, None]
+    BIG = np.int64(1 << 30)
+    best = np.full(n, BIG)
+    for s in range(1, MS + 1):
+        # deletion of s genome bases at split k: read[:k] on diag 0,
+        # read[k:] on diag +s
+        cs = cum(s)
+        tot_s = cs[np.arange(n), plens]
+        cost_d = (
+            gap_open + s * gap_extend
+            + unit * np.min(
+                np.where(in_split, c0 + (tot_s[:, None] - cs), BIG),
+                axis=1,
+            )
+        )
+        best = np.minimum(best, cost_d)
+        # insertion of s read bases at split k: read[:k] on diag 0,
+        # read[k+s:] on diag -s; the s inserted bases lose match reward
+        cm = cum(-s)
+        tot_m = cm[np.arange(n), plens]
+        suf = tot_m[:, None] - cm[:, s:]  # suffix from read pos k+s
+        pre = c0[:, : L + 1 - s]
+        ok_k = kpos[:, : L + 1 - s] <= (plens[:, None] - s)
+        cost_i = (
+            gap_open + s * gap_extend + s * match
+            + unit * np.min(np.where(ok_k, pre + suf, BIG), axis=1)
+        )
+        best = np.minimum(best, cost_i)
+    return best <= baseline
+
+
 # sentinel marking a row handled by the vectorized emission plan
 _PLANNED = {"status": "planned"}
+
+
+def _oriented_vs_genome(
+    genome_np: np.ndarray,
+    bases_arr: np.ndarray,   # [B, L] raw read codes
+    rows, dirs, start_locs, plens, fes,
+    max_shift: int = 3,
+):
+    """Oriented pattern rows and their per-diagonal match planes.
+
+    Returns (eq, in_read, plens) where eq(shift) gives the [n, L]
+    match-vector of the oriented pattern against the genome shifted by
+    `shift` in -max_shift..+max_shift (positions past plen read True).
+    Shared by the one-indel detector and the AG-restructure screen.
+    """
+    n = len(rows)
+    L = bases_arr.shape[1]
+    G = genome_np
+    rows = np.asarray(rows, dtype=np.int64)
+    dirs = np.asarray(dirs, dtype=np.int64)
+    s = np.asarray(start_locs, dtype=np.int64)
+    plens = np.asarray(plens, dtype=np.int64)
+    fes = np.asarray(fes, dtype=np.int64)
+
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    src = np.where(
+        dirs[:, None] == 1,
+        fes[:, None] + plens[:, None] - 1 - pos,
+        fes[:, None] + pos,
+    )
+    srcc = np.clip(src, 0, L - 1)
+    P = np.take_along_axis(bases_arr[rows], srcc, axis=1)
+    P = np.where(
+        dirs[:, None] == 1,
+        np.where(P < 4, 3 - P, P),
+        P,
+    )
+    in_read = pos < plens[:, None]
+
+    M = max_shift
+    gi = np.clip(
+        s[:, None] + np.arange(-M, L + M + 1)[None, :], 0, len(G) - 1
+    )
+    Gw = G[gi]
+
+    def m(a, b):  # codes match (N/PAD never match)
+        return (a == b) & (a < 4) & (b < 4)
+
+    TRUE = ~in_read  # positions past plen count as matched
+
+    def eq(shift):  # pattern vs genome shifted by `shift`
+        return m(P, Gw[:, M + shift : L + M + shift]) | TRUE
+
+    return eq, in_read, plens
 
 
 def one_indel_improves(
@@ -214,40 +360,14 @@ def one_indel_improves(
     if n == 0:
         return np.zeros(0, dtype=bool)
     L = bases_arr.shape[1]
-    G = genome_np
-    rows = np.asarray(rows, dtype=np.int64)
-    dirs = np.asarray(dirs, dtype=np.int64)
-    s = np.asarray(start_locs, dtype=np.int64)
+    eq, in_read, plens = _oriented_vs_genome(
+        genome_np, bases_arr, rows, dirs, start_locs, plens, fes,
+        max_shift=1,
+    )
     plens = np.asarray(plens, dtype=np.int64)
-    fes = np.asarray(fes, dtype=np.int64)
 
-    # oriented pattern rows [n, L]
-    pos = np.arange(L, dtype=np.int64)[None, :]
-    src = np.where(
-        dirs[:, None] == 1,
-        fes[:, None] + plens[:, None] - 1 - pos,
-        fes[:, None] + pos,
-    )
-    srcc = np.clip(src, 0, L - 1)
-    P = np.take_along_axis(bases_arr[rows], srcc, axis=1)
-    P = np.where(
-        dirs[:, None] == 1,
-        np.where(P < 4, 3 - P, P),
-        P,
-    )
-    in_read = pos < plens[:, None]
-
-    # genome window [n, L+2] covering s-1 .. s+plen
-    gi = np.clip(s[:, None] + np.arange(-1, L + 1)[None, :], 0, len(G) - 1)
-    Gw = G[gi]
-
-    def m(a, b):  # codes match (N/PAD never match)
-        return (a == b) & (a < 4) & (b < 4)
-
-    TRUE = ~in_read  # positions past plen count as matched
-    eq0 = m(P, Gw[:, 1 : L + 1]) | TRUE
-    eqp = m(P, Gw[:, 2 : L + 2]) | TRUE   # pattern vs genome shifted +1
-    eqm = m(P, Gw[:, 0:L]) | TRUE         # pattern vs genome shifted -1
+    eq0 = eq(0)
+    eqm = eq(-1)
 
     def pref(a):  # length of leading all-True run, capped at plen
         return np.minimum(
@@ -261,6 +381,7 @@ def one_indel_improves(
         return np.clip(run - tail_pad, 0, plens)
 
     L0, R0 = pref(eq0), suff(eq0)
+    eqp = eq(1)
     ok = (
         (L0 + suff(eqp) >= plens)        # 1D: tail on +1 diagonal
         | (L0 + suff(eqm) >= plens - 1)  # 1I: tail on -1 diagonal
@@ -597,6 +718,7 @@ class SingleEndAligner:
                 ra.cand_index, ra.direction, ra.dist, int(ra.end_loc),
                 use_m=self.use_m, front_extra=int(front_clips[i]),
                 contig_bounds=self.contig_bounds,
+                use_affine_gap=self.params.use_affine_gap,
             )
             rec.update(
                 status=ra.status, direction=ra.direction, mapq=ra.mapq,
@@ -609,6 +731,7 @@ class SingleEndAligner:
                     int(alt_supp.end_loc), use_m=self.use_m,
                     front_extra=int(front_clips[i]),
                     contig_bounds=self.contig_bounds,
+                use_affine_gap=self.params.use_affine_gap,
                 )
                 srec.update(
                     status=alt_supp.status, direction=alt_supp.direction,
@@ -630,6 +753,7 @@ class SingleEndAligner:
                         s.cand_index, s.direction, s.dist, int(s.end_loc),
                         use_m=self.use_m, front_extra=int(front_clips[i]),
                         contig_bounds=self.contig_bounds,
+                use_affine_gap=self.params.use_affine_gap,
                     )
                     sr.update(
                         status=s.status, direction=s.direction, mapq=0,
@@ -795,6 +919,7 @@ class SingleEndAligner:
                 arr_i=j, use_m=self.use_m,
                 front_extra=int(front_clips[i]),
                 contig_bounds=self.contig_bounds,
+                use_affine_gap=self.params.use_affine_gap,
             )
             rec.update(
                 status=ra.status, direction=ra.direction, mapq=ra.mapq,
@@ -807,6 +932,7 @@ class SingleEndAligner:
                     int(alt_supp.end_loc), arr_i=j, use_m=self.use_m,
                     front_extra=int(front_clips[i]),
                     contig_bounds=self.contig_bounds,
+                use_affine_gap=self.params.use_affine_gap,
                 )
                 srec.update(
                     status=alt_supp.status, direction=alt_supp.direction,
@@ -828,6 +954,7 @@ class SingleEndAligner:
                         int(s.end_loc), arr_i=j, use_m=self.use_m,
                         front_extra=int(front_clips[i]),
                         contig_bounds=self.contig_bounds,
+                use_affine_gap=self.params.use_affine_gap,
                     )
                     sr.update(
                         status=s.status, direction=s.direction, mapq=0,
@@ -974,6 +1101,23 @@ class SingleEndAligner:
                 & inside
                 & ~edge_mask
             )
+            if self.params.use_affine_gap:
+                # emission-time AG CIGAR rule (ReadWriter.cpp:231):
+                # dist>=2 rows where a single gap ties/beats the
+                # substitutions leave the vectorized plan and take the
+                # per-read AG traceback in winner_record
+                agrows = np.flatnonzero(simple_mask & (dists[:n] >= 2))
+                if agrows.size:
+                    flg = ag_restructure_possible(
+                        self.genome_np, batch.bases, agrows,
+                        dirs[agrows], start_loc[agrows], plen[agrows],
+                        fe[agrows], dists[agrows],
+                        match=self.params.ag_match,
+                        sub=self.params.ag_sub,
+                        gap_open=self.params.ag_open,
+                        gap_extend=self.params.ag_extend,
+                    )
+                    simple_mask[agrows[flg]] = False
             srows = np.flatnonzero(simple_mask)
             if srows.size:
                 mq = mapqs[srows].astype(np.int32)
@@ -1055,6 +1199,7 @@ class SingleEndAligner:
                 k, direction, dist, end_loc, arr_i=arr_i,
                 use_m=self.use_m, front_extra=int(front_clips[i]),
                 contig_bounds=self.contig_bounds,
+                use_affine_gap=self.params.use_affine_gap,
             )
             rec.update(
                 status=status, direction=direction, mapq=mapq, dist=dist,
