@@ -287,7 +287,7 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         "alt_awareness": True, "emit_alt": False, "asg": 64,
         "use_m": True, "filter_flags": 0, "stop_on_first": False,
         "om": -1, "omax": 0x7FFFFFFF, "mpc": -1, "ignore_ids": False,
-        "profile": False, "profile_ag": False,
+        "profile": False, "profile_ag": False, "trace_dir": None,
         "perf_file": None, "read_group": None,
         "force_spacing": False, "infer_spacing": False, "pfc": False,
         "seed_coverage": 0.0, "dp": 0.0, "clip_front": False,
@@ -400,6 +400,10 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
             # affine-gap usage ratios in the stats table
             # (AlignerContext.cpp:547-549)
             o["profile_ag"] = True; i += 1
+        elif a == "-trace":
+            # device-profiler trace of the align loop (TPU analogue of
+            # the reference's TIME_HISTOGRAM/-pro instrumentation)
+            o["trace_dir"] = rest[i + 1]; i += 2
         elif a == "-pf":
             o["perf_file"] = rest[i + 1]; i += 2
         elif a == "-om":
@@ -564,8 +568,25 @@ def _run_with_writer(index, command_line: str, opts: dict, run) -> int:
             bai_path=(out_path + ".bai") if out_path != "-" else None,
         )
         print("Aligning.", file=sys.stderr)
-        stats = run(writer)
+        trace_dir = opts.get("trace_dir")
+        if trace_dir:
+            # device-profiler hook (SURVEY section 5 tracing): captures a
+            # jax/XLA trace of the align loop for xprof/tensorboard
+            import jax
+
+            jax.profiler.start_trace(trace_dir)
+        try:
+            stats = run(writer)
+        finally:
+            if trace_dir:
+                import jax
+
+                jax.profiler.stop_trace()
+                print(f"Wrote device trace to {trace_dir}", file=sys.stderr)
         writer.close()
+        from .stats import reduce_across_hosts
+
+        reduce_across_hosts(stats)
         stats.profile = opts["profile"]
         stats.profile_ag = opts["profile_ag"]
         stats.print_table()

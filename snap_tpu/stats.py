@@ -180,3 +180,34 @@ class ProgressReporter:
                 file=self.out,
             )
             self.last = now
+
+
+def reduce_across_hosts(stats: "AlignerStats") -> "AlignerStats":
+    """Multi-host stats reduction: sum counters across jax processes.
+
+    The reference sums per-thread AlignerStats in finishThread
+    (AlignerContext.cpp:241-249); on a multi-host mesh the analogue is
+    an allgather of each process's counters. No-op single-process.
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return stats
+    from jax.experimental import multihost_utils
+
+    fields = [
+        "total", "single", "multi", "not_found", "too_short",
+        "filtered", "extra_alignments", "aligned_as_pairs",
+        "lv_calls", "affine_gap_calls",
+        "ag_forced_single", "ag_used_single",
+    ]
+    vec = np.array(
+        [getattr(stats, f) for f in fields], dtype=np.int64
+    )
+    gathered = multihost_utils.process_allgather(vec)
+    summed = np.asarray(gathered).sum(axis=0)
+    for f, v in zip(fields, summed.tolist()):
+        setattr(stats, f, int(v))
+    hist = multihost_utils.process_allgather(stats.mapq_histogram)
+    stats.mapq_histogram = np.asarray(hist).sum(axis=0)
+    return stats
