@@ -315,8 +315,13 @@ extern "C" int32_t snapio_ag_traceback(
     const int32_t NEG = -10000000;
     if (plen <= 0 || tlen <= 0) return -1;
     const int64_t T = tlen, L = plen;
-    std::vector<int32_t> Mm(T * L), Ee(T * L), Ff(T * L);
-    std::vector<int32_t> h_prev(L), e(L, NEG);
+    // thread-local scratch: emission calls this per escalated winner,
+    // so per-call malloc+page-touch of 3 T*L matrices dominated the
+    // kernel at short-read sizes
+    static thread_local std::vector<int32_t> Mm, Ee, Ff, h_prev, e;
+    Mm.resize(T * L); Ee.resize(T * L); Ff.resize(T * L);
+    h_prev.resize(L);
+    e.assign(L, NEG);
     for (int64_t j = 0; j < L; j++)
         h_prev[j] = -(open_cost + (int32_t)j * ext_cost);
     int32_t best = NEG;

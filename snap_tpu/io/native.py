@@ -101,6 +101,14 @@ def load():
         return _lib
 
 
+# reusable scratch for ag_traceback (called per escalated winner on the
+# emission path — per-call np.empty/ctypes setup was measurable)
+_AG_TB_CAP = 0
+_AG_TB_OPS = None
+_AG_TB_COUNTS = None
+_AG_TB_USED = ctypes.c_int32(0)
+
+
 def ag_traceback(text, pattern, open_cost, ext_cost, match_sc, sub_sc):
     """Native affine-gap DP + traceback; None if unavailable.
 
@@ -108,27 +116,32 @@ def ag_traceback(text, pattern, open_cost, ext_cost, match_sc, sub_sc):
     traceback order, matching agcigar.ag_global_alignment."""
     import numpy as np
 
+    global _AG_TB_CAP, _AG_TB_OPS, _AG_TB_COUNTS
     lib = load()
     if lib is None or not hasattr(lib, "snapio_ag_traceback"):
         return None
     t = np.ascontiguousarray(text, dtype=np.uint8)
     p = np.ascontiguousarray(pattern, dtype=np.uint8)
     max_ops = int(len(t) + len(p) + 4)
-    ops = np.empty(max_ops, dtype=np.uint8)
-    counts = np.empty(max_ops, dtype=np.int32)
-    used = ctypes.c_int32(0)
+    if max_ops > _AG_TB_CAP:
+        _AG_TB_CAP = max(2 * max_ops, 4096)
+        _AG_TB_OPS = np.empty(_AG_TB_CAP, dtype=np.uint8)
+        _AG_TB_COUNTS = np.empty(_AG_TB_CAP, dtype=np.int32)
+    ops, counts = _AG_TB_OPS, _AG_TB_COUNTS
     n = lib.snapio_ag_traceback(
         t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(t),
         p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(p),
         open_cost, ext_cost, match_sc, sub_sc,
         ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        max_ops, ctypes.byref(used),
+        _AG_TB_CAP, ctypes.byref(_AG_TB_USED),
     )
     if n < 0:
         return None
-    runs = [[chr(ops[i]), int(counts[i])] for i in range(n)]
-    return runs, int(used.value)
+    ot = ops[:n].tobytes()
+    cl = counts[:n].tolist()
+    runs = [[chr(ot[i]), cl[i]] for i in range(n)]
+    return runs, int(_AG_TB_USED.value)
 
 
 def available() -> bool:
