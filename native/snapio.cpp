@@ -305,7 +305,7 @@ void snapio_reverse_complement(const char* seq, int64_t n, char* out) {
 // text row, and the same traceback tie rules. Emits run-length ops in
 // traceback (reverse-alignment) order. Returns the number of runs, or
 // -1 on overflow/no-alignment; *text_used_out = rows consumed.
-extern "C" int32_t snapio_ag_traceback(
+static int32_t ag_tb_core(
     const uint8_t* text, int64_t tlen,
     const uint8_t* pattern, int64_t plen,
     int32_t open_cost, int32_t ext_cost,
@@ -417,6 +417,240 @@ extern "C" int32_t snapio_ag_traceback(
     for (; j >= 0; j--)
         if (!push('I')) return -1;
     return n_runs;
+}
+
+extern "C" int32_t snapio_ag_traceback(
+    const uint8_t* text, int64_t tlen,
+    const uint8_t* pattern, int64_t plen,
+    int32_t open_cost, int32_t ext_cost,
+    int32_t match_sc, int32_t sub_sc,
+    uint8_t* ops_out, int32_t* counts_out, int32_t max_ops,
+    int32_t* text_used_out) {
+    return ag_tb_core(text, tlen, pattern, plen, open_cost, ext_cost,
+                      match_sc, sub_sc, ops_out, counts_out, max_ops,
+                      text_used_out);
+}
+
+// ---------------------------------------------------------------------------
+// Batched writer-side affine-gap CIGAR (the emission hot path for
+// escalated winners). Mirrors snap_tpu.align.agcigar.compute_ag_cigar_at
+// exactly: per row, the addFrontClipping fixup loop (SAM.cpp:1659-1712
+// semantics) around the affine DP + traceback, the two
+// insertion-normalization passes (AffineGapVectorized.cpp:459-509), the
+// trailing-deletion strip, and clip-composed CIGAR rendering (M or =/X
+// style). One call replaces ~0.3 ms/row of Python glue per escalated
+// winner (~4% of reads at 1% error).
+//
+// Returns n on success; -2 when cigar_buf overflows (caller retries
+// bigger). Per-row failure to stabilize -> out_loc[i] = -1.
+// ---------------------------------------------------------------------------
+extern "C" int64_t snapio_ag_cigar_batch(
+    const uint8_t* genome, int64_t glen,
+    const uint8_t* pat_buf, const uint8_t* qual_buf,
+    const int64_t* pat_off,          // [n+1] row i = pat_buf[off[i]:off[i+1]]
+    const int64_t* locs,             // [n] starting genome location
+    const int32_t* fclips, const int32_t* bclips,  // [n]
+    const int32_t* margins,          // [n] extra text beyond pattern span
+    int64_t n,
+    int32_t open_cost, int32_t ext_cost,
+    int32_t match_sc, int32_t sub_sc,
+    int32_t use_m,
+    int64_t* out_loc, int32_t* out_nm,
+    uint8_t* cigar_buf, int64_t cigar_cap, int64_t* cigar_end) {
+    static thread_local std::vector<uint8_t> ops;
+    static thread_local std::vector<int32_t> counts;
+    char* out = (char*)cigar_buf;
+    char* oend = (char*)cigar_buf + cigar_cap;
+    char* p = out;
+
+    auto put_u32 = [&](uint32_t v) {
+        char tmp[12];
+        int k = 0;
+        if (v == 0) tmp[k++] = '0';
+        while (v) { tmp[k++] = (char)('0' + v % 10); v /= 10; }
+        if (p + k > oend) return false;
+        while (k) *p++ = tmp[--k];
+        return true;
+    };
+
+    for (int64_t r = 0; r < n; r++) {
+        out_loc[r] = -1;
+        out_nm[r] = 0;
+        int64_t loc = locs[r];
+        const uint8_t* pattern = pat_buf + pat_off[r];
+        const uint8_t* quality = qual_buf + pat_off[r];
+        int64_t plen = pat_off[r + 1] - pat_off[r];
+        int32_t fclip = fclips[r], bclip = bclips[r];
+        int64_t margin = margins[r];
+        char* rec_start = p;
+        bool done = false;
+        for (int iter = 0; iter < 8 && !done; iter++) {
+            if (plen <= 0 || loc < 0 || loc >= glen) break;
+            int64_t tlen = plen + margin;
+            if (loc + tlen > glen) tlen = glen - loc;
+            if (tlen <= 0) break;
+            const uint8_t* text = genome + loc;
+            int64_t max_ops = tlen + plen + 4;
+            if ((int64_t)ops.size() < max_ops) {
+                ops.resize(max_ops);
+                counts.resize(max_ops);
+            }
+            int32_t text_used = 0;
+            int32_t nr = ag_tb_core(text, tlen, pattern, plen,
+                                    open_cost, ext_cost, match_sc, sub_sc,
+                                    ops.data(), counts.data(),
+                                    (int32_t)max_ops, &text_used);
+            if (nr <= 0) break;
+            // runs are in traceback (reverse) order; runs[0] = END.
+            int32_t min_i = 0, tail_ins = 0;
+            if (ops[0] == 'I') { min_i = 1; tail_ins = counts[0]; }
+
+            // normalization pass 1: flip insertion-before-substitution
+            // (AffineGapVectorized.cpp:459-482)
+            {
+                int64_t row = 0, col = 0;
+                for (int32_t i = nr - 1; i >= min_i; i--) {
+                    char a = (char)ops[i];
+                    int32_t c = counts[i];
+                    if (a == 'M') { row += c; col += c; }
+                    else if (a == 'D') { row += c; }
+                    else {
+                        if (i > 0 && row < text_used - 1 &&
+                            col < plen - 1) {
+                            if (pattern[col + 1] == pattern[col] &&
+                                pattern[col + 1] != text[row] &&
+                                quality[col] < 65) {
+                                if (i + 1 <= nr - 1 && ops[i + 1] == 'M' &&
+                                    counts[i - 1] > 1) {
+                                    counts[i + 1] += 1; row += 1; col += 1;
+                                }
+                                if (ops[i - 1] == 'M' && counts[i - 1] > 1)
+                                    counts[i - 1] -= 1;
+                            }
+                        }
+                        col += c;
+                    }
+                }
+            }
+            // normalization pass 2 (AffineGapVectorized.cpp:485-509)
+            {
+                int64_t row = 0, col = 0;
+                for (int32_t i = nr - 1; i >= min_i; i--) {
+                    char a = (char)ops[i];
+                    int32_t c = counts[i];
+                    if (a == 'M') { row += c; col += c; }
+                    else if (a == 'D') { row += c; }
+                    else {
+                        if (i > 0 && row + 1 < text_used - 1 &&
+                            col + c < plen - 1) {
+                            if (pattern[col + c] == pattern[col] &&
+                                pattern[col + c + 1] != text[row + 1] &&
+                                quality[col] < 65) {
+                                if (i + 1 <= nr - 1 && ops[i + 1] == 'M' &&
+                                    counts[i - 1] > 2) {
+                                    counts[i + 1] += 2; row += 2; col += 2;
+                                }
+                                if (ops[i - 1] == 'M' && counts[i - 1] > 2)
+                                    counts[i - 1] -= 2;
+                            }
+                        }
+                        col += c;
+                    }
+                }
+            }
+            // final: reverse to alignment order, merge adjacent, count
+            // edits and net deletion
+            static thread_local std::vector<char> fa;
+            static thread_local std::vector<int64_t> fc;
+            fa.clear(); fc.clear();
+            int64_t n_edits = 0, row = 0, col = 0;
+            for (int32_t i = nr - 1; i >= min_i; i--) {
+                char a = (char)ops[i];
+                int64_t c = counts[i];
+                if (a == 'D') { row += c; n_edits += c; }
+                else if (a == 'I') { col += c; n_edits += c; }
+                else {
+                    for (int64_t q = 0; q < c; q++)
+                        if (text[row + q] != pattern[col + q]) n_edits++;
+                    row += c; col += c;
+                }
+                if (!fa.empty() && fa.back() == a) fc.back() += c;
+                else { fa.push_back(a); fc.push_back(c); }
+            }
+            if (fa.empty()) break;
+            int64_t add_front = 0;
+            if (fa[0] == 'D') add_front = fc[0];
+            else if (fa[0] == 'I') add_front = -fc[0];
+            if (add_front > 0) { loc += add_front; continue; }
+            if (add_front < 0) {
+                int64_t k = -add_front;
+                pattern += k; quality += k; plen -= k; fclip += (int32_t)k;
+                continue;
+            }
+            int64_t bclip2 = bclip + tail_ins;
+            // strip trailing deletions (never emitted)
+            while (!fa.empty() && fa.back() == 'D') {
+                n_edits -= fc.back();
+                fa.pop_back(); fc.pop_back();
+            }
+            if (fa.empty()) break;
+            // render: [fclip S] body [bclip S]
+            bool ok = true;
+            if (fclip) { ok = ok && put_u32((uint32_t)fclip);
+                         if (ok && p < oend) *p++ = 'S'; else ok = false; }
+            if (use_m) {
+                for (size_t q = 0; ok && q < fa.size(); q++) {
+                    ok = put_u32((uint32_t)fc[q]);
+                    if (ok && p < oend) *p++ = fa[q]; else ok = false;
+                }
+            } else {
+                // '=' / 'X' style for M segments
+                int64_t rr = 0, cc = 0;
+                for (size_t q = 0; ok && q < fa.size(); q++) {
+                    char a = fa[q]; int64_t c = fc[q];
+                    if (a == 'D') {
+                        ok = put_u32((uint32_t)c);
+                        if (ok && p < oend) *p++ = 'D'; else ok = false;
+                        rr += c;
+                    } else if (a == 'I') {
+                        ok = put_u32((uint32_t)c);
+                        if (ok && p < oend) *p++ = 'I'; else ok = false;
+                        cc += c;
+                    } else {
+                        int64_t run = 0; int run_x = -1;
+                        for (int64_t j2 = 0; ok && j2 < c; j2++) {
+                            int x = text[rr + j2] != pattern[cc + j2];
+                            if (run_x == -1 || x == run_x) { run_x = x; run++; }
+                            else {
+                                ok = put_u32((uint32_t)run);
+                                if (ok && p < oend)
+                                    *p++ = run_x ? 'X' : '=';
+                                else ok = false;
+                                run_x = x; run = 1;
+                            }
+                        }
+                        if (ok && run) {
+                            ok = put_u32((uint32_t)run);
+                            if (ok && p < oend) *p++ = run_x ? 'X' : '=';
+                            else ok = false;
+                        }
+                        rr += c; cc += c;
+                    }
+                }
+            }
+            if (ok && bclip2) {
+                ok = put_u32((uint32_t)bclip2);
+                if (ok && p < oend) *p++ = 'S'; else ok = false;
+            }
+            if (!ok) return -2;  // buffer overflow: caller retries bigger
+            out_loc[r] = loc;
+            out_nm[r] = (int32_t)n_edits;
+            done = true;
+        }
+        if (!done) p = rec_start;  // failed row emits nothing
+        cigar_end[r] = p - out;
+    }
+    return n;
 }
 
 // ---------------------------------------------------------------------------

@@ -229,11 +229,18 @@ def compute_ag_cigar_at(
     back_clip: int,
     use_m: bool = True,
     max_iters: int = 8,
+    text_margin: int = MAX_K,
 ):
     """Full writer-side CIGAR with the addFrontClipping fixup loop.
 
     pattern/quality: the aligned body (oriented, aligner clips removed).
     Returns (final_loc, cigar, nm) or None if it failed to stabilize.
+
+    text_margin bounds extra reference beyond the pattern span — the
+    net deletions the alignment may use. The reference's emission AG is
+    score-limited the same way (SAM.cpp:2520 passes the known score as
+    w), so callers that know the edit distance pass dist + slack and
+    the DP shrinks from O((L+MAX_K)*L) to O((L+d)*L).
     """
     loc = int(genome_loc)
     fclip = front_clip
@@ -242,7 +249,7 @@ def compute_ag_cigar_at(
         if len(pattern) == 0:
             return None
         text = np.asarray(
-            genome[loc : loc + len(pattern) + MAX_K], dtype=np.uint8
+            genome[loc : loc + len(pattern) + text_margin], dtype=np.uint8
         )
         ops, tail_ins, n_edits, _ = ag_global_cigar_ops(text, pattern, quality)
         if not ops:
@@ -308,3 +315,54 @@ def _eq_x_ops(ops, text, pattern):
             row += c
             col += c
     return parts
+
+
+def compute_ag_cigar_batch(
+    genome: np.ndarray,
+    bodies: list,      # [n] oriented body code arrays (clips removed)
+    quals: list,       # [n] matching quality byte arrays
+    locs: np.ndarray,  # [n] starting body locations
+    fclips: np.ndarray,
+    bclips: np.ndarray,
+    margins: np.ndarray,
+    use_m: bool = True,
+):
+    """Batched compute_ag_cigar_at over n rows.
+
+    One native call (snapio_ag_cigar_batch) replaces the per-row
+    Python fixup/normalize/render pipeline; rows the native path could
+    not stabilize (or the whole batch, when the library is missing)
+    fall back to the per-row Python implementation. Returns a list of
+    (final_loc, cigar, nm) | None per row.
+    """
+    from ..io.native import ag_cigar_batch
+
+    n = len(bodies)
+    out: list = [None] * n
+    native = None
+    if n:
+        pat_off = np.zeros(n + 1, np.int64)
+        for i, b in enumerate(bodies):
+            pat_off[i + 1] = pat_off[i] + len(b)
+        pat_buf = np.concatenate([np.asarray(b, np.uint8) for b in bodies])
+        qual_buf = np.concatenate([np.asarray(q, np.uint8) for q in quals])
+        native = ag_cigar_batch(
+            genome, pat_buf, qual_buf, pat_off,
+            np.asarray(locs, np.int64),
+            np.asarray(fclips, np.int32), np.asarray(bclips, np.int32),
+            np.asarray(margins, np.int32),
+            OPEN, EXT, AG_MATCH, AG_MISMATCH, use_m=use_m,
+        )
+    if native is not None:
+        out_loc, out_nm, cigars = native
+        for i in range(n):
+            if out_loc[i] >= 0:
+                out[i] = (int(out_loc[i]), cigars[i], int(out_nm[i]))
+        return out
+    for i in range(n):
+        out[i] = compute_ag_cigar_at(
+            genome, int(locs[i]), bodies[i], quals[i],
+            int(fclips[i]), int(bclips[i]), use_m=use_m,
+            text_margin=int(margins[i]),
+        )
+    return out

@@ -13,7 +13,11 @@ import time
 
 import numpy as np
 
-from ..constants import DEFAULT_MIN_READ_LENGTH, MAPQ_LIMIT_FOR_SINGLE_HIT
+from ..constants import (
+    DEFAULT_MIN_READ_LENGTH,
+    MAPQ_LIMIT_FOR_SINGLE_HIT,
+    MAX_K as MAX_K_TRACEBACK,
+)
 from ..genome import reverse_complement_codes
 from ..index.index import GenomeIndex
 from ..io.fastq import ReadBatch
@@ -25,6 +29,10 @@ from .agcigar import compute_ag_cigar_at
 from .cigar import compute_cigar
 from .pipeline import AlignParams, align_single_device, two_phase_merge
 from .post import collect_secondary_results, finalize_read
+
+# sentinel distinguishing "no batched AG result for this row" from
+# "the batch tried and failed" (None)
+_AG_NOT_CACHED = ("__ag_not_cached__",)
 
 
 def winner_record(
@@ -42,6 +50,7 @@ def winner_record(
     front_extra: int = 0,
     contig_bounds: tuple[np.ndarray, np.ndarray] | None = None,
     use_affine_gap: bool = True,
+    precomputed_ag=_AG_NOT_CACHED,
 ) -> dict:
     """Compute (start_loc, cigar, nm) for a chosen candidate of read i.
 
@@ -134,13 +143,25 @@ def winner_record(
     back_clip = back0 + ca
     res = None
     if dist > 0 or cb or ca:
-        loc0 = int(arrays["body_loc"][ai, k])
-        if not bool(arrays["escalated"][ai, k]):
-            loc0, _, _ = compute_cigar(pattern, genome_np, end_loc, max_k)
-        res = compute_ag_cigar_at(
-            genome_np, loc0, body, bquals, front_clip, back_clip,
-            use_m=use_m,
-        )
+        if precomputed_ag is not _AG_NOT_CACHED:
+            # batched native AG CIGAR already computed for this row
+            # (compute_ag_cigar_batch); None means the batch failed to
+            # stabilize it, same as a per-row failure below
+            res = precomputed_ag
+        else:
+            loc0 = int(arrays["body_loc"][ai, k])
+            if not bool(arrays["escalated"][ai, k]):
+                loc0, _, _ = compute_cigar(
+                    pattern, genome_np, end_loc, max_k
+                )
+            res = compute_ag_cigar_at(
+                genome_np, loc0, body, bquals, front_clip, back_clip,
+                use_m=use_m,
+                # the fixup loop can shift loc forward by leading
+                # deletions, so give it the known distance budget plus
+                # slack (reference emission AG is score-limited too)
+                text_margin=min(MAX_K_TRACEBACK, max(8, 2 * dist + 8)),
+            )
     if res is None:
         start_loc, cigar, nm = compute_cigar(
             pattern, genome_np, end_loc, max_k,
@@ -1146,6 +1167,57 @@ class SingleEndAligner:
             else:
                 simple_mask = None
 
+        # -- batched AG CIGARs for escalated winners: one native call
+        # replaces the per-row traceback pipeline (the emission hot
+        # path for the ~4% of reads whose alignment needed gaps)
+        ag_cache: dict[int, tuple | None] = {}
+        if self.params.use_affine_gap:
+            esc_rows = np.flatnonzero(
+                found[:n]
+                & np.asarray(win.escalated[:n]).astype(bool)
+                & ~np.asarray(win.fallback[:n]).astype(bool)
+                & ~np.asarray(win.truncated[:n]).astype(bool)
+                & ~edge_mask
+                & (np.asarray(batch.lengths[:n]) >= self.min_read_length)
+                & (dists[:n] > 0)
+            )
+            esc_rows = [i for i in esc_rows if i not in fb_pos]
+            if esc_rows:
+                from .agcigar import compute_ag_cigar_batch
+
+                bodies, bquals_l, locs_l, fcs, bcs, mgs = [], [], [], [], [], []
+                for i in esc_rows:
+                    plen_i = int(len_eff[i])
+                    fe_i = int(front_clips[i])
+                    back_q_i = int(batch.lengths[i]) - fe_i - plen_i
+                    clipped = batch.bases[i, fe_i : fe_i + plen_i]
+                    cq = batch.quals[i, fe_i : fe_i + plen_i]
+                    if dirs[i]:
+                        pat = reverse_complement_codes(clipped.copy())
+                        oq = cq[::-1].copy()
+                        f0, b0 = back_q_i, fe_i
+                    else:
+                        pat, oq = clipped, cq
+                        f0, b0 = fe_i, back_q_i
+                    cb = int(arrays["clip_before"][i, 0])
+                    ca = int(arrays["clip_after"][i, 0])
+                    bodies.append(pat[cb : plen_i - ca])
+                    bquals_l.append(oq[cb : plen_i - ca])
+                    locs_l.append(int(arrays["body_loc"][i, 0]))
+                    fcs.append(f0 + cb)
+                    bcs.append(b0 + ca)
+                    mgs.append(
+                        min(MAX_K_TRACEBACK, max(8, 2 * int(dists[i]) + 8))
+                    )
+                res_b = compute_ag_cigar_batch(
+                    self.genome_np, bodies, bquals_l,
+                    np.asarray(locs_l, np.int64),
+                    np.asarray(fcs, np.int32), np.asarray(bcs, np.int32),
+                    np.asarray(mgs, np.int32), use_m=self.use_m,
+                )
+                for i, r in zip(esc_rows, res_b):
+                    ag_cache[int(i)] = r
+
         results = []
         for i in range(n):
             if simple_mask is not None and simple_mask[i]:
@@ -1200,6 +1272,7 @@ class SingleEndAligner:
                 use_m=self.use_m, front_extra=int(front_clips[i]),
                 contig_bounds=self.contig_bounds,
                 use_affine_gap=self.params.use_affine_gap,
+                precomputed_ag=ag_cache.get(i, _AG_NOT_CACHED),
             )
             rec.update(
                 status=status, direction=direction, mapq=mapq, dist=dist,

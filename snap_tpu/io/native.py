@@ -97,6 +97,25 @@ def load():
             ]
         except AttributeError:
             pass  # stale library without the SAM formatter
+        try:
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.snapio_ag_cigar_batch.restype = ctypes.c_int64
+            lib.snapio_ag_cigar_batch.argtypes = [
+                u8p, ctypes.c_int64,                 # genome, glen
+                u8p, u8p,                             # pat_buf, qual_buf
+                i64p, i64p,                           # pat_off, locs
+                i32p, i32p, i32p,                     # fclips bclips margins
+                ctypes.c_int64,                       # n
+                ctypes.c_int32, ctypes.c_int32,       # open, ext
+                ctypes.c_int32, ctypes.c_int32,       # match, sub
+                ctypes.c_int32,                       # use_m
+                i64p, i32p,                           # out_loc, out_nm
+                u8p, ctypes.c_int64, i64p,            # cigar buf/cap/end
+            ]
+        except AttributeError:
+            pass  # stale library without the batched AG cigar
         _lib = lib
         return _lib
 
@@ -276,3 +295,72 @@ def bgzf_compress(
     if total < 0:
         raise RuntimeError("native BGZF compression failed")
     return out[:total].tobytes()
+
+
+def ag_cigar_batch(
+    genome: np.ndarray,          # [G] u8 base codes
+    pat_buf: np.ndarray,         # concatenated oriented body codes (u8)
+    qual_buf: np.ndarray,        # concatenated quality bytes (u8)
+    pat_off: np.ndarray,         # [n+1] i64
+    locs: np.ndarray,            # [n] i64 starting body locations
+    fclips: np.ndarray,          # [n] i32
+    bclips: np.ndarray,          # [n] i32
+    margins: np.ndarray,         # [n] i32 text margin per row
+    open_cost: int, ext_cost: int, match_sc: int, sub_sc: int,
+    use_m: bool = True,
+):
+    """Batched writer-side AG CIGARs (snapio_ag_cigar_batch).
+
+    Returns (out_loc [n] i64 with -1 = failed row, out_nm [n] i32,
+    cigars list[str]) or None when the native library is unavailable.
+    """
+    lib = load()
+    if lib is None or not hasattr(lib, "snapio_ag_cigar_batch"):
+        return None
+    n = len(locs)
+    if n == 0:
+        return (
+            np.empty(0, np.int64), np.empty(0, np.int32), [],
+        )
+    g = np.ascontiguousarray(genome, dtype=np.uint8)
+    pb = np.ascontiguousarray(pat_buf, dtype=np.uint8)
+    qb = np.ascontiguousarray(qual_buf, dtype=np.uint8)
+    po = np.ascontiguousarray(pat_off, dtype=np.int64)
+    lo = np.ascontiguousarray(locs, dtype=np.int64)
+    fc = np.ascontiguousarray(fclips, dtype=np.int32)
+    bc = np.ascontiguousarray(bclips, dtype=np.int32)
+    mg = np.ascontiguousarray(margins, dtype=np.int32)
+    out_loc = np.empty(n, np.int64)
+    out_nm = np.empty(n, np.int32)
+    cend = np.empty(n, np.int64)
+    cap = max(4096, 64 * n)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    while True:
+        buf = np.empty(cap, np.uint8)
+        rc = lib.snapio_ag_cigar_batch(
+            g.ctypes.data_as(u8p), len(g),
+            pb.ctypes.data_as(u8p), qb.ctypes.data_as(u8p),
+            po.ctypes.data_as(i64p), lo.ctypes.data_as(i64p),
+            fc.ctypes.data_as(i32p), bc.ctypes.data_as(i32p),
+            mg.ctypes.data_as(i32p), n,
+            open_cost, ext_cost, match_sc, sub_sc,
+            1 if use_m else 0,
+            out_loc.ctypes.data_as(i64p), out_nm.ctypes.data_as(i32p),
+            buf.ctypes.data_as(u8p), cap, cend.ctypes.data_as(i64p),
+        )
+        if rc == -2:
+            cap *= 4
+            continue
+        if rc != n:
+            return None
+        break
+    blob = buf.tobytes()
+    cigars = []
+    prev = 0
+    for i in range(n):
+        e = int(cend[i])
+        cigars.append(blob[prev:e].decode())
+        prev = e
+    return out_loc, out_nm, cigars
