@@ -46,8 +46,11 @@ def main() -> None:
     from snap_tpu.index.index import make_device_index
 
     didx = make_device_index(idx, bases)
+    # SNAP's single-end defaults: -n 25 seeds (AlignerOptions.cpp:115)
+    # with the seed-loop early stop (BaseAligner.cpp:1028) — replayed
+    # here as the adaptive two-phase wavefront
     params = AlignParams(
-        seed_len=24, max_probe=idx["max_probe"], num_seeds=14,
+        seed_len=24, max_probe=idx["max_probe"], num_seeds=25,
         hit_cap=8, max_cand=16,
     )
 
@@ -72,7 +75,7 @@ def main() -> None:
     from snap_tpu.align.pipeline import align_winners_device
 
     fas = jnp.int64(bases.shape[0])  # no ALT contigs
-    win, _out = align_winners_device(didx, b, q, l, fas, params)
+    win, _out = align_winners_device(didx, b, q, l, fas, params, adaptive=True)
     jax.device_get(win)  # compile + settle
 
     # Pipelined like the production align_file loop: batch i+1 is
@@ -80,10 +83,10 @@ def main() -> None:
     # overlaps the device->host hop.
     n_iters = 8
     t0 = time.perf_counter()
-    win_next, _ = align_winners_device(didx, b, q, l, fas, params)
+    win_next, _ = align_winners_device(didx, b, q, l, fas, params, adaptive=True)
     for _ in range(n_iters - 1):
         win_cur = win_next
-        win_next, _ = align_winners_device(didx, b, q, l, fas, params)
+        win_next, _ = align_winners_device(didx, b, q, l, fas, params, adaptive=True)
         jax.device_get(win_cur)
     jax.device_get(win_next)
     dt = time.perf_counter() - t0

@@ -402,6 +402,7 @@ def _align_impl(
     tier1_only: bool = False,
     dp_rows: int | None = None,
     return_needs: bool = False,
+    return_lowest: bool = False,
 ):
     B, L = bases.shape
     S = params.num_lookups
@@ -466,6 +467,35 @@ def _align_impl(
     else:
         f_n = jnp.where(found & ~pop_f, f_n, 0)
         r_n = jnp.where(found & ~pop_r, r_n, 0)
+
+    lowest_possible = None
+    if return_lowest:
+        # SNAP's seed-loop stop bound: after each applied seed,
+        # lowestPossibleScoreOfAnyUnseenLocation[dir] = max over rounds
+        # of nSeedsApplied[dir] // (wrapCount + 1)
+        # (BaseAligner.cpp:993-1012). Popular-skipped probes don't
+        # count as applied in that direction (BaseAligner.cpp:669
+        # increments only in the not-too-popular branch); -x counts
+        # everything. The wrap round of each probe is recoverable from
+        # its rank (rank = wrap * DIV + offset_index).
+        DIV = P // seed + 2
+        wrap_round = jnp.where(seed_ok, (-neg_top) // DIV, 0).astype(
+            jnp.int32
+        )
+        if params.explore_popular:
+            ap_f = seed_ok.astype(jnp.int32)
+            ap_r = ap_f
+        else:
+            ap_f = (seed_ok & ~pop_f.reshape(B, S)).astype(jnp.int32)
+            ap_r = (seed_ok & ~pop_r.reshape(B, S)).astype(jnp.int32)
+        den = wrap_round + 1
+        low_f = jnp.max(
+            jnp.where(seed_ok, jnp.cumsum(ap_f, axis=1) // den, 0), axis=1
+        )
+        low_r = jnp.max(
+            jnp.where(seed_ok, jnp.cumsum(ap_r, axis=1) // den, 0), axis=1
+        )
+        lowest_possible = jnp.minimum(low_f, low_r).astype(jnp.int32)
 
     # Stage barriers: without them XLA fuses the cheap index math into
     # several expensive consumers and recomputes the [B*S, H] expansions
@@ -559,7 +589,7 @@ def _align_impl(
         | ((r_n > H).reshape(B, S).any(axis=1))
     )
 
-    return _score_from_candidates(
+    res = _score_from_candidates(
         didx, bases, rc_bases, logq_f_in=None, logq_r_in=None, quals=quals,
         rc_quals=rc_quals, len_eff=len_eff,
         cand_loc=cand_loc, cand_off=cand_off, cand_dir=cand_dir,
@@ -569,6 +599,11 @@ def _align_impl(
         params=params, tier1_only=tier1_only, dp_rows=dp_rows,
         return_needs=return_needs,
     )
+    if return_lowest:
+        if return_needs:
+            return res[0], res[1], lowest_possible
+        return res, lowest_possible
+    return res
 
 
 def _score_from_candidates(
@@ -1201,6 +1236,7 @@ def _device_finalize(
     dp_rows: int,
     max_k: int = 127,
     extra_search_depth: int = 1,
+    return_scores: bool = False,
 ) -> WinnerOut:
     from ..constants import MAPQ_MAX, MAX_MERGE_DIST
 
@@ -1372,7 +1408,7 @@ def _device_finalize(
     def at_w(a):
         return jnp.take_along_axis(a, wk, axis=1)[:, 0]
 
-    return WinnerOut(
+    win = WinnerOut(
         found=found,
         fallback=fallback,
         cand_k=chosen["k"].astype(jnp.int32),
@@ -1392,12 +1428,19 @@ def _device_finalize(
         truncated=out.truncated,
         dp_overflow=needs_total > jnp.int32(dp_rows),
     )
+    if return_scores:
+        # running bests of the Ukkonen replay = SNAP's
+        # scoresForAllAlignments / scoresForNonAltAlignments bestScore
+        # at loop exit ((1<<40) when no candidate was included)
+        return win, run_all, run_na
+    return win
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "params", "dp_rows", "alt_awareness", "max_score_gap"
+        "params", "dp_rows", "alt_awareness", "max_score_gap",
+        "adaptive", "phase_b_rows",
     ),
 )
 def align_winners_device(
@@ -1410,6 +1453,8 @@ def align_winners_device(
     dp_rows: int | None = None,
     alt_awareness: bool = True,
     max_score_gap: int = 64,
+    adaptive: bool = False,
+    phase_b_rows: int | None = None,
 ):
     """Single-dispatch fast path: align + device finalize.
 
@@ -1420,17 +1465,105 @@ def align_winners_device(
     fallback rows (gather_merged_rows). dp_rows defaults to ~0.4% of
     B*K (the DP-needing fraction is ~0.25% on 1%-error reads); the
     overflow flag redoes gappier batches via the host-gated path.
+
+    adaptive=True replays SNAP's seed-loop early termination
+    (BaseAligner.cpp:1028) as a two-phase wavefront: phase A probes
+    only the first unwrapped seed pass; reads SNAP would have kept
+    seeding (stop bound <= scoreLimit) are compacted into a
+    phase_b_rows-wide full-depth rerun whose results scatter back over
+    phase A's. Reads beyond the phase-B capacity fall back to the
+    host wide-redo path via the truncated flag.
     """
+    B, L = bases.shape
     if dp_rows is None:
-        dp_rows = max(1024, (bases.shape[0] * params.max_cand) // 256)
-    out, needs_total = _align_impl(
-        didx, bases, quals, lens, params,
-        tier1_only=False, dp_rows=dp_rows, return_needs=True,
+        dp_rows = max(1024, (B * params.max_cand) // 256)
+    P = L - params.seed_len + 1
+    s1_lookups = (P - 1) // params.seed_len + 1 if P > 0 else 1
+    if not adaptive or s1_lookups >= params.num_lookups:
+        out, needs_total = _align_impl(
+            didx, bases, quals, lens, params,
+            tier1_only=False, dp_rows=dp_rows, return_needs=True,
+        )
+        win = _device_finalize(
+            out, first_alt_start, alt_awareness, max_score_gap,
+            params.use_affine_gap, needs_total, dp_rows,
+            max_k=params.max_k,
+            extra_search_depth=params.extra_search_depth,
+        )
+        return pack_winners(win), out
+
+    import dataclasses
+
+    B2 = phase_b_rows or max(min(256, B), B // 8)
+    params_a = dataclasses.replace(params, num_seeds=2 * s1_lookups - 2)
+    dp_a = max(512, (B * params.max_cand) // 256)
+    out_a, needs_a, lowest = _align_impl(
+        didx, bases, quals, lens, params_a,
+        tier1_only=False, dp_rows=dp_a, return_needs=True,
+        return_lowest=True,
     )
-    win = _device_finalize(
-        out, first_alt_start, alt_awareness, max_score_gap,
-        params.use_affine_gap, needs_total, dp_rows,
+    win_a, run_all, run_na = _device_finalize(
+        out_a, first_alt_start, alt_awareness, max_score_gap,
+        params.use_affine_gap, needs_a, dp_a,
         max_k=params.max_k, extra_search_depth=params.extra_search_depth,
+        return_scores=True,
+    )
+
+    # SNAP's stop rule (BaseAligner.cpp:1028): quit seeding when
+    # min_dir(lowestPossibleScoreOfAnyUnseenLocation) exceeds
+    # max(scoreLimit(true), scoreLimit(false)) (scoreLimit:
+    # BaseAligner.cpp:2556-2570, computed from the running bests).
+    D64 = jnp.int64(params.extra_search_depth)
+    mk64 = jnp.int64(params.max_k)
+    gap64 = jnp.int64(max_score_gap)
+    if alt_awareness:
+        lim_na = D64 + jnp.minimum(
+            mk64, jnp.minimum(run_all + gap64, run_na)
+        )
+        lim_alt = D64 + jnp.minimum(
+            mk64,
+            jnp.minimum(run_all, run_na - jnp.minimum(gap64, run_na)),
+        )
+        lim = jnp.maximum(lim_na, lim_alt)
+    else:
+        lim = D64 + jnp.minimum(mk64, run_all)
+    resolved = lowest.astype(jnp.int64) > lim
+    unres = ~resolved & (out_a.len_eff >= jnp.int32(params.seed_len))
+
+    # compact unresolved reads into a fixed-width full-depth rerun
+    _, rows = jax.lax.top_k(unres.astype(jnp.int32), B2)
+    rows = rows.astype(jnp.int64)
+    live = unres[rows]
+    sel = jnp.zeros((B,), bool).at[rows].set(live)
+    overflow = unres & ~sel
+
+    dp_b = max(512, (B2 * params.max_cand) // 64)
+    out_b, needs_b = _align_impl(
+        didx, bases[rows], quals[rows], lens[rows], params,
+        tier1_only=False, dp_rows=dp_b, return_needs=True,
+    )
+    win_b = _device_finalize(
+        out_b, first_alt_start, alt_awareness, max_score_gap,
+        params.use_affine_gap, needs_b, dp_b,
+        max_k=params.max_k, extra_search_depth=params.extra_search_depth,
+    )
+
+    def mrg(a, b):
+        cur = a[rows]
+        msk = live.reshape((B2,) + (1,) * (b.ndim - 1))
+        return a.at[rows].set(jnp.where(msk, b, cur))
+
+    out = SingleAlignOut(*(mrg(a, b) for a, b in zip(out_a, out_b)))
+    out = out._replace(truncated=out.truncated | overflow)
+    merged = {
+        name: mrg(getattr(win_a, name), getattr(win_b, name))
+        for name in WINNER_COLS
+    }
+    merged["truncated"] = merged["truncated"] | overflow
+    win = WinnerOut(
+        **merged,
+        dp_overflow=(needs_a > jnp.int32(dp_a))
+        | (needs_b > jnp.int32(dp_b)),
     )
     return pack_winners(win), out
 

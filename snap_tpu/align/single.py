@@ -470,6 +470,7 @@ class SingleEndAligner:
         force_gzip: bool = False,              # -compressedFastq
         mesh=None,                             # multi-chip (data x index)
         threads: int = 1,                      # -t: input parser threads
+        adaptive: bool = True,                 # SNAP seed-loop early stop
     ):
         self.index = index
         self.mesh = mesh
@@ -478,6 +479,10 @@ class SingleEndAligner:
         )
         self.batch_size = batch_size
         self.max_read_len = max_read_len
+        # two-phase adaptive seeding (SNAP's early termination,
+        # BaseAligner.cpp:1028): device-only path; the sharded mesh
+        # step and the host two-phase tier run full-depth
+        self.adaptive = adaptive
         self.min_read_length = min_read_length
         self.genome_np = np.asarray(index.genome_meta.bases)
         self.first_alt_start = index.genome_meta.first_alt_start()
@@ -605,6 +610,7 @@ class SingleEndAligner:
                 jnp.int64(self.first_alt_start), self.params,
                 alt_awareness=self.alt_awareness,
                 max_score_gap=self.max_score_gap,
+                adaptive=self.adaptive,
             )
             return (
                 ("fast", win, out, dev_bases, dev_quals, dev_lens),
