@@ -1476,7 +1476,11 @@ def align_winners_device(
     """
     B, L = bases.shape
     if dp_rows is None:
-        dp_rows = max(1024, (B * params.max_cand) // 256)
+        # ~0.25% of B*K rows need the DP tier on 1%-error reads; //128
+        # gives ~8x headroom so gappier batches don't trip the
+        # dp_overflow full-batch host redo (its cost dwarfs the extra
+        # tier rows')
+        dp_rows = max(1024, (B * params.max_cand) // 128)
     P = L - params.seed_len + 1
     s1_lookups = (P - 1) // params.seed_len + 1 if P > 0 else 1
     if not adaptive or s1_lookups >= params.num_lookups:
@@ -1537,7 +1541,13 @@ def align_winners_device(
     sel = jnp.zeros((B,), bool).at[rows].set(live)
     overflow = unres & ~sel
 
-    dp_b = max(512, (B2 * params.max_cand) // 64)
+    # Phase B concentrates essentially every DP-needing read of the
+    # WHOLE batch (the unresolved ones), so its DP tier must be sized
+    # to the full-batch demand, not to B2: at 1% error the demand is
+    # ~0.25% of B*K rows; give 2x headroom beyond the non-adaptive
+    # default or the overflow flag redoes the batch on the host
+    dp_b = max(1024, (B * params.max_cand) // 128,
+               (B2 * params.max_cand) // 64)
     out_b, needs_b = _align_impl(
         didx, bases[rows], quals[rows], lens[rows], params,
         tier1_only=False, dp_rows=dp_b, return_needs=True,
