@@ -759,4 +759,89 @@ int64_t snapio_format_sam_simple(
     return p - (char*)out;
 }
 
+// Paired variant of the simple-record formatter: full FLAG, RNEXT is
+// always "=" (fast-path pairs are same-contig by construction), PNEXT
+// and TLEN columns, and the per-record QS:i: mate-quality-sum tag the
+// paired driver always attaches (the streaming dup-marker input,
+// reference SAM.cpp:1826-1837). Everything else matches
+// snapio_format_sam_simple.
+int64_t snapio_format_sam_paired(
+    const uint8_t* bases, const uint8_t* quals, int64_t stride,
+    const uint8_t* qname_buf, const int64_t* qname_off,   // per batch row
+    const uint8_t* rname_buf, const int64_t* rname_off,   // contig names
+    const int32_t* rows, int64_t n,
+    const int32_t* flag, const int32_t* rname_id, const int64_t* pos,
+    const int32_t* mapq, const int32_t* fs, const int32_t* mlen,
+    const int32_t* bs, const int32_t* nm, const int32_t* rlen,
+    const int64_t* pnext, const int64_t* tlen, const int32_t* qs,
+    const uint8_t* tag_pg, int64_t tag_pg_len,
+    const uint8_t* tag_tail, int64_t tag_tail_len,
+    uint8_t* out, int64_t out_cap, int64_t* rec_end)
+{
+    char* p = (char*)out;
+    char* lim = (char*)out + out_cap;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t r = rows[i];
+        int64_t qn0 = qname_off[r], qn1 = qname_off[r + 1];
+        int64_t L = rlen[i];
+        if (p + (qn1 - qn0) + 2 * L + tag_pg_len + tag_tail_len + 128 > lim)
+            return -1;
+        for (int64_t q = qn0; q < qn1; q++) {
+            uint8_t c = qname_buf[q];
+            if (c == ' ' || c == '\t') break;
+            *p++ = (char)c;
+        }
+        *p++ = '\t';
+        p = put_u64(p, (uint64_t)flag[i]);
+        *p++ = '\t';
+        int64_t rn0 = rname_off[rname_id[i]], rn1 = rname_off[rname_id[i] + 1];
+        memcpy(p, rname_buf + rn0, rn1 - rn0);
+        p += rn1 - rn0;
+        *p++ = '\t';
+        p = put_i64(p, pos[i]);
+        *p++ = '\t';
+        p = put_u64(p, (uint64_t)mapq[i]);
+        *p++ = '\t';
+        if (fs[i]) { p = put_u64(p, (uint64_t)fs[i]); *p++ = 'S'; }
+        p = put_u64(p, (uint64_t)mlen[i]);
+        *p++ = 'M';
+        if (bs[i]) { p = put_u64(p, (uint64_t)bs[i]); *p++ = 'S'; }
+        *p++ = '\t';
+        *p++ = '=';
+        *p++ = '\t';
+        p = put_i64(p, pnext[i]);
+        *p++ = '\t';
+        p = put_i64(p, tlen[i]);
+        *p++ = '\t';
+        const uint8_t* b = bases + r * stride;
+        const uint8_t* q8 = quals + r * stride;
+        if (flag[i] & 0x10) {
+            for (int64_t j = L - 1; j >= 0; j--) *p++ = DECODE_RC[b[j] & 7];
+            *p++ = '\t';
+            for (int64_t j = L - 1; j >= 0; j--) *p++ = (char)q8[j];
+        } else {
+            for (int64_t j = 0; j < L; j++) *p++ = DECODE_FWD[b[j] & 7];
+            *p++ = '\t';
+            memcpy(p, q8, L);
+            p += L;
+        }
+        *p++ = '\t';
+        memcpy(p, tag_pg, tag_pg_len);
+        p += tag_pg_len;
+        memcpy(p, "\tNM:i:", 6);
+        p += 6;
+        p = put_i64(p, nm[i]);
+        // tag order matches OutputWriter._tags: PG, NM, RG block
+        // (tag_tail), then the trailing QS:i: extra
+        memcpy(p, tag_tail, tag_tail_len);
+        p += tag_tail_len;
+        memcpy(p, "\tQS:i:", 6);
+        p += 6;
+        p = put_i64(p, qs[i]);
+        *p++ = '\n';
+        rec_end[i] = p - (char*)out;
+    }
+    return p - (char*)out;
+}
+
 }  // extern "C"

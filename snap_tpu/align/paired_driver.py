@@ -40,6 +40,9 @@ from .paired import finalize_pair
 from .pipeline import AlignParams, score_candidates, two_phase_merge
 from .single import winner_record
 
+# sentinel marking a pair fully handled by the vectorized plan
+_PLANNED_PAIR = ({"status": "planned"}, {"status": "planned"})
+
 
 @dataclass
 class PairedEndAligner:
@@ -87,6 +90,10 @@ class PairedEndAligner:
             np.array([c.start for c in cs], dtype=np.int64),
             np.array([c.start + c.length for c in cs], dtype=np.int64),
         )
+        self._sorted_contig_names = [
+            c.name.encode() if isinstance(c.name, str) else c.name
+            for c in cs
+        ]
         self.stats.is_paired = True
         self._spacing_samples: list[int] = []
         # finalize_pair fills these; flushed into stats per batch
@@ -129,7 +136,7 @@ class PairedEndAligner:
             lens[off : off + n] = np.minimum(rb.lengths, L)
         return bases, quals, lens
 
-    def align_batch(self, b0: ReadBatch, b1: ReadBatch):
+    def align_batch(self, b0: ReadBatch, b1: ReadBatch, plan_writer=None):
         import jax.numpy as jnp
 
         from ..index.host_lookup import host_clip_back
@@ -203,9 +210,20 @@ class PairedEndAligner:
                       "body_loc", "indels")
         }
 
+        plan = fast = None
+        if plan_writer is not None and b0.aux is None and b1.aux is None:
+            plan, fast, fast_spacing = self._plan_pairs(
+                f, b0, b1, n, bases, quals
+            )
+
         results = []
         spacing_samples: list[int] = []
+        if fast is not None and self.infer_spacing:
+            spacing_samples.extend(fast_spacing)
         for i in range(n):
+            if fast is not None and fast[i]:
+                results.append(_PLANNED_PAIR)
+                continue
             j = B + i
             len_ok0 = int(b0.lengths[i]) >= self.min_read_length
             len_ok1 = int(b1.lengths[i]) >= self.min_read_length
@@ -289,7 +307,409 @@ class PairedEndAligner:
         self.stats.ag_used_single += self._ag_counters.pop(
             "ag_used_single", 0
         )
+        if plan_writer is not None:
+            return results, plan
         return results
+
+    def _plan_ok(self, writer) -> bool:
+        """Whether batched native paired-SAM emission applies (the
+        paired analogue of SingleEndAligner._plan_ok): default
+        streaming-SAM config with no per-pair variable tags, filters,
+        secondaries, ALT supplementaries, or -fs semantics."""
+        from ..io.native import has_paired_formatter
+
+        return (
+            self.use_m
+            and self.internal_score_tag is None
+            and self.filter_flags == 0
+            and not self.force_spacing
+            and self.max_secondary_edit < 0
+            and not self.emit_alt
+            and getattr(writer, "_stream_sam", False)
+            and not getattr(writer, "preserve_fastq_comments", False)
+            and has_paired_formatter()
+        )
+
+    def _plan_pairs(self, f, b0, b1, n, bases, quals):
+        """Vectorized triage of the per-pair finalize.
+
+        The overwhelmingly common pair shape — one or two same-contig
+        combos, no ALT involvement, no chimeric-compare trigger, both
+        winning ends gapless/unclipped inside one contig — is fully
+        determined by the merged candidate arrays, so those pairs'
+        results (pair choice, merge anchors, pair MAPQ, flags, TLEN)
+        are computed for the whole batch at once and returned as a
+        native-emission plan; everything else falls to finalize_pair
+        row by row. Semantics mirror finalize_pair exactly for the
+        covered shapes (combo enumeration order, lexsort-greedy merge
+        anchors with (agScore, probability) rep choice, fillMateInfo
+        TLEN; IntersectingPairedEndAligner.cpp:927-997, SAM.cpp:1368-1420).
+
+        Returns (plan | None, fast_mask | None, spacing_samples).
+        """
+        from ..constants import PAIRED_MERGE_ANCHOR_DIST
+        from .post import compute_mapq_array
+        from .single import ag_restructure_possible
+
+        B = self.batch_size
+        K = f["valid"].shape[1]
+        r0s, r1s = slice(0, n), slice(B, B + n)
+        v0, v1 = f["valid"][r0s], f["valid"][r1s]
+        loc0 = f["cand_loc"][r0s].astype(np.int64)
+        loc1 = f["cand_loc"][r1s].astype(np.int64)
+        dm0 = f["direction"][r0s].astype(np.int64)
+        dm1 = f["direction"][r1s].astype(np.int64)
+        delta = np.abs(loc0[:, :, None] - loc1[:, None, :])
+        M = (
+            v0[:, :, None]
+            & v1[:, None, :]
+            & (dm0[:, :, None] != dm1[:, None, :])
+            & (delta >= self.min_spacing)
+            & (delta <= self.max_spacing)
+        )
+        Mf = M.reshape(n, K * K)
+        nc = Mf.sum(axis=1)
+        ar = np.arange(n)
+        c_a = Mf.argmax(axis=1)
+        Mf2 = Mf.copy()
+        Mf2[ar, c_a] = False
+        c_b = Mf2.argmax(axis=1)
+        has2 = nc == 2
+
+        len_ok0 = np.asarray(b0.lengths[:n]) >= self.min_read_length
+        len_ok1 = np.asarray(b1.lengths[:n]) >= self.min_read_length
+        fast = len_ok0 & len_ok1 & (nc >= 1) & (nc <= 2)
+        if self.alt_awareness and self.first_alt_start is not None:
+            bd = self.first_alt_start
+            has_alt = ((loc0 >= bd) & v0).any(axis=1) | (
+                (loc1 >= bd) & v1
+            ).any(axis=1)
+            fast &= ~has_alt
+        if not fast.any():
+            return None, None, []
+
+        i0a, i1a = c_a // K, c_a % K
+        i0b, i1b = c_b // K, c_b % K
+        ag0 = f["ag_score"][r0s].astype(np.int64)
+        ag1 = f["ag_score"][r1s].astype(np.int64)
+        lp0 = f["log_prob"][r0s].astype(np.float64)
+        lp1 = f["log_prob"][r1s].astype(np.float64)
+        e0arr = f["end_loc"][r0s].astype(np.int64)
+        e1arr = f["end_loc"][r1s].astype(np.int64)
+        ag_a = ag0[ar, i0a] + ag1[ar, i1a]
+        ag_b = ag0[ar, i0b] + ag1[ar, i1b]
+        pr_a = np.exp(lp0[ar, i0a] + lp1[ar, i1a])
+        pr_b = np.exp(lp0[ar, i0b] + lp1[ar, i1b])
+        e0_a, e1_a = e0arr[ar, i0a], e1arr[ar, i1a]
+        e0_b, e1_b = e0arr[ar, i0b], e1arr[ar, i1b]
+        # the greedy merge walks combos in (e0, e1) lexsort order with
+        # stable ties (= enumeration order); swap so "a" comes first
+        swap = has2 & (
+            (e0_b < e0_a) | ((e0_b == e0_a) & (e1_b < e1_a))
+        )
+
+        def sw(a, b):
+            return np.where(swap, b, a), np.where(swap, a, b)
+
+        ag_a, ag_b = sw(ag_a, ag_b)
+        pr_a, pr_b = sw(pr_a, pr_b)
+        e0_a, e0_b = sw(e0_a, e0_b)
+        e1_a, e1_b = sw(e1_a, e1_b)
+        i0a, i0b = sw(i0a, i0b)
+        i1a, i1b = sw(i1a, i1b)
+        # rep/best choice: later combo wins only when strictly better
+        # by (agScore, probability)
+        b_better = has2 & (
+            (ag_b > ag_a) | ((ag_b == ag_a) & (pr_b > pr_a))
+        )
+        ch_i0 = np.where(b_better, i0b, i0a)
+        ch_i1 = np.where(b_better, i1b, i1a)
+        pr_ch = np.where(b_better, pr_b, pr_a)
+        anchored = (
+            has2
+            & (np.abs(e0_a - e0_b) <= PAIRED_MERGE_ANCHOR_DIST)
+            & (np.abs(e1_a - e1_b) <= PAIRED_MERGE_ANCHOR_DIST)
+        )
+        p_all = np.where(has2 & ~anchored, pr_a + pr_b, pr_ch)
+
+        pop0 = f["popular"][r0s].astype(np.int64)
+        pop1 = f["popular"][r1s].astype(np.int64)
+        mapq0 = compute_mapq_array(p_all, pr_ch, pop0)
+        mapq1 = compute_mapq_array(p_all, pr_ch, pop1)
+
+        dist0 = f["dist"][r0s].astype(np.int64)
+        dist1 = f["dist"][r1s].astype(np.int64)
+        esc0 = f["escalated"][r0s].astype(bool)
+        esc1 = f["escalated"][r1s].astype(bool)
+        sc0 = dist0[ar, ch_i0]
+        sc1 = dist1[ar, ch_i1]
+        # chimeric double-check (ChimericPairedEndAligner.cpp:230-243,
+        # 404-436), vectorized: single-end finalize of both ends via
+        # finalize_batch, the (agScore >= single) min-MAPQ rule, and
+        # the actual single-fallback pairs routed to the exact path
+        agch0 = ag0[ar, ch_i0]
+        agch1 = ag1[ar, ch_i1]
+        cmp_mask = fast & (
+            (esc0[ar, ch_i0] | esc1[ar, ch_i1])
+            & (np.maximum(sc0, sc1) >= self.min_score_realignment)
+        )
+        cmp_rows = np.flatnonzero(cmp_mask)
+        if cmp_rows.size:
+            from .post import finalize_batch
+
+            sub = np.concatenate([cmp_rows, B + cmp_rows])
+            res = finalize_batch(
+                f["dist"][sub], f["log_prob"][sub], f["ag_score"][sub],
+                f["end_loc"][sub], f["cand_loc"][sub],
+                f["direction"][sub], f["valid"][sub],
+                f["popular"][sub].astype(np.int64),
+                alt_awareness=self.alt_awareness,
+                max_score_gap_to_prefer_non_alt=(
+                    self.max_score_gap_to_prefer_non_alt
+                ),
+                max_k=self.params.max_k,
+                extra_search_depth=self.params.extra_search_depth,
+                lv_dists=(
+                    f["lv_dist"][sub] if "lv_dist" in f else None
+                ),
+            )
+            m = cmp_rows.size
+            s_found = np.array([
+                r[0].status not in ("notfound", "filtered") for r in res
+            ])
+            s_mapq = np.array([r[0].mapq for r in res], np.int64)
+            s_ci = np.array([r[0].cand_index for r in res], np.int64)
+            ag_sub = f["ag_score"][sub].astype(np.int64)
+            sag = np.where(
+                s_found, ag_sub[np.arange(2 * m), np.maximum(s_ci, 0)], 0
+            )
+            sag0, sag1 = sag[:m], sag[m:]
+            choose = (agch0[cmp_rows] < sag0) & (agch1[cmp_rows] < sag1)
+            fallback = (
+                sag0 + sag1
+                >= agch0[cmp_rows] + agch1[cmp_rows]
+                + self.min_ag_improvement
+            )
+            fast[cmp_rows[fallback]] = False
+            stayed = ~fallback
+            m0 = stayed & choose & s_found[:m]
+            m1 = stayed & choose & s_found[m:]
+            mapq0[cmp_rows[m0]] = np.minimum(
+                mapq0[cmp_rows[m0]], s_mapq[:m][m0]
+            )
+            mapq1[cmp_rows[m1]] = np.minimum(
+                mapq1[cmp_rows[m1]], s_mapq[m:][m1]
+            )
+            # -proAg accounting for the fast compares (the slow path
+            # counts its own in finalize_pair)
+            self._ag_counters["ag_forced_single"] = (
+                self._ag_counters.get("ag_forced_single", 0)
+                + 2 * int(stayed.sum())
+            )
+
+        plen0 = f["len_eff"][r0s].astype(np.int64)
+        plen1 = f["len_eff"][r1s].astype(np.int64)
+        orig0 = np.asarray(b0.lengths[:n]).astype(np.int64)
+        orig1 = np.asarray(b1.lengths[:n]).astype(np.int64)
+        back0 = orig0 - plen0
+        back1 = orig1 - plen1
+        dir0 = dm0[ar, ch_i0]
+        dir1 = dm1[ar, ch_i1]
+        end0 = e0arr[ar, ch_i0]
+        end1 = e1arr[ar, ch_i1]
+        start0 = end0 - plen0
+        start1 = end1 - plen1
+        starts, ends = self.contig_bounds
+        ci0 = np.searchsorted(starts, start0, side="right") - 1
+        ci1 = np.searchsorted(starts, start1, side="right") - 1
+        ci0c = np.clip(ci0, 0, len(starts) - 1)
+        ci1c = np.clip(ci1, 0, len(starts) - 1)
+        inside0 = (
+            (ci0 >= 0)
+            & (start0 >= starts[ci0c])
+            & (start0 + plen0 <= ends[ci0c])
+        )
+        inside1 = (
+            (ci1 >= 0)
+            & (start1 >= starts[ci1c])
+            & (start1 + plen1 <= ends[ci1c])
+        )
+        fast &= (
+            (f["indels"][r0s][ar, ch_i0] == 0)
+            & (f["indels"][r1s][ar, ch_i1] == 0)
+            & (f["clip_before"][r0s][ar, ch_i0] == 0)
+            & (f["clip_after"][r0s][ar, ch_i0] == 0)
+            & (f["clip_before"][r1s][ar, ch_i1] == 0)
+            & (f["clip_after"][r1s][ar, ch_i1] == 0)
+            & (back0 >= 0)
+            & (back1 >= 0)
+            & inside0
+            & inside1
+            & (ci0c == ci1c)
+        )
+        if self.params.use_affine_gap:
+            # emission-time AG CIGAR rule (ReadWriter.cpp:231): ends
+            # whose substitutions could restructure into a gap leave
+            # the plan and take winner_record's AG traceback
+            for bat, st, pl, dr, ds in (
+                (b0, start0, plen0, dir0, sc0),
+                (b1, start1, plen1, dir1, sc1),
+            ):
+                agrows = np.flatnonzero(fast & (ds >= 2))
+                if agrows.size:
+                    flg = ag_restructure_possible(
+                        self.genome_np, bat.bases, agrows,
+                        dr[agrows], st[agrows], pl[agrows],
+                        np.zeros(agrows.size, np.int64), ds[agrows],
+                        match=self.params.ag_match,
+                        sub=self.params.ag_sub,
+                        gap_open=self.params.ag_open,
+                        gap_extend=self.params.ag_extend,
+                    )
+                    fast[agrows[flg]] = False
+
+        fr = np.flatnonzero(fast)
+        nf = fr.size
+        if nf == 0:
+            return None, None, []
+
+        fs0 = np.where(dir0 == 1, back0, 0)
+        bs0 = np.where(dir0 == 1, 0, back0)
+        fs1 = np.where(dir1 == 1, back1, 0)
+        bs1 = np.where(dir1 == 1, 0, back1)
+        my_s0 = start0 - fs0
+        my_e0 = start0 + plen0 + bs0
+        my_s1 = start1 - fs1
+        my_e1 = start1 + plen1 + bs1
+        tlen0 = _tl_vec(my_s0, my_e0, dir0 == 1, my_s1, my_e1, dir1 == 1)
+        tlen1 = _tl_vec(my_s1, my_e1, dir1 == 1, my_s0, my_e0, dir0 == 1)
+        pos0 = start0 - starts[ci0c] + 1
+        pos1 = start1 - starts[ci1c] + 1
+        flag0 = (
+            FLAG_PAIRED | FLAG_PROPER | FLAG_FIRST
+        ) + dir0 * FLAG_RC + dir1 * FLAG_NEXT_RC
+        flag1 = (
+            FLAG_PAIRED | FLAG_PROPER | FLAG_LAST
+        ) + dir1 * FLAG_RC + dir0 * FLAG_NEXT_RC
+        # QS:i: = the MATE's Picard quality sum (>= phred 15)
+        q0 = quals[fr].astype(np.int32)
+        q1 = quals[B + fr].astype(np.int32)
+        qsum0 = ((q0 - 33) * (q0 >= 48)).sum(axis=1)
+        qsum1 = ((q1 - 33) * (q1 >= 48)).sum(axis=1)
+
+        def inter(a0, a1, dtype):
+            out = np.empty(2 * nf, dtype=dtype)
+            out[0::2] = a0[fr]
+            out[1::2] = a1[fr]
+            return out
+
+        rows = np.empty(2 * nf, np.int32)
+        rows[0::2] = fr
+        rows[1::2] = B + fr
+        qs = np.empty(2 * nf, np.int32)
+        qs[0::2] = qsum1
+        qs[1::2] = qsum0
+        plan = {
+            "mask": fast,
+            "pairs": fr,
+            "rows": rows,
+            "flag": inter(flag0, flag1, np.int32),
+            "rname_id": inter(ci0c, ci1c, np.int32),
+            "pos": inter(pos0, pos1, np.int64),
+            "mapq": inter(mapq0, mapq1, np.int32),
+            "fs": inter(fs0, fs1, np.int32),
+            "mlen": inter(plen0, plen1, np.int32),
+            "bs": inter(bs0, bs1, np.int32),
+            "nm": inter(sc0, sc1, np.int32),
+            "rlen": inter(orig0, orig1, np.int32),
+            "pnext": inter(pos1, pos0, np.int64),
+            "tlen": inter(tlen0, tlen1, np.int64),
+            "qs": qs,
+            "bases": bases,
+            "quals": quals,
+        }
+        spacing = (
+            np.abs(loc0[ar, ch_i0] - loc1[ar, ch_i1])[fr].tolist()
+            if self.infer_spacing
+            else []
+        )
+        return plan, fast, spacing
+
+    def _emit_planned_pairs(self, writer, b0, b1, results, plan):
+        """Batched paired emission: one native call formats every
+        planned pair's two records; slow pairs interleave in input
+        order through _emit_pair (mirrors the single-end path)."""
+        from ..io import native as _native
+
+        B = self.batch_size
+        fr = plan["pairs"]
+        nf = fr.size
+        n = len(b0)
+        # shared pair QNAME with the /1 + /2 truncation rule
+        # (ReadWriter.cpp:406-421)
+        q_ids = [b""] * (2 * B)
+        for ii in fr:
+            ii = int(ii)
+            id0, id1 = b0.ids[ii], b1.ids[ii]
+            if (
+                len(id0) == len(id1)
+                and len(id0) > 2
+                and id0[-2:-1] == b"/"
+                and id1[-2:-1] == b"/"
+                and id0[-1:] in (b"1", b"2")
+                and id1[-1:] in (b"1", b"2")
+                and id0[-1:] != id1[-1:]
+            ):
+                id0 = id0[:-2]
+            q_ids[ii] = q_ids[B + ii] = id0
+        qname_off = np.zeros(2 * B + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in q_ids], out=qname_off[1:])
+        qname_buf = b"".join(q_ids)
+        names = self._sorted_contig_names
+        rname_off = np.zeros(len(names) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in names], out=rname_off[1:])
+        rname_buf = b"".join(names)
+        tag_pg = f"PG:Z:{writer.program_id}".encode()
+        rg = [f"RG:Z:{writer.read_group.rg_id}"] + [
+            f"{k}:Z:{v}" for k, v in writer.read_group.attrs
+        ]
+        tag_tail = ("\t" + "\t".join(rg)).encode()
+        formatted = _native.format_sam_paired(
+            plan["bases"], plan["quals"], qname_buf, qname_off,
+            rname_buf, rname_off, plan["rows"], plan["flag"],
+            plan["rname_id"], plan["pos"], plan["mapq"], plan["fs"],
+            plan["mlen"], plan["bs"], plan["nm"], plan["rlen"],
+            plan["pnext"], plan["tlen"], plan["qs"],
+            tag_pg, tag_tail,
+        )
+        if formatted is None:
+            raise RuntimeError(
+                "native paired SAM formatter unavailable after planning"
+            )
+        blob, rec_end = formatted
+        mq = plan["mapq"]
+        self.stats.total += 2 * nf
+        n_single = int((mq >= MAPQ_LIMIT_FOR_SINGLE_HIT).sum())
+        self.stats.single += n_single
+        self.stats.multi += 2 * nf - n_single
+        self.stats.aligned_as_pairs += 2 * nf
+        self.stats.mapq_histogram += np.bincount(
+            np.minimum(mq, 70), minlength=71
+        )
+        out = writer.out
+        complex_rows = np.flatnonzero(~plan["mask"][:n])
+        k = 0  # planned pairs already flushed
+        for i in complex_rows:
+            j = int(np.searchsorted(fr, i))
+            if j > k:
+                a = 0 if k == 0 else int(rec_end[2 * k - 1])
+                out.write(blob[a : int(rec_end[2 * j - 1])])
+                k = j
+            r0, r1 = results[int(i)]
+            self._emit_pair(writer, b0, b1, int(i), r0, r1)
+        if k < nf:
+            a = 0 if k == 0 else int(rec_end[2 * k - 1])
+            out.write(blob[a:])
 
     def _fix_edge_indels(
         self, f, bases, len_eff, didx_sc, dev_bases, dev_quals
@@ -427,6 +847,7 @@ class PairedEndAligner:
     ) -> AlignerStats:
         writer.write_header()
         t0 = time.time()
+        plan_ok = self._plan_ok(writer)
         progress = ProgressReporter()
         from ..io.readers import ReadAheadQueue
 
@@ -447,11 +868,19 @@ class PairedEndAligner:
             if not self.ignore_mismatched_ids:
                 self._check_ids(b0, b1)
             ta = time.time()
-            results = self.align_batch(b0, b1)
+            if plan_ok:
+                results, plan = self.align_batch(
+                    b0, b1, plan_writer=writer
+                )
+            else:
+                results, plan = self.align_batch(b0, b1), None
             self.stats.seconds_aligning += time.time() - ta
             tw = time.time()
-            for i, (r0, r1) in enumerate(results):
-                self._emit_pair(writer, b0, b1, i, r0, r1)
+            if plan is not None:
+                self._emit_planned_pairs(writer, b0, b1, results, plan)
+            else:
+                for i, (r0, r1) in enumerate(results):
+                    self._emit_pair(writer, b0, b1, i, r0, r1)
             self.stats.seconds_writing += time.time() - tw
             progress.update(2 * len(b0))
         self.stats.align_seconds = time.time() - t0
@@ -721,6 +1150,23 @@ def _trailing_clip(cigar: str) -> int:
     if m and m.start() > 0:
         n += int(m.group(1))
     return n
+
+
+def _tl_vec(my_s, my_e, my_rc, mate_s, mate_e, mate_rc):
+    """Vectorized _template_length over absolute unclipped spans (the
+    planned-pair fast path; same FR/FF/RF/RR cases, SAM.cpp:1368-1420)."""
+    lt = my_s < mate_s
+    r_lt = np.where(
+        ~my_rc,
+        np.where(mate_rc, mate_e - my_s, mate_s - my_s),
+        np.where(~mate_rc, mate_s - my_e, mate_e - my_e),
+    )
+    r_ge = np.where(
+        my_rc,
+        np.where(~mate_rc, -(my_e - mate_s), -(my_e - mate_e)),
+        np.where(~mate_rc, -(my_s - mate_s), -(my_s - mate_e)),
+    )
+    return np.where(lt, r_lt, r_ge)
 
 
 def _template_length(r: dict, mate: dict, pos: int, mpos: int) -> int:

@@ -101,6 +101,25 @@ def load():
             u8p = ctypes.POINTER(ctypes.c_uint8)
             i32p = ctypes.POINTER(ctypes.c_int32)
             i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.snapio_format_sam_paired.restype = ctypes.c_int64
+            lib.snapio_format_sam_paired.argtypes = [
+                u8p, u8p, ctypes.c_int64,            # bases, quals, stride
+                u8p, i64p,                            # qname buf/off
+                u8p, i64p,                            # rname buf/off
+                i32p, ctypes.c_int64,                 # rows, n
+                i32p, i32p, i64p,                     # flag, rname_id, pos
+                i32p, i32p, i32p, i32p, i32p, i32p,   # mapq fs mlen bs nm rlen
+                i64p, i64p, i32p,                     # pnext, tlen, qs
+                u8p, ctypes.c_int64,                  # tag_pg
+                u8p, ctypes.c_int64,                  # tag_tail
+                u8p, ctypes.c_int64, i64p,            # out, cap, rec_end
+            ]
+        except AttributeError:
+            pass  # stale library without the paired formatter
+        try:
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
             lib.snapio_ag_cigar_batch.restype = ctypes.c_int64
             lib.snapio_ag_cigar_batch.argtypes = [
                 u8p, ctypes.c_int64,                 # genome, glen
@@ -170,6 +189,80 @@ def available() -> bool:
 def has_sam_formatter() -> bool:
     lib = load()
     return lib is not None and hasattr(lib, "snapio_format_sam_simple")
+
+
+def has_paired_formatter() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "snapio_format_sam_paired")
+
+
+def format_sam_paired(
+    bases: np.ndarray,          # [2B, L] u8 base codes (stacked ends)
+    quals: np.ndarray,          # [2B, L] u8 phred+33 bytes
+    qname_buf: bytes,           # b"".join(per-row qnames)
+    qname_off: np.ndarray,      # [2B+1] i64
+    rname_buf: bytes,
+    rname_off: np.ndarray,
+    rows: np.ndarray,           # [n] i32 stacked-row index per record
+    flag: np.ndarray,           # [n] i32 full pair flags
+    rname_id: np.ndarray,
+    pos: np.ndarray,            # [n] i64 1-based
+    mapq: np.ndarray,
+    fs: np.ndarray, mlen: np.ndarray, bs: np.ndarray,
+    nm: np.ndarray, rlen: np.ndarray,
+    pnext: np.ndarray,          # [n] i64 (RNEXT is always "=")
+    tlen: np.ndarray,           # [n] i64
+    qs: np.ndarray,             # [n] i32 mate quality sums (QS:i:)
+    tag_pg: bytes, tag_tail: bytes,
+) -> tuple[memoryview, np.ndarray] | None:
+    """Format n simple paired SAM records in one native call; None when
+    the native library (or this entry point) is unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "snapio_format_sam_paired"):
+        return None
+    n = len(rows)
+    if n == 0:
+        return memoryview(b""), np.zeros(0, dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    name_lens = qname_off[1:] - qname_off[:-1]
+    cap = int(
+        name_lens[rows].sum()
+        + 2 * rlen.astype(np.int64).sum()
+        + n * (128 + len(tag_pg) + len(tag_tail))
+    )
+    out = np.empty(cap, dtype=np.uint8)
+    rec_end = np.empty(n, dtype=np.int64)
+    bases = np.ascontiguousarray(bases)
+    quals = np.ascontiguousarray(quals)
+    args = [np.ascontiguousarray(a) for a in (
+        qname_off, rows, flag, rname_id, pos, mapq, fs, mlen, bs, nm,
+        rlen, pnext, tlen, qs,
+    )]
+    (qname_off, rows, flag, rname_id, pos, mapq, fs, mlen, bs, nm,
+     rlen, pnext, tlen, qs) = args
+    as_u8 = lambda b: ctypes.cast(ctypes.c_char_p(b), u8p)
+    total = lib.snapio_format_sam_paired(
+        bases.ctypes.data_as(u8p), quals.ctypes.data_as(u8p),
+        bases.shape[1],
+        as_u8(qname_buf), qname_off.ctypes.data_as(i64p),
+        as_u8(rname_buf), rname_off.ctypes.data_as(i64p),
+        rows.ctypes.data_as(i32p), n,
+        flag.ctypes.data_as(i32p), rname_id.ctypes.data_as(i32p),
+        pos.ctypes.data_as(i64p), mapq.ctypes.data_as(i32p),
+        fs.ctypes.data_as(i32p), mlen.ctypes.data_as(i32p),
+        bs.ctypes.data_as(i32p), nm.ctypes.data_as(i32p),
+        rlen.ctypes.data_as(i32p),
+        pnext.ctypes.data_as(i64p), tlen.ctypes.data_as(i64p),
+        qs.ctypes.data_as(i32p),
+        as_u8(tag_pg), len(tag_pg), as_u8(tag_tail), len(tag_tail),
+        out.ctypes.data_as(u8p), cap,
+        rec_end.ctypes.data_as(i64p),
+    )
+    if total < 0:
+        return None
+    return memoryview(out.data)[:total], rec_end
 
 
 def format_sam_simple(
