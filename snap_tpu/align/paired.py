@@ -90,6 +90,7 @@ def finalize_pair(
     max_secondary: int = 0x7FFFFFFF,                      # -omax
     max_k: int = 127,
     extra_search_depth: int = 1,
+    use_ukkonen: bool = True,
     counters: dict | None = None,
 ) -> tuple[
     PairEndResult, PairEndResult,
@@ -220,7 +221,7 @@ def finalize_pair(
             is_alt=is_alt, alt_awareness=alt_awareness,
             max_score_gap_to_prefer_non_alt=max_score_gap_to_prefer_non_alt,
             max_k=max_k, extra_search_depth=extra_search_depth,
-            lv_dists=c.get("lv_dist"),
+            lv_dists=c.get("lv_dist"), use_ukkonen=use_ukkonen,
         )
         return ra
 

@@ -246,6 +246,7 @@ class PairedEndAligner:
                 max_secondary=self.max_secondary,
                 max_k=self.params.max_k,
                 extra_search_depth=self.params.extra_search_depth,
+                use_ukkonen=self.params.use_ukkonen,
                 counters=self._ag_counters,
             )
             if (
@@ -472,6 +473,7 @@ class PairedEndAligner:
                 lv_dists=(
                     f["lv_dist"][sub] if "lv_dist" in f else None
                 ),
+                use_ukkonen=self.params.use_ukkonen,
             )
             m = cmp_rows.size
             s_found = np.array([

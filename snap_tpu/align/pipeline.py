@@ -72,6 +72,9 @@ class AlignParams:
     ag_b5: int = 10
     ag_b3: int = 7
     min_weight: int = 1               # -ms minWeightToCheck
+    use_ukkonen: bool = True          # -nu disables the dynamic score
+                                      # limit replay (DisabledOptimizations
+                                      # .noUkkonen, AlignerOptions.h:78-88)
 
     @property
     def num_lookups(self) -> int:
@@ -1237,6 +1240,7 @@ def _device_finalize(
     max_k: int = 127,
     extra_search_depth: int = 1,
     return_scores: bool = False,
+    use_ukkonen: bool = True,
 ) -> WinnerOut:
     from ..constants import MAPQ_MAX, MAX_MERGE_DIST
 
@@ -1334,12 +1338,13 @@ def _device_finalize(
         inc_cols.append(ok)
         run_all = jnp.where(ok, jnp.minimum(run_all, dk), run_all)
         run_na = jnp.where(ok & ~ak, jnp.minimum(run_na, dk), run_na)
-    inc_orig = jnp.stack(inc_cols, axis=1)  # [B, K] original slots
-    # back to sorted space: included flag of the rep at each sorted slot
-    inc_s = jnp.take_along_axis(
-        inc_orig, k_s.astype(jnp.int64), axis=1
-    )
-    reps = reps & inc_s
+    if use_ukkonen:
+        inc_orig = jnp.stack(inc_cols, axis=1)  # [B, K] original slots
+        # back to sorted space: included flag of the rep per sorted slot
+        inc_s = jnp.take_along_axis(
+            inc_orig, k_s.astype(jnp.int64), axis=1
+        )
+        reps = reps & inc_s
 
     probs = jnp.where(reps, jnp.exp(lp_s.astype(jnp.float64)), 0.0)
     p_all = probs.sum(axis=1)
@@ -1493,6 +1498,7 @@ def align_winners_device(
             params.use_affine_gap, needs_total, dp_rows,
             max_k=params.max_k,
             extra_search_depth=params.extra_search_depth,
+            use_ukkonen=params.use_ukkonen,
         )
         return pack_winners(win), out
 
@@ -1510,7 +1516,7 @@ def align_winners_device(
         out_a, first_alt_start, alt_awareness, max_score_gap,
         params.use_affine_gap, needs_a, dp_a,
         max_k=params.max_k, extra_search_depth=params.extra_search_depth,
-        return_scores=True,
+        return_scores=True, use_ukkonen=params.use_ukkonen,
     )
 
     # SNAP's stop rule (BaseAligner.cpp:1028): quit seeding when
@@ -1556,6 +1562,7 @@ def align_winners_device(
         out_b, first_alt_start, alt_awareness, max_score_gap,
         params.use_affine_gap, needs_b, dp_b,
         max_k=params.max_k, extra_search_depth=params.extra_search_depth,
+        use_ukkonen=params.use_ukkonen,
     )
 
     def mrg(a, b):

@@ -142,6 +142,7 @@ def finalize_batch(
     max_k: int = 127,
     extra_search_depth: int = 1,
     lv_dists: np.ndarray | None = None,
+    use_ukkonen: bool = True,
 ) -> list[tuple[ReadAlignment, None]]:
     """Vectorized finalize_read over a whole batch.
 
@@ -209,14 +210,15 @@ def finalize_batch(
         if is_alt is not None
         else np.zeros((B, K), dtype=bool)
     )
-    inc = ukkonen_included(
-        rep_mask2.reshape(B, K), dists.astype(np.int64), alt_orig,
-        max_k, extra_search_depth, max_score_gap_to_prefer_non_alt,
-        lv=(
-            lv_dists.astype(np.int64) if lv_dists is not None else None
-        ),
-    )
-    ri = ri[inc.reshape(-1)[orig_of_sorted[ri]]]
+    if use_ukkonen:
+        inc = ukkonen_included(
+            rep_mask2.reshape(B, K), dists.astype(np.int64), alt_orig,
+            max_k, extra_search_depth, max_score_gap_to_prefer_non_alt,
+            lv=(
+                lv_dists.astype(np.int64) if lv_dists is not None else None
+            ),
+        )
+        ri = ri[inc.reshape(-1)[orig_of_sorted[ri]]]
 
     p_all = np.bincount(ri_rows := ro[ri], weights=po[ri], minlength=B)
 
@@ -286,6 +288,7 @@ def finalize_batch(
                     lv_dists=(
                         lv_dists[i] if lv_dists is not None else None
                     ),
+                    use_ukkonen=use_ukkonen,
                 )
             )
             continue
@@ -401,6 +404,7 @@ def finalize_read(
     max_k: int = 127,
     extra_search_depth: int = 1,
     lv_dists: np.ndarray | None = None,
+    use_ukkonen: bool = True,
 ) -> tuple[ReadAlignment, ReadAlignment | None]:
     """Merge scored candidates of one read and pick the primary.
 
@@ -487,16 +491,17 @@ def finalize_read(
         if is_alt is not None
         else np.zeros(K_all, dtype=bool)
     )
-    inc = ukkonen_included(
-        rep_mask, dists.astype(np.int64)[None], alt_orig[None],
-        max_k, extra_search_depth, max_score_gap_to_prefer_non_alt,
-        lv=(
-            lv_dists.astype(np.int64)[None]
-            if lv_dists is not None
-            else None
-        ),
-    )
-    reps = reps[inc[0, sel[reps]]]
+    if use_ukkonen:
+        inc = ukkonen_included(
+            rep_mask, dists.astype(np.int64)[None], alt_orig[None],
+            max_k, extra_search_depth, max_score_gap_to_prefer_non_alt,
+            lv=(
+                lv_dists.astype(np.int64)[None]
+                if lv_dists is not None
+                else None
+            ),
+        )
+        reps = reps[inc[0, sel[reps]]]
     if reps.size == 0:
         return ReadAlignment(status="notfound"), None
 

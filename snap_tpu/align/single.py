@@ -710,6 +710,7 @@ class SingleEndAligner:
                 max_score_gap_to_prefer_non_alt=self.max_score_gap,
                 max_k=self.params.max_k,
                 extra_search_depth=self.params.extra_search_depth,
+                use_ukkonen=self.params.use_ukkonen,
                 lv_dists=merged["lv_dist"][:n],
             )
         for i in range(len(batch)):
@@ -729,6 +730,7 @@ class SingleEndAligner:
                     max_score_gap_to_prefer_non_alt=self.max_score_gap,
                     max_k=self.params.max_k,
                     extra_search_depth=self.params.extra_search_depth,
+                    use_ukkonen=self.params.use_ukkonen,
                     lv_dists=merged["lv_dist"][i],
                 )
             if ra.status == "notfound":
@@ -931,6 +933,7 @@ class SingleEndAligner:
                 max_score_gap_to_prefer_non_alt=self.max_score_gap,
                 max_k=self.params.max_k,
                 extra_search_depth=self.params.extra_search_depth,
+                use_ukkonen=self.params.use_ukkonen,
                 lv_dists=merged["lv_dist"][j],
             )
             if ra.status == "notfound":
@@ -1247,6 +1250,7 @@ class SingleEndAligner:
                     max_score_gap_to_prefer_non_alt=self.max_score_gap,
                     max_k=self.params.max_k,
                     extra_search_depth=self.params.extra_search_depth,
+                    use_ukkonen=self.params.use_ukkonen,
                     lv_dists=np.asarray(fb["lv_dist"][j]),
                 )
                 if ra.status == "notfound":

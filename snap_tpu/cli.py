@@ -263,6 +263,7 @@ def cmd_single(args: list[str]) -> int:
         force_gzip=opts["force_gzip"],
         mesh=mesh,
         threads=opts["threads"],
+        adaptive=opts["adaptive"],
     )
 
     def run_all(writer):
@@ -294,7 +295,7 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
         "clip_back": True, "sort_memory_mb": None, "sort_tmp_dir": None,
         "is_tag": None, "fmb": 3, "en": 3, "eg": 24,
         "read_secondary": False, "at": False, "sam_no_sq": False,
-        "eh": True, "ishards": 1, "ku": False,
+        "eh": True, "ishards": 1, "ku": False, "adaptive": True,
         "quiet": False, "very_quiet": False, "hdp": False, "kts": False,
         "force_kind": None, "force_gzip": False, "interleaved": False,
     }
@@ -303,15 +304,18 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
     # handled by numpy-mmap, XLA, and the async output path):
     # Knobs whose concerns don't exist in this design (mmap/prefetch/
     # huge pages/processor binding/write buffers are handled by
-    # numpy-mmap, XLA, and the async output path). The -nX flags disable
-    # sequential-evaluation optimizations (AlignerOptions.h:78-88) that
-    # the batched wavefront doesn't perform, so results already match
-    # their disabled behavior. -eh toggles Hamming scoring in the
+    # numpy-mmap, XLA, and the async output path). Of the -nX
+    # disable-optimization flags (AlignerOptions.h:78-88), -nu
+    # (noUkkonen) and -nt (noTruncation) are REAL knobs — the wavefront
+    # replays both optimizations — parsed below; the remaining ones
+    # (-no ordered evaluation, -ne, -nb banded AG, -ni) name sequential
+    # strategies the batched design doesn't perform, so results already
+    # match their disabled behavior. -eh toggles Hamming scoring in the
     # single-end fallback; -es is the ALT realignment score gap; -N the
     # fallback seed count — the batched chimeric fallback reuses the
     # pair wavefront's candidates, so these have no separate knob.
     noop_flags = {"-map", "-map-", "-pre", "-pre-", "-hp", "-b-", "-P",
-                  "-di", "-lp", "-nu", "-no", "-nt", "-ne",
+                  "-di", "-lp", "-no", "-ne",
                   "-nb", "-ni", "-B", "-ins-"}
     noop_with_arg = {"-wbs", "-mcp", "-xf", "-es", "-N"}
     i = 0
@@ -422,6 +426,14 @@ def _parse_align_options(rest: list[str], batch_size: int = 512) -> dict:
             o["use_m"] = True; i += 1
         elif a == "-x":
             o["overrides"]["explore_popular"] = True; i += 1
+        elif a == "-nu":
+            # DisabledOptimizations.noUkkonen (AlignerOptions.h:78-88):
+            # score every rep regardless of the running score limit
+            o["overrides"]["use_ukkonen"] = False; i += 1
+        elif a == "-nt":
+            # .noTruncation: disable the seed-loop early stop (our
+            # adaptive two-phase wavefront) — full-depth every read
+            o["adaptive"] = False; i += 1
         elif a == "-D":
             o["overrides"]["extra_search_depth"] = int(rest[i + 1]); i += 2
         elif a == "-F" and i + 1 < len(rest):
