@@ -151,8 +151,12 @@ def winner_record(
         else:
             loc0 = int(arrays["body_loc"][ai, k])
             if not bool(arrays["escalated"][ai, k]):
+                # a path of edit cost `dist` ending at end_loc uses at
+                # most `dist` net deletions, so the recovery window
+                # only needs dist (+slack) extra text, not max_k
                 loc0, _, _ = compute_cigar(
-                    pattern, genome_np, end_loc, max_k
+                    pattern, genome_np, end_loc,
+                    min(max_k, dist + 2),
                 )
             res = compute_ag_cigar_at(
                 genome_np, loc0, body, bquals, front_clip, back_clip,
@@ -164,7 +168,8 @@ def winner_record(
             )
     if res is None:
         start_loc, cigar, nm = compute_cigar(
-            pattern, genome_np, end_loc, max_k,
+            pattern, genome_np, end_loc,
+            min(max_k, 2 * dist + 16),
             front_clip=front0, back_clip=back0, use_m=use_m,
         )
         used_body = pattern
