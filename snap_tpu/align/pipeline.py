@@ -1593,22 +1593,74 @@ WINNER_COLS = (
 )
 
 
+PACK_WORDS = 7
+
+
 def pack_winners(win: WinnerOut) -> jax.Array:
-    """[B+1, 16] int32: winner fields columnwise (uint32 locations
-    bitcast), dp_overflow in the extra row's column 0."""
-    cols = []
-    for name in WINNER_COLS:
-        c = getattr(win, name)
-        if c.dtype == jnp.uint32:
-            c = jax.lax.bitcast_convert_type(c, jnp.int32)
-        cols.append(c.astype(jnp.int32))
-    arr = jnp.stack(cols, axis=1)
+    """[B+1, 7] int32 bit-packed winner fields; dp_overflow in the
+    extra row's column 0.
+
+    Every non-location field fits in 16 bits (dist/clips/len_eff/
+    popular/counts are int16 upstream; mapq<=70; cand_k<max_cand), so
+    the 17 columns compress into 7 words = 28B/read device->host
+    instead of 68B — D2H winner fetch is a first-order cost on the
+    align step (reference accounting: AlignerContext.cpp:533-573).
+    Word layout (low|high):
+      w0 end_loc (uint32 bitcast)      w1 body_loc (uint32 bitcast)
+      w2 dist | clip_before            w3 clip_after | indels
+      w4 len_eff | popular             w5 valid_count | esc_count
+    indels saturates at 0x7FFF: it carries a 1<<20 "escalated, count
+    unknown" sentinel and the host only distinguishes zero/nonzero.
+      w6 cand_k | mapq(16..23) | flags(24..28:
+         found, fallback, direction, escalated, truncated)
+    """
+    M = jnp.int32(0xFFFF)
+
+    def lo16(name):
+        return getattr(win, name).astype(jnp.int32) & M
+
+    def pair(lo, hi):
+        return lo16(lo) | (lo16(hi) << jnp.int32(16))
+
+    def bit(name, b):
+        return getattr(win, name).astype(jnp.int32) << jnp.int32(b)
+
+    w6 = (
+        lo16("cand_k")
+        | (win.mapq.astype(jnp.int32) << jnp.int32(16))
+        | bit("found", 24) | bit("fallback", 25) | bit("direction", 26)
+        | bit("escalated", 27) | bit("truncated", 28)
+    )
+    arr = jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(win.end_loc, jnp.int32),
+            jax.lax.bitcast_convert_type(win.body_loc, jnp.int32),
+            pair("dist", "clip_before"),
+            lo16("clip_after")
+            | (
+                jnp.minimum(
+                    win.indels.astype(jnp.int32), jnp.int32(0x7FFF)
+                )
+                << jnp.int32(16)
+            ),
+            pair("len_eff", "popular"),
+            pair("valid_count", "esc_count"),
+            w6,
+        ],
+        axis=1,
+    )
     tail = (
-        jnp.zeros((1, len(WINNER_COLS)), jnp.int32)
+        jnp.zeros((1, PACK_WORDS), jnp.int32)
         .at[0, 0]
         .set(win.dp_overflow.astype(jnp.int32))
     )
     return jnp.concatenate([arr, tail], axis=0)
+
+
+def _sext16(x: np.ndarray) -> np.ndarray:
+    """Low 16 bits of int32 column, sign-extended (matches the int16
+    dtypes these fields had on device)."""
+    return ((x & 0xFFFF) ^ 0x8000) - 0x8000
 
 
 class HostWinners:
@@ -1616,15 +1668,26 @@ class HostWinners:
     WinnerOut field names as numpy columns."""
 
     def __init__(self, packed: np.ndarray):
-        body, meta = packed[:-1], packed[-1]
+        body, meta = packed[:-1].astype(np.int32), packed[-1]
         self.dp_overflow = bool(meta[0])
-        for j, name in enumerate(WINNER_COLS):
-            col = body[:, j]
-            if name in ("end_loc", "body_loc"):
-                col = col.astype(np.int64) & 0xFFFFFFFF
-            elif name in ("found", "fallback", "escalated", "truncated"):
-                col = col.astype(bool)
-            setattr(self, name, col)
+        self.end_loc = body[:, 0].astype(np.int64) & 0xFFFFFFFF
+        self.body_loc = body[:, 1].astype(np.int64) & 0xFFFFFFFF
+        self.dist = _sext16(body[:, 2])
+        self.clip_before = body[:, 2] >> 16  # arithmetic: sign-extends
+        self.clip_after = _sext16(body[:, 3])
+        self.indels = body[:, 3] >> 16
+        self.len_eff = _sext16(body[:, 4])
+        self.popular = body[:, 4] >> 16
+        self.valid_count = _sext16(body[:, 5])
+        self.esc_count = body[:, 5] >> 16
+        w6 = body[:, 6]
+        self.cand_k = w6 & 0xFFFF
+        self.mapq = (w6 >> 16) & 0xFF
+        self.found = ((w6 >> 24) & 1).astype(bool)
+        self.fallback = ((w6 >> 25) & 1).astype(bool)
+        self.direction = (w6 >> 26) & 1
+        self.escalated = ((w6 >> 27) & 1).astype(bool)
+        self.truncated = ((w6 >> 28) & 1).astype(bool)
 
 
 @jax.jit

@@ -77,3 +77,62 @@ def test_dp_overflow_flag_set_when_tier_too_small():
     w = HostWinners(jax.device_get(win_packed))
     # with a 1-row DP tier on mutated reads the overflow flag must trip
     assert w.dp_overflow
+
+
+def test_pack_unpack_bit_exact():
+    """Synthetic WinnerOut -> pack_winners -> HostWinners roundtrip.
+
+    Randomized in-range values for every field; unpacked columns must
+    equal the originals exactly (after the documented 16-bit
+    truncation, which is the identity for in-range values)."""
+    import jax
+    import jax.numpy as jnp
+
+    from snap_tpu.align.pipeline import (
+        HostWinners, PACK_WORDS, WinnerOut, pack_winners,
+    )
+
+    rng = np.random.default_rng(7)
+    B = 257
+    vals = dict(
+        found=rng.integers(0, 2, B).astype(bool),
+        fallback=rng.integers(0, 2, B).astype(bool),
+        cand_k=rng.integers(0, 512, B).astype(np.int32),
+        direction=rng.integers(0, 2, B).astype(np.uint8),
+        dist=rng.integers(-1, 300, B).astype(np.int16),
+        mapq=rng.integers(0, 71, B).astype(np.uint8),
+        end_loc=rng.integers(0, 1 << 32, B).astype(np.uint32),
+        body_loc=rng.integers(0, 1 << 32, B).astype(np.uint32),
+        clip_before=rng.integers(0, 30000, B).astype(np.int16),
+        clip_after=rng.integers(0, 30000, B).astype(np.int16),
+        escalated=rng.integers(0, 2, B).astype(bool),
+        indels=np.where(
+            rng.integers(0, 4, B) == 0, 1 << 20,
+            rng.integers(0, 128, B),
+        ).astype(np.int32),
+        len_eff=rng.integers(0, 30000, B).astype(np.int16),
+        popular=rng.integers(0, 64, B).astype(np.int16),
+        valid_count=rng.integers(0, 1024, B).astype(np.int16),
+        esc_count=rng.integers(0, 1024, B).astype(np.int16),
+        truncated=rng.integers(0, 2, B).astype(bool),
+    )
+    for overflow in (False, True):
+        win = WinnerOut(
+            **{k: jnp.asarray(v) for k, v in vals.items()},
+            dp_overflow=jnp.asarray(overflow),
+        )
+        packed = np.asarray(jax.device_get(jax.jit(pack_winners)(win)))
+        assert packed.shape == (B + 1, PACK_WORDS)
+        assert packed.dtype == np.int32
+        w = HostWinners(packed)
+        assert w.dp_overflow == overflow
+        for k, v in vals.items():
+            got = getattr(w, k)
+            if k in ("end_loc", "body_loc"):
+                v = v.astype(np.int64)
+            elif k == "indels":
+                v = np.minimum(v, 0x7FFF)  # documented saturation
+            np.testing.assert_array_equal(
+                np.asarray(got).astype(np.int64),
+                v.astype(np.int64), err_msg=k,
+            )
