@@ -1086,6 +1086,49 @@ def score_rows(
     )
 
 
+@jax.jit
+def _pack_tier1(t1):
+    """Compress Tier1Out's host-bound fields into two dense arrays so
+    the device->host hop ships 16B/candidate in 2 transfers instead of
+    29B across 7 (the hop is first-order on a link-attached chip;
+    reference accounting: AlignerContext.cpp:533-573).
+
+    cand words: w0 cand_loc (uint32 bitcast); w1 gapless_logp (f32
+    bitcast); w2 seed_off(0..15) | weight(16..23) | direction(24) |
+    valid(25); w3 gapless_dist (full int32 — it carries the 1<<20
+    "no gapless score" sentinel). n_lookups has no host consumer and
+    is dropped.
+    """
+    w2 = (
+        (t1.seed_off.astype(jnp.int32) & jnp.int32(0xFFFF))
+        | ((t1.weight.astype(jnp.int32) & jnp.int32(0xFF)) << jnp.int32(16))
+        | (t1.direction.astype(jnp.int32) << jnp.int32(24))
+        | (t1.valid.astype(jnp.int32) << jnp.int32(25))
+    )
+    cand = jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(
+                t1.cand_loc.astype(jnp.uint32), jnp.int32
+            ),
+            jax.lax.bitcast_convert_type(
+                t1.gapless_logp.astype(jnp.float32), jnp.int32
+            ),
+            w2,
+            t1.gapless_dist.astype(jnp.int32),
+        ],
+        axis=2,
+    )
+    per_read = jnp.stack(
+        [
+            (t1.len_eff.astype(jnp.int32) & jnp.int32(0xFFFF))
+            | (t1.popular.astype(jnp.int32) << jnp.int32(16)),
+            t1.truncated.astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    return cand, per_read
+
+
 def two_phase_merge(
     didx: DeviceIndex,
     t1,                 # Tier1Out (device pytree)
@@ -1106,18 +1149,21 @@ def two_phase_merge(
     import jax
 
 
-    t1_np = jax.device_get(t1)
-    cand_loc = np.asarray(t1_np.cand_loc).astype(np.int64)
+    cand_pk, read_pk = jax.device_get(_pack_tier1(t1))
+    cand_pk = np.ascontiguousarray(cand_pk)
+    cand_loc = (cand_pk[:, :, 0].astype(np.int64)) & 0xFFFFFFFF
     B, K = cand_loc.shape
-    seed_off = np.asarray(t1_np.seed_off).astype(np.int32)
-    direction = np.asarray(t1_np.direction).astype(np.int32)
-    valid = np.asarray(t1_np.valid)
-    weight = np.asarray(t1_np.weight).astype(np.int32)
-    gd = np.asarray(t1_np.gapless_dist).astype(np.int32)
-    glp = np.asarray(t1_np.gapless_logp)
-    len_eff = np.asarray(t1_np.len_eff)
-    popular = np.asarray(t1_np.popular)
-    truncated = np.asarray(t1_np.truncated)
+    glp = np.ascontiguousarray(cand_pk[:, :, 1]).view(np.float32)
+    w2 = cand_pk[:, :, 2]
+    seed_off = (((w2 & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int32)
+    weight = ((w2 >> 16) & 0xFF).astype(np.int32)
+    direction = ((w2 >> 24) & 1).astype(np.int32)
+    valid = ((w2 >> 25) & 1).astype(bool)
+    gd = cand_pk[:, :, 3].astype(np.int32)
+    r0 = read_pk[:, 0]
+    len_eff = (((r0 & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int32)
+    popular = (r0 >> 16).astype(np.int32)
+    truncated = read_pk[:, 1].astype(bool)
 
     GOK = params.max_k_same
     if force_dp:
