@@ -751,10 +751,9 @@ class PairedEndAligner:
         )
         if not ok.any():
             return
-        import jax
         import jax.numpy as jnp
 
-        from .pipeline import score_rows
+        from .pipeline import fetch_subset, score_rows
 
         rows, ks = rows[ok], ks[ok]
         n = len(rows)
@@ -766,7 +765,7 @@ class PairedEndAligner:
         )
         live = np.zeros(M, dtype=bool)
         live[:n] = True
-        sub = jax.device_get(score_rows(
+        sub = fetch_subset(score_rows(
             didx_sc, dev_bases, dev_quals, jnp.asarray(len_eff),
             jnp.asarray(pad(rows, np.int64)),
             jnp.asarray(pad(dirs[ok], np.int32)),

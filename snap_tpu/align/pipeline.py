@@ -1087,6 +1087,60 @@ def score_rows(
 
 
 @jax.jit
+def _pack_subset(sub: "SubsetOut") -> jax.Array:
+    """[M, 8] int32 view of a SubsetOut for a single device->host
+    fetch: on a link-attached chip each pytree leaf pays a full round
+    trip, so the 11-leaf fetch costs 11 RTTs for a few KB of payload.
+    Sentinel-bearing / order-relevant fields (dist, lv_dist, ag_score)
+    keep full 32-bit width; indels saturates at 0x7FFF (host only
+    tests zero/nonzero; it carries a 1<<20 sentinel)."""
+    w7 = (
+        jnp.minimum(sub.indels.astype(jnp.int32), jnp.int32(0x7FFF))
+        | (sub.escalated.astype(jnp.int32) << jnp.int32(16))
+        | (sub.valid.astype(jnp.int32) << jnp.int32(17))
+    )
+    return jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(
+                sub.end_loc.astype(jnp.uint32), jnp.int32
+            ),
+            jax.lax.bitcast_convert_type(
+                sub.body_loc.astype(jnp.uint32), jnp.int32
+            ),
+            jax.lax.bitcast_convert_type(
+                sub.log_prob.astype(jnp.float32), jnp.int32
+            ),
+            sub.dist.astype(jnp.int32),
+            sub.lv_dist.astype(jnp.int32),
+            sub.ag_score.astype(jnp.int32),
+            (sub.clip_before.astype(jnp.int32) & jnp.int32(0xFFFF))
+            | (sub.clip_after.astype(jnp.int32) << jnp.int32(16)),
+            w7,
+        ],
+        axis=1,
+    )
+
+
+def fetch_subset(sub: "SubsetOut") -> "SubsetOut":
+    """device SubsetOut -> numpy SubsetOut via the packed transfer."""
+    pk = np.ascontiguousarray(jax.device_get(_pack_subset(sub)))
+    sx = lambda x: ((x & 0xFFFF) ^ 0x8000) - 0x8000
+    return SubsetOut(
+        dist=pk[:, 3],
+        lv_dist=pk[:, 4],
+        indels=(pk[:, 7] & 0x7FFF).astype(np.int32),
+        log_prob=np.ascontiguousarray(pk[:, 2]).view(np.float32),
+        ag_score=pk[:, 5],
+        end_loc=pk[:, 0].astype(np.int64) & 0xFFFFFFFF,
+        body_loc=pk[:, 1].astype(np.int64) & 0xFFFFFFFF,
+        escalated=((pk[:, 7] >> 16) & 1).astype(bool),
+        clip_before=sx(pk[:, 6]).astype(np.int32),
+        clip_after=(pk[:, 6] >> 16).astype(np.int32),
+        valid=((pk[:, 7] >> 17) & 1).astype(bool),
+    )
+
+
+@jax.jit
 def _pack_tier1(t1):
     """Compress Tier1Out's host-bound fields into two dense arrays so
     the device->host hop ships 16B/candidate in 2 transfers instead of
@@ -1221,7 +1275,7 @@ def two_phase_merge(
             jnp.asarray(flat(cand_loc)), jnp.asarray(flat(seed_off)),
             jnp.asarray(live), params,
         )
-        sub = jax.device_get(sub)
+        sub = fetch_subset(sub)
         n = min(idx.size, M)
         rows, cols = idx[:n] // K, idx[:n] % K
         merged["dist"][rows, cols] = np.asarray(sub.dist)[:n]
@@ -1738,20 +1792,57 @@ class HostWinners:
 
 @jax.jit
 def gather_merged_rows(out: SingleAlignOut, rows: jax.Array):
-    """Fetch full candidate rows for host-side exact finalization."""
+    """Pack full candidate rows for host-side exact finalization:
+    [M, K, 9] int32, ONE device->host transfer (per-leaf fetches each
+    pay a link round trip). Same width rules as _pack_subset: order-
+    relevant fields stay 32-bit, indels saturates at 0x7FFF (1<<20
+    sentinel, host is zero/nonzero only). Unpack with
+    unpack_merged_rows."""
     r = rows.astype(jnp.int64)
+    u32 = lambda a: jax.lax.bitcast_convert_type(
+        a[r].astype(jnp.uint32), jnp.int32
+    )
+    w8 = (
+        jnp.minimum(out.indels[r].astype(jnp.int32), jnp.int32(0x7FFF))
+        | (out.escalated[r].astype(jnp.int32) << jnp.int32(16))
+        | (out.valid[r].astype(jnp.int32) << jnp.int32(17))
+        | (out.direction[r].astype(jnp.int32) << jnp.int32(18))
+    )
+    return jnp.stack(
+        [
+            u32(out.end_loc),
+            u32(out.body_loc),
+            u32(out.cand_loc),
+            jax.lax.bitcast_convert_type(
+                out.log_prob[r].astype(jnp.float32), jnp.int32
+            ),
+            out.dist[r].astype(jnp.int32),
+            out.lv_dist[r].astype(jnp.int32),
+            out.ag_score[r].astype(jnp.int32),
+            (out.clip_before[r].astype(jnp.int32) & jnp.int32(0xFFFF))
+            | (out.clip_after[r].astype(jnp.int32) << jnp.int32(16)),
+            w8,
+        ],
+        axis=2,
+    )
+
+
+def unpack_merged_rows(pk: np.ndarray) -> dict:
+    """numpy dict view of a fetched gather_merged_rows array."""
+    pk = np.ascontiguousarray(pk)
+    sx = lambda x: ((x & 0xFFFF) ^ 0x8000) - 0x8000
     return {
-        "dist": out.dist[r],
-        "lv_dist": out.lv_dist[r],
-        "log_prob": out.log_prob[r],
-        "ag_score": out.ag_score[r],
-        "end_loc": out.end_loc[r],
-        "body_loc": out.body_loc[r],
-        "cand_loc": out.cand_loc[r],
-        "escalated": out.escalated[r],
-        "clip_before": out.clip_before[r],
-        "clip_after": out.clip_after[r],
-        "indels": out.indels[r],
-        "direction": out.direction[r],
-        "valid": out.valid[r],
+        "dist": pk[:, :, 4],
+        "lv_dist": pk[:, :, 5],
+        "log_prob": np.ascontiguousarray(pk[:, :, 3]).view(np.float32),
+        "ag_score": pk[:, :, 6],
+        "end_loc": pk[:, :, 0].astype(np.int64) & 0xFFFFFFFF,
+        "body_loc": pk[:, :, 1].astype(np.int64) & 0xFFFFFFFF,
+        "cand_loc": pk[:, :, 2].astype(np.int64) & 0xFFFFFFFF,
+        "escalated": ((pk[:, :, 8] >> 16) & 1).astype(bool),
+        "clip_before": sx(pk[:, :, 7]).astype(np.int32),
+        "clip_after": (pk[:, :, 7] >> 16).astype(np.int32),
+        "indels": (pk[:, :, 8] & 0x7FFF).astype(np.int32),
+        "direction": ((pk[:, :, 8] >> 18) & 1).astype(np.int32),
+        "valid": ((pk[:, :, 8] >> 17) & 1).astype(bool),
     }

@@ -1056,8 +1056,12 @@ class SingleEndAligner:
                 P2 <<= 1
             pad_rows = np.zeros(P2, np.int64)
             pad_rows[: fb_rows.size] = fb_rows
-            fb = jax.device_get(
-                gather_merged_rows(out_dev, jnp.asarray(pad_rows))
+            from .pipeline import unpack_merged_rows
+
+            fb = unpack_merged_rows(
+                jax.device_get(
+                    gather_merged_rows(out_dev, jnp.asarray(pad_rows))
+                )
             )
             fb_pos = {int(r): j for j, r in enumerate(fb_rows)}
 
