@@ -132,6 +132,79 @@ def left_normalize(
     return np.array(ops, dtype=np.int8)
 
 
+def _anchored_dp_batch(patterns: np.ndarray, texts: np.ndarray) -> np.ndarray:
+    """anchored_dp vectorized over rows.
+
+    patterns [n, P] / texts [n, T] are right-padded; dp[r, :plen+1,
+    :tl+1] equals anchored_dp(pattern_r, text_r) exactly, because every
+    recurrence at (i, j) reads only pattern[:i] and text[:j] (padding
+    can never flow left or up).
+    """
+    n, P = patterns.shape
+    T = texts.shape[1]
+    dp = np.full((n, P + 1, T + 1), _INF, dtype=np.int64)
+    dp[:, 0, :] = 0
+    jidx = np.arange(T + 1, dtype=np.int64) * _STEP
+    row = np.empty((n, T + 1), dtype=np.int64)
+    for i in range(1, P + 1):
+        prev = dp[:, i - 1]
+        sub = np.where(
+            texts != patterns[:, i - 1 : i], _UNIT, 0
+        ).astype(np.int64)
+        np.minimum(prev[:, :-1] + sub, prev[:, 1:] + _STEP, out=row[:, 1:])
+        row[:, 0] = prev[:, 0] + _STEP
+        row -= jidx
+        np.minimum.accumulate(row, axis=1, out=row)
+        row += jidx
+        dp[:, i] = row
+    return dp
+
+
+def recover_starts_batch(
+    patterns: list,
+    genome: np.ndarray,
+    end_locs: np.ndarray,
+    windows: np.ndarray,
+) -> np.ndarray:
+    """Batched LV start recovery.
+
+    For each row, returns the start_loc that compute_cigar(pattern,
+    genome, end_loc, window) would return — the anchored DP, the
+    tie-broken traceback, left normalization, and the leading-deletion
+    strip are identical — without rendering the CIGAR. One vectorized
+    DP sweep replaces the per-row anchored_dp calls, which dominate
+    the host emission cost for indel-bearing winners.
+    """
+    n = len(patterns)
+    if n == 0:
+        return np.empty(0, np.int64)
+    end_locs = np.asarray(end_locs, np.int64)
+    windows = np.asarray(windows, np.int64)
+    plens = np.array([len(p) for p in patterns], np.int64)
+    wstarts = np.maximum(0, end_locs - plens - windows - 1)
+    tls = end_locs - wstarts
+    P, T = int(plens.max()), int(tls.max())
+    pat = np.full((n, P), 4, np.uint8)
+    txt = np.full((n, T), 4, np.uint8)
+    for r in range(n):
+        pat[r, : plens[r]] = patterns[r]
+        txt[r, : tls[r]] = genome[wstarts[r] : end_locs[r]]
+    dp = _anchored_dp_batch(pat, txt)
+    starts = np.empty(n, np.int64)
+    for r in range(n):
+        plen, tl = int(plens[r]), int(tls[r])
+        text_r = txt[r, :tl]
+        start_col, ops, _ = traceback_ops(
+            patterns[r], text_r, dp[r, : plen + 1, : tl + 1]
+        )
+        ops = left_normalize(ops, patterns[r], text_r, start_col)
+        lead = 0
+        while lead < len(ops) and ops[lead] == OP_D:
+            lead += 1
+        starts[r] = wstarts[r] + start_col + lead
+    return starts
+
+
 def ops_to_cigar(
     ops: np.ndarray,
     front_clip: int = 0,

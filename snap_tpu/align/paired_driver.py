@@ -38,7 +38,7 @@ from ..stats import AlignerStats, ProgressReporter
 from .intersect import IntersectParams, paired_candidates
 from .paired import finalize_pair
 from .pipeline import AlignParams, score_candidates, two_phase_merge
-from .single import winner_record
+from .single import _AG_NOT_CACHED, winner_record
 
 # sentinel marking a pair fully handled by the vectorized plan
 _PLANNED_PAIR = ({"status": "planned"}, {"status": "planned"})
@@ -220,6 +220,10 @@ class PairedEndAligner:
         spacing_samples: list[int] = []
         if fast is not None and self.infer_spacing:
             spacing_samples.extend(fast_spacing)
+        # pass 1: per-pair selection (finalize_pair) for the slow rows;
+        # record construction is deferred so every slow winner's CIGAR
+        # traceback can run in one batched pass instead of per row
+        slow: list[tuple] = []
         for i in range(n):
             if fast is not None and fast[i]:
                 results.append(_PLANNED_PAIR)
@@ -261,15 +265,40 @@ class PairedEndAligner:
                 )
                 spacing_samples.append(spacing)
 
+            slow.append(
+                (len(results), i, r0, r1, alt_pair, sec_pairs,
+                 len_ok0, len_ok1)
+            )
+            results.append(None)
+
+        # pass 2: one batched LV start recovery + one native AG-CIGAR
+        # call over every slow winner that needs a traceback
+        pre = (
+            self._precompute_slow_cigars(slow, b0, b1, arrays, B)
+            if slow
+            else {}
+        )
+
+        # pass 3: assemble the records
+        for ridx, i, r0, r1, alt_pair, sec_pairs, len_ok0, len_ok1 in slow:
+            j = B + i
+
             def to_rec(r, batch, row):
                 if r.status in ("filtered", "notfound"):
                     return {"status": r.status}
+                entry = pre.get((row, int(r.cand_index)))
+                pag = _AG_NOT_CACHED
+                if entry is not None and entry[1] == (
+                    int(r.direction), int(r.dist), int(r.end_loc)
+                ):
+                    pag = entry[0]
                 rec = winner_record(
                     self.genome_np, self.params.max_k, batch, i, arrays,
                     r.cand_index, r.direction, r.dist, r.end_loc,
                     arr_i=row, use_m=self.use_m,
                     contig_bounds=self.contig_bounds,
                     use_affine_gap=self.params.use_affine_gap,
+                    precomputed_ag=pag,
                 )
                 rec.update(
                     status=r.status, direction=r.direction, mapq=r.mapq,
@@ -299,7 +328,7 @@ class PairedEndAligner:
                     to_rec(s1_, b1, j) if s1_ is not None else None
                     for _, s1_ in sec_pairs
                 ]
-            results.append((rec0, rec1))
+            results[ridx] = (rec0, rec1)
         if self.infer_spacing:
             self._update_spacing(spacing_samples)
         self.stats.ag_forced_single += self._ag_counters.pop(
@@ -311,6 +340,133 @@ class PairedEndAligner:
         if plan_writer is not None:
             return results, plan
         return results
+
+    def _precompute_slow_cigars(self, slow, b0, b1, arrays, B):
+        """Batch the slow pairs' CIGAR tracebacks.
+
+        winner_record per row spends its time in two places: the
+        anchored LV DP that recovers the alignment start of
+        non-escalated indel winners, and the affine-gap traceback +
+        fixup loop. Both batch cleanly: one vectorized DP sweep
+        (cigar.recover_starts_batch) recovers every start, then one
+        native call (agcigar.compute_ag_cigar_batch) produces every AG
+        CIGAR; winner_record consumes them via precomputed_ag. The
+        screen mirrors winner_record exactly — requests that would take
+        its gapless fast path are left out — and entries are keyed by
+        (row, cand) plus (direction, dist, end_loc) so a stale result
+        can never be applied.
+        """
+        from ..genome import reverse_complement_codes
+        from .agcigar import compute_ag_cigar_batch
+        from .cigar import recover_starts_batch
+        from .single import MAX_K_TRACEBACK, ag_restructure_possible
+
+        reqs: list[tuple] = []
+
+        def collect(r, bat, read_i, row):
+            if r is None or r.status in ("filtered", "notfound"):
+                return
+            reqs.append((
+                row, read_i, bat, int(r.cand_index), int(r.direction),
+                int(r.dist), int(r.end_loc),
+            ))
+
+        for _ridx, i, r0, r1, alt_pair, sec_pairs, _l0, _l1 in slow:
+            collect(r0, b0, i, i)
+            collect(r1, b1, i, B + i)
+            if alt_pair is not None:
+                collect(alt_pair[0], b0, i, i)
+                collect(alt_pair[1], b1, i, B + i)
+            for s0_, s1_ in sec_pairs or ():
+                collect(s0_, b0, i, i)
+                collect(s1_, b1, i, B + i)
+        if not reqs:
+            return {}
+
+        rows = np.array([q[0] for q in reqs])
+        ks = np.array([q[3] for q in reqs])
+        dirs = np.array([q[4] for q in reqs])
+        dists = np.array([q[5] for q in reqs], np.int64)
+        ends = np.array([q[6] for q in reqs], np.int64)
+        ind = arrays["indels"][rows, ks].astype(np.int64)
+        cb = arrays["clip_before"][rows, ks].astype(np.int64)
+        ca = arrays["clip_after"][rows, ks].astype(np.int64)
+        esc = np.asarray(arrays["escalated"][rows, ks]).astype(bool)
+        plens = arrays["len_eff"][rows].astype(np.int64)
+
+        gapless = (ind == 0) & (cb == 0) & (ca == 0)
+        need = (dists > 0) | (cb > 0) | (ca > 0)
+        take_ag = need & ~gapless
+        if self.params.use_affine_gap:
+            chk = np.flatnonzero(gapless & (dists >= 2))
+            # the restructure screen reads raw per-batch bases; split
+            # the candidates by which ReadBatch they came from
+            for bat, m in ((b0, rows < B), (b1, rows >= B)):
+                sel = chk[m[chk]]
+                if sel.size == 0:
+                    continue
+                ridxs = np.array([reqs[t][1] for t in sel])
+                flg = ag_restructure_possible(
+                    self.genome_np, bat.bases, ridxs, dirs[sel],
+                    ends[sel] - plens[sel], plens[sel],
+                    np.zeros(sel.size, np.int64), dists[sel],
+                )
+                take_ag[sel[flg]] = True
+
+        ag_idx = np.flatnonzero(take_ag)
+        if ag_idx.size == 0:
+            return {}
+
+        pats: dict[int, np.ndarray] = {}
+        oqs: dict[int, np.ndarray] = {}
+        for t in ag_idx:
+            _row, read_i, bat, _k, d, _dist, _end = reqs[t]
+            plen = int(plens[t])
+            clipped = bat.bases[read_i, :plen]
+            cq = bat.quals[read_i, :plen]
+            if d:
+                pats[t] = reverse_complement_codes(clipped.copy())
+                oqs[t] = cq[::-1].copy()
+            else:
+                pats[t] = np.ascontiguousarray(clipped)
+                oqs[t] = cq.copy()
+        locs = np.empty(len(reqs), np.int64)
+        esc_idx = ag_idx[esc[ag_idx]]
+        locs[esc_idx] = arrays["body_loc"][
+            rows[esc_idx], ks[esc_idx]
+        ].astype(np.int64)
+        lv_idx = ag_idx[~esc[ag_idx]]
+        if lv_idx.size:
+            locs[lv_idx] = recover_starts_batch(
+                [pats[t] for t in lv_idx], self.genome_np,
+                ends[lv_idx],
+                np.minimum(self.params.max_k, dists[lv_idx] + 2),
+            )
+
+        bodies, bquals, locs_l, fcs, bcs, mgs = [], [], [], [], [], []
+        for t in ag_idx:
+            _row, read_i, bat, _k, d, dist, _end = reqs[t]
+            plen = int(plens[t])
+            back_q = int(bat.lengths[read_i]) - plen
+            f0, b0c = (back_q, 0) if d else (0, back_q)
+            cbt, cat = int(cb[t]), int(ca[t])
+            bodies.append(pats[t][cbt : plen - cat])
+            bquals.append(oqs[t][cbt : plen - cat])
+            locs_l.append(int(locs[t]))
+            fcs.append(f0 + cbt)
+            bcs.append(b0c + cat)
+            mgs.append(min(MAX_K_TRACEBACK, max(8, 2 * dist + 8)))
+        res_b = compute_ag_cigar_batch(
+            self.genome_np, bodies, bquals,
+            np.asarray(locs_l, np.int64),
+            np.asarray(fcs, np.int32), np.asarray(bcs, np.int32),
+            np.asarray(mgs, np.int32), use_m=self.use_m,
+        )
+        pre: dict[tuple, tuple] = {}
+        for t, r in zip(ag_idx, res_b):
+            row, _ri, _bat, k, d, dist, end = reqs[t]
+            pre[(row, k)] = (r, (d, dist, end))
+        return pre
 
     def _plan_ok(self, writer) -> bool:
         """Whether batched native paired-SAM emission applies (the

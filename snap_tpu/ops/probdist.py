@@ -18,6 +18,13 @@ the final row (ProbabilityDistance.cpp:126-134). Here it is batched:
 [N] (reference window, read, quality) triples score in one wavefront of
 elementwise VPU ops with a lax.fori_loop over read positions.
 
+Wiring parity: the reference allocates a ProbabilityDistance in every
+BaseAligner (BaseAligner.cpp:134) but never calls compute() on the
+production path (the only other mention is a stale comment at
+BaseAligner.cpp:1093); alignment probabilities come from the
+LandauVishkin matchProbability path instead. This port keeps the scorer
+implemented and tested, and — like the reference — unwired.
+
 Wiring parity: the reference constructs a ProbabilityDistance in every
 BaseAligner (BaseAligner.cpp:134) but never calls compute() anywhere in
 the codebase — it is a retained alternative scorer, not part of the
