@@ -66,6 +66,11 @@ class SamWriter:
     program_version: str = "2.0.5-tpu"
     sort_order: str | None = None
 
+    # a bare SamWriter always streams SAM text in record order, so the
+    # aligners' batched native emission plan applies (OutputWriter sets
+    # this False for BAM/sorted paths, io/output.py)
+    _stream_sam = True
+
     def __post_init__(self):
         # contig starts for absolute->relative mapping
         self._contigs = sorted(
