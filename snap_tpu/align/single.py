@@ -512,6 +512,12 @@ class SingleEndAligner:
         self._kts_last_check = 0.0
         self._kts_writes = 0
         self._batch_us_per_read = 0
+        # winners-D2H prefetch: one background thread pulls the packed
+        # winner array while the host finalizes/emits the previous
+        # batch (the device link adds latency per fetch; overlapping
+        # the transfer takes it off the critical path)
+        self._prefetch_pool = None
+        self._win_futures: dict[int, tuple] = {}
         cs = sorted(index.genome_meta.contigs, key=lambda c: c.start)
         self.contig_bounds = (
             np.array([c.start for c in cs], dtype=np.int64),
@@ -556,6 +562,22 @@ class SingleEndAligner:
             and self.max_dist_fraction == 0.0
         )
 
+    def _start_win_prefetch(self, win):
+        """Begin the packed-winners device->host transfer on a worker
+        thread (keyed by array identity; _finalize_fast consumes it)."""
+        import jax
+
+        if self._prefetch_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._prefetch_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="win-d2h"
+            )
+        # pin `win` in the value so its id can't be reused while queued
+        self._win_futures[id(win)] = (
+            win, self._prefetch_pool.submit(jax.device_get, win)
+        )
+
     def _submit(self, batch: ReadBatch):
         """Dispatch tier 1 (candidates + gapless) async; returns handles."""
         import jax.numpy as jnp
@@ -597,6 +619,7 @@ class SingleEndAligner:
                     alt_awareness=self.alt_awareness,
                     max_score_gap=self.max_score_gap,
                 )
+                self._start_win_prefetch(win)
                 return (
                     ("fast", win, out, dev_bases, dev_quals, dev_lens),
                     front_clips,
@@ -617,6 +640,7 @@ class SingleEndAligner:
                 max_score_gap=self.max_score_gap,
                 adaptive=self.adaptive,
             )
+            self._start_win_prefetch(win)
             return (
                 ("fast", win, out, dev_bases, dev_quals, dev_lens),
                 front_clips,
@@ -1019,7 +1043,10 @@ class SingleEndAligner:
         from .post import finalize_read
 
         (_, win_dev, out_dev, dev_bases, dev_quals, dev_lens) = handles
-        win = HostWinners(jax.device_get(win_dev))
+        pf = self._win_futures.pop(id(win_dev), None)
+        win = HostWinners(
+            pf[1].result() if pf is not None else jax.device_get(win_dev)
+        )
         if bool(win.dp_overflow):
             # DP tier truncated (extremely gappy batch): redo through the
             # host-gated two-phase path, which sizes the tier exactly
