@@ -573,10 +573,24 @@ class SingleEndAligner:
             self._prefetch_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="win-d2h"
             )
-        # pin `win` in the value so its id can't be reused while queued
+        # pin `win` in the value so its id can't be reused while queued;
+        # a single-slot pipeline never holds more than 2 entries — if an
+        # abandoned batch (exception mid-loop, discarded handles) left
+        # stale futures behind, drop them so they don't pin device
+        # arrays for the aligner's lifetime
+        if len(self._win_futures) >= 2:
+            self._win_futures.clear()
         self._win_futures[id(win)] = (
             win, self._prefetch_pool.submit(jax.device_get, win)
         )
+
+    def close(self) -> None:
+        """Release the winners-prefetch worker thread and any pinned
+        device arrays. Idempotent; align_file calls it on exit."""
+        self._win_futures.clear()
+        if self._prefetch_pool is not None:
+            self._prefetch_pool.shutdown(wait=False)
+            self._prefetch_pool = None
 
     def _submit(self, batch: ReadBatch):
         """Dispatch tier 1 (candidates + gapless) async; returns handles."""
@@ -1369,6 +1383,14 @@ class SingleEndAligner:
         # pipelined loop: batch i+1 is dispatched to the device before
         # batch i's host finalization/emission (double-buffered, the
         # moral equivalent of SNAP's reader/aligner thread decoupling)
+        try:
+            self._align_file_loop(batches, writer, plan_ok, progress)
+        finally:
+            self.close()
+        self.stats.align_seconds = time.time() - t0
+        return self.stats
+
+    def _align_file_loop(self, batches, writer, plan_ok, progress):
         pending = None
         while True:
             tr = time.time()
@@ -1430,8 +1452,6 @@ class SingleEndAligner:
             if sub is None:
                 break
             pending = sub
-        self.stats.align_seconds = time.time() - t0
-        return self.stats
 
     def _emit_planned(self, writer, batch: ReadBatch, results, plan):
         """Batched emission: format every planned (simple) record in one

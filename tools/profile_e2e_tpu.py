@@ -104,8 +104,16 @@ def main():
         handles, fc = aligner._submit(batch)
         tot["submit"] += time.time() - t0
         t0 = time.time()
-        jax.block_until_ready(handles[1])
-        _ = jax.device_get(handles[1])
+        # _submit already queued a background device_get of the packed
+        # winners (fast path only); wait on THAT future so this phase
+        # measures the real pipeline's transfer instead of issuing a
+        # redundant second D2H fetch. On the host-merge path (fast_ok
+        # False) handles[1] is a Tier1Out pytree consumed by _finalize,
+        # so there is nothing to prefetch here.
+        if handles[0] == "fast":
+            pinned = aligner._win_futures.get(id(handles[1]))
+            if pinned is not None:
+                pinned[1].result()
         tot["getwin"] += time.time() - t0
         t0 = time.time()
         if plan_ok:
