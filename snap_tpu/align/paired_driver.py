@@ -80,6 +80,8 @@ class PairedEndAligner:
                                              # records carry no AT tag
                                              # in the reference either)
     infer_spacing_batch: int = 256 * 1024    # DEFAULT_BATCH_SIZE_IS_ESTIMATION
+    device_intersect: bool = True            # phases 1-2 on device;
+                                             # overflow rows redo on host
     stats: AlignerStats = field(default_factory=AlignerStats)
 
     def __post_init__(self):
@@ -158,23 +160,21 @@ class PairedEndAligner:
             dev_bases = jnp.asarray(bases)
             dev_quals = jnp.asarray(quals)
 
-        # Phases 1-2 of the intersecting aligner on the host: full
-        # per-seed hit lists, fuzzy mate windows, bestPossibleScore
-        # bounds (align/intersect.py). Scoring stays on device.
+        # Phases 1-2 of the intersecting aligner: by default on device
+        # (align/intersect_device.py) with overflow rows redone through
+        # the exact host path; host numpy (align/intersect.py) when
+        # device_intersect is off. Scoring stays on device either way.
         len_eff = (
             host_clip_back(quals, lens)
             if self.params.clip_back
             else lens.astype(np.int32)
         )
-        pc = paired_candidates(
-            self.index.host, bases, len_eff, B,
-            IntersectParams(
-                seed_len=self.params.seed_len,
-                num_seeds=self.params.num_seeds,
-                max_cand=self.params.max_cand,
-                min_spacing=self.min_spacing,
-                max_spacing=self.max_spacing,
-            ),
+        ip = IntersectParams(
+            seed_len=self.params.seed_len,
+            num_seeds=self.params.num_seeds,
+            max_cand=self.params.max_cand,
+            min_spacing=self.min_spacing,
+            max_spacing=self.max_spacing,
         )
         if self.mesh is None:
             didx_sc = self.index.device
@@ -182,16 +182,56 @@ class PairedEndAligner:
             from ..parallel.mesh import local_index_view
 
             didx_sc = local_index_view(self.index.device_sharded)
-        t1 = score_candidates(
-            didx_sc, dev_bases, dev_quals,
-            jnp.asarray(len_eff), jnp.asarray(pc.loc),
-            jnp.asarray(pc.off), jnp.asarray(pc.dir),
-            jnp.asarray(pc.valid), jnp.asarray(pc.weight),
-            jnp.asarray(pc.popular), self.params, tier1_only=True,
-        )
+        pc = None  # host candidates, fetched lazily (hamming rescue)
+        if self.device_intersect and self.mesh is None:
+            from .intersect_device import (
+                DeviceIntersectParams, paired_candidates_device,
+                probe_offsets_for,
+            )
+
+            offsets, set_ids = probe_offsets_for(
+                len_eff, bases.shape[1], ip.seed_len, ip.num_seeds
+            )
+            pcd = paired_candidates_device(
+                didx_sc, dev_bases, jnp.asarray(len_eff),
+                jnp.asarray(offsets), jnp.asarray(set_ids),
+                jnp.int64(self.min_spacing), jnp.int64(self.max_spacing),
+                DeviceIntersectParams(
+                    seed_len=ip.seed_len,
+                    max_probe=self.index.max_probe,
+                    num_seeds=ip.num_seeds,
+                    max_cand=ip.max_cand,
+                ),
+            )
+            ov = pcd["overflow"]
+            ovp = ov[:B] | ov[B:]
+            t1 = score_candidates(
+                didx_sc, dev_bases, dev_quals,
+                jnp.asarray(len_eff), pcd["loc"], pcd["off"],
+                pcd["dir"], pcd["valid"], pcd["weight"],
+                pcd["popular"], self.params, tier1_only=True,
+                truncated=jnp.concatenate([ovp, ovp]),
+            )
+            self._pcd = pcd
+        else:
+            pc = paired_candidates(self.index.host, bases, len_eff, B, ip)
+            t1 = score_candidates(
+                didx_sc, dev_bases, dev_quals,
+                jnp.asarray(len_eff), jnp.asarray(pc.loc),
+                jnp.asarray(pc.off), jnp.asarray(pc.dir),
+                jnp.asarray(pc.valid), jnp.asarray(pc.weight),
+                jnp.asarray(pc.popular), self.params, tier1_only=True,
+            )
         f = two_phase_merge(
             didx_sc, t1, dev_bases, dev_quals, self.params
         )
+        if pc is None and f["truncated"].any():
+            # device-intersect overflow: recompute the flagged pairs
+            # with the exact host intersection (full hit lists) and
+            # overwrite their rows in the merged result
+            self._redo_overflow_pairs(
+                f, bases, quals, len_eff, B, ip, didx_sc
+            )
         self._fix_edge_indels(
             f, bases, len_eff, didx_sc, dev_bases, dev_quals
         )
@@ -313,9 +353,13 @@ class PairedEndAligner:
                 # -eh Hamming rescue of still-unmapped ends
                 # (ChimericPairedEndAligner.cpp:330-363)
                 if rec0["status"] == "notfound" and len_ok0:
-                    rec0 = self._try_hamming_rescue(b0, i, i, f, pc) or rec0
+                    rec0 = self._try_hamming_rescue(
+                        b0, i, i, f, pc := self._pc_host(pc)
+                    ) or rec0
                 if rec1["status"] == "notfound" and len_ok1:
-                    rec1 = self._try_hamming_rescue(b1, i, j, f, pc) or rec1
+                    rec1 = self._try_hamming_rescue(
+                        b1, i, j, f, pc := self._pc_host(pc)
+                    ) or rec1
             if alt_pair is not None:
                 rec0["alt_supplementary"] = to_rec(alt_pair[0], b0, i)
                 rec1["alt_supplementary"] = to_rec(alt_pair[1], b1, j)
@@ -942,6 +986,70 @@ class PairedEndAligner:
         f["escalated"][r2, k2] = np.asarray(sub.escalated)[sel]
         f["clip_before"][r2, k2] = np.asarray(sub.clip_before)[sel]
         f["clip_after"][r2, k2] = np.asarray(sub.clip_after)[sel]
+
+    def _pc_host(self, pc):
+        """Candidate pool for the hamming rescue: the host
+        PairedCandidates when the host intersection ran, else a one-time
+        host fetch of the device-intersect candidate tile (rescue is
+        rare, so the fetch is lazy)."""
+        if pc is not None:
+            return pc
+        import jax
+
+        from .intersect import PairedCandidates
+
+        pcd = self._pcd
+        loc, off, dr, valid = jax.device_get(
+            (pcd["loc"], pcd["off"], pcd["dir"], pcd["valid"])
+        )
+        R, K = loc.shape
+        out = PairedCandidates(R, K)
+        out.loc = np.asarray(loc)
+        out.off = np.asarray(off)
+        out.dir = np.asarray(dr)
+        out.valid = np.asarray(valid)
+        return out
+
+    def _redo_overflow_pairs(
+        self, f, bases, quals, len_eff, B, ip, didx_sc
+    ):
+        """Exact host-intersection redo of pairs the device path
+        flagged (a recorded lookup overflowed the gather cap, or the
+        compaction cut could have dropped a top-K candidate). Both ends
+        of a flagged pair rerun — mate windows read the full lists."""
+        import jax.numpy as jnp
+
+        rows = np.flatnonzero(f["truncated"][:B])
+        if rows.size == 0:
+            return
+        nb = rows.size
+        P2 = 1 << max(4, int(np.ceil(np.log2(nb))))
+        pr = np.zeros(P2, dtype=np.int64)
+        pr[:nb] = rows
+        sub = np.concatenate([pr, pr + B])
+        sb = np.ascontiguousarray(bases[sub])
+        sq = np.ascontiguousarray(quals[sub])
+        sl = len_eff[sub].copy()
+        dead = np.concatenate(
+            [np.arange(nb, P2), P2 + np.arange(nb, P2)]
+        )
+        sl[dead] = 0
+        pc = paired_candidates(self.index.host, sb, sl, P2, ip)
+        db, dq = jnp.asarray(sb), jnp.asarray(sq)
+        t1 = score_candidates(
+            didx_sc, db, dq, jnp.asarray(sl), jnp.asarray(pc.loc),
+            jnp.asarray(pc.off), jnp.asarray(pc.dir),
+            jnp.asarray(pc.valid), jnp.asarray(pc.weight),
+            jnp.asarray(pc.popular), self.params, tier1_only=True,
+        )
+        fs = two_phase_merge(didx_sc, t1, db, dq, self.params)
+        live = np.concatenate([np.arange(nb), P2 + np.arange(nb)])
+        dst = np.concatenate([rows, rows + B])
+        for k, v in f.items():
+            if k == "truncated":
+                continue
+            v[dst] = fs[k][live]
+        f["truncated"][dst] = False
 
     def _try_hamming_rescue(self, batch, i, row, f, pc):
         """Gapless soft-clip rescore of an unmapped end's candidates

@@ -1008,13 +1008,15 @@ def score_candidates(
     popular: jax.Array,     # [B] int32
     params: AlignParams,
     tier1_only: bool = True,
+    truncated: jax.Array | None = None,  # [B] bool (device-intersect
+                                         # overflow -> host exact redo)
 ) -> Tier1Out | SingleAlignOut:
-    """Score an injected candidate set (host-generated candidates).
+    """Score an injected candidate set (host- or device-generated).
 
-    Used by the paired-end intersection (align/intersect.py) and the
-    wide-hit redo pass: candidate generation happened on the host over
-    the full CSR hit lists; this runs the same two-tier scoring
-    wavefront the device candidate path uses.
+    Used by the paired-end intersection (align/intersect.py and its
+    device twin align/intersect_device.py) and the wide-hit redo pass:
+    candidate generation happened elsewhere; this runs the same
+    two-tier scoring wavefront the device candidate path uses.
     """
     rc_bases, rc_quals = reverse_complement_reads(bases, quals, len_eff)
     B = bases.shape[0]
@@ -1024,7 +1026,10 @@ def score_candidates(
         quals=quals, rc_quals=rc_quals, len_eff=len_eff,
         cand_loc=cand_loc, cand_off=cand_off, cand_dir=cand_dir,
         cand_valid=cand_valid, cand_weight=cand_weight,
-        popular=popular, truncated=jnp.zeros((B,), bool),
+        popular=popular,
+        truncated=(
+            jnp.zeros((B,), bool) if truncated is None else truncated
+        ),
         n_lookups=zeros, params=params, tier1_only=tier1_only,
     )
 
