@@ -73,6 +73,12 @@ class IntersectParams:
     max_cand: int = 16
     min_spacing: int = DEFAULT_MIN_SPACING
     max_spacing: int = DEFAULT_MAX_SPACING
+    max_k_indels: int = 0        # -i maxDistForIndels: phase-2a marks
+                                 # candidates within this distance of
+                                 # another candidate and raises their
+                                 # score limits by the detected spread
+                                 # (IntersectingPairedEndAligner.cpp:
+                                 # 720-801); 0 disables detection
 
 
 @functools.lru_cache(maxsize=512)
@@ -170,6 +176,7 @@ class PairedCandidates:
         self.has_mate = np.zeros((R, K), dtype=bool)
         self.pair_bound = np.full((R, K), _INF16, dtype=np.int32)
         self.bps = np.full((R, K), _INF16, dtype=np.int32)
+        self.big_indel = np.zeros((R, K), dtype=np.int32)
         self.popular = np.zeros(R, dtype=np.int32)
         self.n_lookups = np.zeros(R, dtype=np.int32)
 
@@ -544,6 +551,25 @@ def paired_candidates(
         bps.astype(np.int64) + _NOPAIR_PENALTY,
     )
 
+    # ---- phase 2a: big-indel detection ----------------------------------
+    # For every scoring-pool candidate (mate window exists), the largest
+    # spread to another pool candidate of the same (row, dir) within
+    # maxDistForIndels marks how far its score limit may be raised
+    # (IntersectingPairedEndAligner.cpp:720-801 two-pointer; on the
+    # sorted keyed array the farthest-in-window neighbors are the window
+    # edges, so two searchsorteds replace the pointer walk).
+    big_indel = np.zeros(N, dtype=np.int32)
+    mki = np.int64(params.max_k_indels)
+    if mki > 0:
+        pm = np.flatnonzero(has_mate)
+        if pm.size:
+            vals = c_key[pm]  # ascending; rowdir-keyed so windows
+            #                   never cross a (row, dir) boundary
+            lo = np.searchsorted(vals, vals - (mki - 1), side="left")
+            hi = np.searchsorted(vals, vals + mki, side="left") - 1
+            spread = np.maximum(vals - vals[lo], vals[hi] - vals)
+            big_indel[pm] = spread.astype(np.int32)
+
     # ---- top-K selection per row ----------------------------------------
     sel = np.lexsort((c_norm, -weight.astype(np.int64), pair_bound, c_row))
     rs = c_row[sel]
@@ -575,4 +601,5 @@ def paired_candidates(
         pair_bound[ks], _INF16
     ).astype(np.int32)
     out.bps[rowk, slotk] = bps[ks]
+    out.big_indel[rowk, slotk] = big_indel[ks]
     return out

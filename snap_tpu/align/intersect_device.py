@@ -64,6 +64,8 @@ class DeviceIntersectParams:
     max_cand: int = 16           # K: output tile width
     fuzzy_dist: int = FUZZY_DIST
     max_big_hits: int = MAX_BIG_HITS
+    max_k_indels: int = 0        # phase-2a detection bound (-i); see
+                                 # intersect.IntersectParams.max_k_indels
 
 
 @functools.partial(jax.jit, static_argnames=("p",))
@@ -277,6 +279,23 @@ def paired_candidates_device(
         c_bps.astype(jnp.int64) + jnp.int64(_NOPAIR_PENALTY),
     )
 
+    # phase 2a: largest spread to another mate-bearing candidate of the
+    # same (row, dir) within maxDistForIndels
+    # (IntersectingPairedEndAligner.cpp:720-801)
+    if p.max_k_indels > 0:
+        mki64 = jnp.int64(p.max_k_indels)
+        sp = jnp.abs(c_norm[:, :, None] - c_norm[:, None, :])
+        okw = (
+            has_mate[:, :, None]
+            & has_mate[:, None, :]
+            & (sp < mki64)
+        )
+        big_indel = jnp.max(
+            jnp.where(okw, sp, 0), axis=2
+        ).astype(jnp.int64)
+    else:
+        big_indel = jnp.zeros_like(c_norm)
+
     # ---- top-K per row over both directions ----
     # host order: lexsort((norm, -weight, pair_bound)) per row
     fkey = jnp.where(
@@ -295,6 +314,7 @@ def paired_candidates_device(
             dirs2,
             c_w.reshape(R, 2 * C),
             pair_bound.reshape(R, 2 * C),
+            big_indel.reshape(R, 2 * C),
         ),
         dimension=1, num_keys=1, is_stable=True,
     )
@@ -302,6 +322,7 @@ def paired_candidates_device(
     k_s = f_sorted[2][:, :K]
     k_dir = f_sorted[3][:, :K].astype(jnp.int32)
     k_w = f_sorted[4][:, :K].astype(jnp.int32)
+    k_bi = f_sorted[6][:, :K].astype(jnp.int32)
     k_live = f_sorted[0][:, :K] < _INF_KEY
 
     # oriented anchor offset == the normalization offset for that dir
@@ -327,6 +348,10 @@ def paired_candidates_device(
     over = over | jnp.any(
         cut_possible & (cut_min_bound < kth_bound[:, None]), axis=1
     )
+    if p.max_k_indels > 0:
+        # a cut (beyond-C) mate-bearing candidate could contribute a
+        # phase-2a spread the compacted view cannot see
+        over = over | jnp.any(cut_possible, axis=1)
 
     return {
         "loc": jnp.where(k_live, k_norm, 0),
@@ -334,6 +359,7 @@ def paired_candidates_device(
         "dir": k_dir,
         "valid": k_live,
         "weight": jnp.where(k_live, k_w, 0),
+        "big_indel": jnp.where(k_live, k_bi, 0),
         "popular": popular,
         "n_lookups": n_lookups,
         "overflow": over,

@@ -133,14 +133,36 @@ def finalize_pair(
         i0s, i1s = _pair_combos(c0, c1, min_spacing, max_spacing)
         if i0s.size:
             pair_found = True
-            ag = c0["ag_score"][i0s] + c1["ag_score"][i1s]
-            dsum = c0["dist"][i0s].astype(np.int64) + c1["dist"][i1s].astype(
-                np.int64
-            )
-            lp = c0["log_prob"][i0s].astype(np.float64) + c1["log_prob"][
-                i1s
-            ].astype(np.float64)
+            # Phase-3 parity: SNAP selects pairs on the LANDAU-VISHKIN
+            # values — agScore is the LV approximation readLen*match -
+            # score*(match+sub) (IntersectingPairedEndAligner.cpp:
+            # 3352-3359) and matchProbability is the LV one; affine
+            # values only replace the winner's in phase 4 (:2509-2626).
+            if "lv_ag_score" in c0:
+                ag = c0["lv_ag_score"][i0s] + c1["lv_ag_score"][i1s]
+                lp = (
+                    c0["lv_log_prob"][i0s].astype(np.float64)
+                    + c1["lv_log_prob"][i1s].astype(np.float64)
+                )
+                dsum = (
+                    c0["lv_dist"][i0s].astype(np.int64)
+                    + c1["lv_dist"][i1s].astype(np.int64)
+                )
+            else:  # legacy callers without LV-side arrays
+                ag = c0["ag_score"][i0s] + c1["ag_score"][i1s]
+                lp = c0["log_prob"][i0s].astype(np.float64) + c1[
+                    "log_prob"
+                ][i1s].astype(np.float64)
+                dsum = c0["dist"][i0s].astype(np.int64) + c1["dist"][
+                    i1s
+                ].astype(np.int64)
             probs = np.exp(lp)
+            # phase-4 comparison values (per-end affine when escalated)
+            ag_aff = c0["ag_score"][i0s] + c1["ag_score"][i1s]
+            lp_aff = c0["log_prob"][i0s].astype(np.float64) + c1[
+                "log_prob"
+            ][i1s].astype(np.float64)
+            probs_aff = np.exp(lp_aff)
             e0 = c0["end_loc"][i0s].astype(np.int64)
             e1 = c1["end_loc"][i1s].astype(np.int64)
             pair_is_alt = (
@@ -185,8 +207,10 @@ def finalize_pair(
                 > int(dsum[bi_all]) + max_score_gap_to_prefer_non_alt
             ):
                 bi, p_best_pair, p_all_pairs = all_best
+                chosen_subset = reps_arr
             else:
                 bi, p_best_pair, p_all_pairs = na_best
+                chosen_subset = nonalt_reps
                 if emit_alt:
                     # best ALT pair as supplementary when it scores at
                     # least as well as the non-ALT primary pair
@@ -204,6 +228,18 @@ def finalize_pair(
                         best_alt = (
                             int(i0s[alt_best[0]]), int(i1s[alt_best[0]]),
                         )
+            # Phase 4: candidates whose LV pair score is within
+            # extraSearchDepth of the winner's get the affine-gap
+            # comparison and may flip the result
+            # (IntersectingPairedEndAligner.cpp:1036-1040, 2736-2820);
+            # the winner's pair probability is then swapped from its LV
+            # to its affine value in both pBest and pAll (:2712-2726)
+            flip = chosen_subset[
+                dsum[chosen_subset] <= int(dsum[bi]) + extra_search_depth
+            ]
+            bi = int(min(flip, key=lambda r: (-ag_aff[r], -probs_aff[r])))
+            p_best_pair = float(probs_aff[bi])
+            p_all_pairs = float(p_all_pairs - probs[bi] + p_best_pair)
             best = (int(i0s[bi]), int(i1s[bi]))
 
     # single-end results (for fallback and the min-MAPQ rule)

@@ -85,6 +85,17 @@ class PairedEndAligner:
     stats: AlignerStats = field(default_factory=AlignerStats)
 
     def __post_init__(self):
+        if self.params.max_k_indels is None:
+            # reference default: maxDistForIndels = 40
+            # (AlignerOptions.cpp:108); consumed only by the paired
+            # aligner, so the paired driver resolves the auto value
+            import dataclasses
+
+            from ..constants import DEFAULT_MAX_DIST_INDELS
+
+            self.params = dataclasses.replace(
+                self.params, max_k_indels=DEFAULT_MAX_DIST_INDELS
+            )
         self.genome_np = np.asarray(self.index.genome_meta.bases)
         self.first_alt_start = self.index.genome_meta.first_alt_start()
         cs = sorted(self.index.genome_meta.contigs, key=lambda c: c.start)
@@ -175,6 +186,7 @@ class PairedEndAligner:
             max_cand=self.params.max_cand,
             min_spacing=self.min_spacing,
             max_spacing=self.max_spacing,
+            max_k_indels=self.params.mki,
         )
         if self.mesh is None:
             didx_sc = self.index.device
@@ -201,6 +213,7 @@ class PairedEndAligner:
                     max_probe=self.index.max_probe,
                     num_seeds=ip.num_seeds,
                     max_cand=ip.max_cand,
+                    max_k_indels=ip.max_k_indels,
                 ),
             )
             ov = pcd["overflow"]
@@ -211,6 +224,7 @@ class PairedEndAligner:
                 pcd["dir"], pcd["valid"], pcd["weight"],
                 pcd["popular"], self.params, tier1_only=True,
                 truncated=jnp.concatenate([ovp, ovp]),
+                max_k_bonus=pcd["big_indel"],
             )
             self._pcd = pcd
         else:
@@ -221,6 +235,7 @@ class PairedEndAligner:
                 jnp.asarray(pc.off), jnp.asarray(pc.dir),
                 jnp.asarray(pc.valid), jnp.asarray(pc.weight),
                 jnp.asarray(pc.popular), self.params, tier1_only=True,
+                max_k_bonus=jnp.asarray(pc.big_indel),
             )
         f = two_phase_merge(
             didx_sc, t1, dev_bases, dev_quals, self.params
@@ -235,9 +250,17 @@ class PairedEndAligner:
         self._fix_edge_indels(
             f, bases, len_eff, didx_sc, dev_bases, dev_quals
         )
+        # LV-approximated agScore for phase-3 pair selection
+        # (readLen*match - score*(match+sub), scoreLocation's LV path,
+        # IntersectingPairedEndAligner.cpp:3352-3359)
+        ms = self.params.ag_match + self.params.ag_sub
+        f["lv_ag_score"] = (
+            f["len_eff"][:, None].astype(np.int64) - ms * f["lv_dist"]
+        )
         per_cand = (
             "dist", "lv_dist", "log_prob", "ag_score", "end_loc",
             "cand_loc", "direction", "valid", "escalated",
+            "lv_ag_score", "lv_log_prob",
         )
         v, esc = f["valid"], f["escalated"]
         self.stats.lv_calls += int(v[:n].sum()) + int(v[B : B + n].sum())
@@ -595,12 +618,27 @@ class PairedEndAligner:
         ag1 = f["ag_score"][r1s].astype(np.int64)
         lp0 = f["log_prob"][r0s].astype(np.float64)
         lp1 = f["log_prob"][r1s].astype(np.float64)
+        # phase-3 (LV) selection values; affine only compares in the
+        # phase-4 flip and supplies the winner's probability
+        # (IntersectingPairedEndAligner.cpp:975-1005, 2509-2726)
+        lvag0 = f["lv_ag_score"][r0s].astype(np.int64)
+        lvag1 = f["lv_ag_score"][r1s].astype(np.int64)
+        lvlp0 = f["lv_log_prob"][r0s].astype(np.float64)
+        lvlp1 = f["lv_log_prob"][r1s].astype(np.float64)
+        lvd0 = f["lv_dist"][r0s].astype(np.int64)
+        lvd1 = f["lv_dist"][r1s].astype(np.int64)
         e0arr = f["end_loc"][r0s].astype(np.int64)
         e1arr = f["end_loc"][r1s].astype(np.int64)
-        ag_a = ag0[ar, i0a] + ag1[ar, i1a]
-        ag_b = ag0[ar, i0b] + ag1[ar, i1b]
-        pr_a = np.exp(lp0[ar, i0a] + lp1[ar, i1a])
-        pr_b = np.exp(lp0[ar, i0b] + lp1[ar, i1b])
+        ag_a = lvag0[ar, i0a] + lvag1[ar, i1a]
+        ag_b = lvag0[ar, i0b] + lvag1[ar, i1b]
+        pr_a = np.exp(lvlp0[ar, i0a] + lvlp1[ar, i1a])
+        pr_b = np.exp(lvlp0[ar, i0b] + lvlp1[ar, i1b])
+        aga_a = ag0[ar, i0a] + ag1[ar, i1a]
+        aga_b = ag0[ar, i0b] + ag1[ar, i1b]
+        pra_a = np.exp(lp0[ar, i0a] + lp1[ar, i1a])
+        pra_b = np.exp(lp0[ar, i0b] + lp1[ar, i1b])
+        lvd_a = lvd0[ar, i0a] + lvd1[ar, i1a]
+        lvd_b = lvd0[ar, i0b] + lvd1[ar, i1b]
         e0_a, e1_a = e0arr[ar, i0a], e1arr[ar, i1a]
         e0_b, e1_b = e0arr[ar, i0b], e1arr[ar, i1b]
         # the greedy merge walks combos in (e0, e1) lexsort order with
@@ -614,24 +652,49 @@ class PairedEndAligner:
 
         ag_a, ag_b = sw(ag_a, ag_b)
         pr_a, pr_b = sw(pr_a, pr_b)
+        aga_a, aga_b = sw(aga_a, aga_b)
+        pra_a, pra_b = sw(pra_a, pra_b)
+        lvd_a, lvd_b = sw(lvd_a, lvd_b)
         e0_a, e0_b = sw(e0_a, e0_b)
         e1_a, e1_b = sw(e1_a, e1_b)
         i0a, i0b = sw(i0a, i0b)
         i1a, i1b = sw(i1a, i1b)
         # rep/best choice: later combo wins only when strictly better
-        # by (agScore, probability)
+        # by (LV agScore, LV probability) — the phase-3 values
         b_better = has2 & (
             (ag_b > ag_a) | ((ag_b == ag_a) & (pr_b > pr_a))
         )
-        ch_i0 = np.where(b_better, i0b, i0a)
-        ch_i1 = np.where(b_better, i1b, i1a)
-        pr_ch = np.where(b_better, pr_b, pr_a)
         anchored = (
             has2
             & (np.abs(e0_a - e0_b) <= PAIRED_MERGE_ANCHOR_DIST)
             & (np.abs(e1_a - e1_b) <= PAIRED_MERGE_ANCHOR_DIST)
         )
+        # phase-4 flip: the non-chosen, non-merge-eliminated combo
+        # joins the affine comparison when its LV pair score is within
+        # extraSearchDepth of the winner's
+        D = np.int64(self.params.extra_search_depth)
+        lvd_ch = np.where(b_better, lvd_b, lvd_a)
+        lvd_ot = np.where(b_better, lvd_a, lvd_b)
+        aga_ch = np.where(b_better, aga_b, aga_a)
+        aga_ot = np.where(b_better, aga_a, aga_b)
+        pra_ch = np.where(b_better, pra_b, pra_a)
+        pra_ot = np.where(b_better, pra_a, pra_b)
+        flip = (
+            has2
+            & ~anchored
+            & (lvd_ot <= lvd_ch + D)
+            & ((aga_ot > aga_ch) | ((aga_ot == aga_ch) & (pra_ot > pra_ch)))
+        )
+        take_b = b_better ^ flip
+        ch_i0 = np.where(take_b, i0b, i0a)
+        ch_i1 = np.where(take_b, i1b, i1a)
+        pr_ch = np.where(take_b, pr_b, pr_a)          # LV prob of winner
+        pr_ch_aff = np.where(take_b, pra_b, pra_a)    # affine prob
+        # phase-3 pAll over LV probs, then the phase-4 swap of the
+        # winner's probability to its affine value (:2712-2726)
         p_all = np.where(has2 & ~anchored, pr_a + pr_b, pr_ch)
+        p_all = p_all - pr_ch + pr_ch_aff
+        pr_ch = pr_ch_aff
 
         pop0 = f["popular"][r0s].astype(np.int64)
         pop1 = f["popular"][r1s].astype(np.int64)
@@ -1041,6 +1104,7 @@ class PairedEndAligner:
             jnp.asarray(pc.off), jnp.asarray(pc.dir),
             jnp.asarray(pc.valid), jnp.asarray(pc.weight),
             jnp.asarray(pc.popular), self.params, tier1_only=True,
+            max_k_bonus=jnp.asarray(pc.big_indel),
         )
         fs = two_phase_merge(didx_sc, t1, db, dq, self.params)
         live = np.concatenate([np.arange(nb), P2 + np.arange(nb)])

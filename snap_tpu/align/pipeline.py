@@ -56,9 +56,15 @@ class AlignParams:
     explore_popular: bool = False     # -x: score popular seeds' first hits
     extra_search_depth: int = 1       # -D (subsumed by exhaustive top-K
                                       # scoring; kept for CLI parity)
-    max_k_indels: int = 0             # -i: widens the DP window so large
-                                      # indels stay in-range for AG rescoring
-                                      # (maxKForIndels, BaseAligner.cpp)
+    max_k_indels: int | None = None   # -i maxDistForIndels: the paired
+                                      # phase-2a score-raise bound AND the
+                                      # DP window margin for big indels
+                                      # (IntersectingPairedEndAligner.cpp:
+                                      # 720-801). None = auto: paired
+                                      # drivers resolve to the reference
+                                      # default 40 (AlignerOptions.cpp:108),
+                                      # single-end to 0 (BaseAligner never
+                                      # consumes maxDistForIndels)
     use_affine_gap: bool = True       # -G- disables AG escalation
     clip_back: bool = True            # default ClipBack (Read.h:88-108);
                                       # ClipFront is host-side (apply_front_clip)
@@ -81,6 +87,10 @@ class AlignParams:
         # each clean lookup applies the seed in both directions
         # (BaseAligner.cpp:451,669), so -n 25 means 13 lookups
         return self.num_seeds // 2 + 1
+
+    @property
+    def mki(self) -> int:
+        return self.max_k_indels or 0
 
     @property
     def max_k_same(self) -> int:
@@ -221,51 +231,72 @@ def _score_rows(
     L: int,
     margin: int,
     W: int,
+    s_bonus: jax.Array | None = None,  # [M] i32 phase-2a score raise
 ) -> SubsetOut:
     """Tier 2: full fitting DP + affine-gap head/tail on M rows."""
     from ..ops.dp import LOG_PERFECT
 
+    AG_W = max(params.max_k, params.mki)
+    if s_bonus is None:
+        s_bonus = jnp.zeros(s_plen.shape, jnp.int32)
+    # per-candidate acceptance bound: maxK raised by the detected
+    # big-indel spread, capped at MAX_K-1 = 126 like computeScoreLimit
+    # (IntersectingPairedEndAligner.cpp:2630-2644)
+    mk_eff = jnp.minimum(
+        jnp.int32(params.max_k) + s_bonus, jnp.int32(126)
+    )
     # the Pallas kernels pack a lane index into low bits of int32
     # scores: the fitting DP carries 9 column bits (windows <= 512
     # text chars), the affine kernel 8 (patterns <= 256). Long-read
     # shapes (-rl, snapxl-style) fall back to the jnp recurrences.
-    if jax.default_backend() == "tpu" and L + params.max_k + 1 <= 256:
+    if jax.default_backend() == "tpu" and L + AG_W + 1 <= 256:
         from ..ops.affine_pallas import (
             affine_extend_pallas as affine_extend,
         )
     else:
         from ..ops.affine import affine_extend
 
+    G = didx.genome.shape[0]
+
     def gather_genome(pos):
-        inb = (pos >= 0) & (pos < didx.genome.shape[0])
+        inb = (pos >= 0) & (pos < G)
         return jnp.where(
-            inb, didx.genome[jnp.clip(pos, 0, didx.genome.shape[0] - 1)],
-            np.uint8(5),
+            inb, didx.genome[jnp.clip(pos, 0, G - 1)], np.uint8(5)
         )
-
-    win_start = s_loc - margin
-    cols = jnp.arange(W, dtype=jnp.int64)[None, :]
-    text = gather_genome(win_start[:, None] + cols)
-
-    if jax.default_backend() == "tpu" and W + 1 <= 512:
-        # Pallas kernel: whole DP resident in VMEM (the jnp fallback
-        # round-trips state through HBM per pattern row)
-        from ..ops.dp_pallas import fitting_edit_distance_pallas
-
-        res = fitting_edit_distance_pallas(s_pat, s_logq, s_plen, text)
-    else:
-        res = fitting_edit_distance(s_pat, s_logq, s_plen, text)
-    s_lv_dist = res.dist
-    s_lv_logp = res.log_prob
-    s_end = win_start + res.end_col.astype(jnp.int64)
 
     # affine-gap head/tail extensions (BaseAligner.cpp:1203-1290) on the
     # same subset: escalation only ever applies to candidates here
     seed = params.seed_len
     tail_start = (s_off + seed).astype(jnp.int32)
     jj = jnp.arange(L, dtype=jnp.int32)[None, :]
-    TW = L + params.max_k + 1
+    TW = L + AG_W + 1
     tcols = jnp.arange(TW, dtype=jnp.int64)[None, :]
+
+    def gather_window(start):
+        """[M, TW] forward genome window starting at `start`, via
+        [G/8, 8] row gathers (TW/8+2 row indices per candidate instead
+        of TW element indices — TPU gather cost scales with the index
+        count). Out-of-bounds positions read as PAD (5)."""
+        if G % 8 != 0:
+            return gather_genome(start[:, None] + tcols)
+        g8 = didx.genome.reshape(-1, 8)
+        r0 = start >> 3
+        nrows = TW // 8 + 2
+        blocks = [
+            g8[jnp.clip(r0 + j, 0, g8.shape[0] - 1)]
+            for j in range(nrows)
+        ]
+        ab = jnp.concatenate(blocks, axis=1)
+        sh = (start & 7).astype(jnp.int32)
+        out = jnp.zeros((start.shape[0], TW), jnp.uint8)
+        for s in range(8):
+            out = jnp.where(
+                (sh == s)[:, None],
+                jax.lax.slice_in_dim(ab, s, s + TW, axis=1),
+                out,
+            )
+        pos = start[:, None] + tcols
+        return jnp.where((pos >= 0) & (pos < G), out, np.uint8(5))
 
     t_idx = (jj + tail_start[:, None]).astype(jnp.int64)
     t_ok = t_idx < s_plen[:, None]
@@ -273,8 +304,10 @@ def _score_rows(
     tail_pat = jnp.where(t_ok, jnp.take_along_axis(s_pat, t_idxc, axis=1), np.uint8(4))
     tail_logq = jnp.where(t_ok, jnp.take_along_axis(s_logq, t_idxc, axis=1), 0.0)
     tail_plen = jnp.maximum(s_plen - tail_start, 0).astype(jnp.int32)
-    tail_text = gather_genome(s_loc[:, None] + tail_start[:, None] + tcols)
-    tail_tlen = (tail_plen + params.max_k).astype(jnp.int32)
+    tail_text = gather_window(s_loc + tail_start.astype(jnp.int64))
+    tail_tlen = jnp.minimum(
+        tail_plen + params.max_k + s_bonus, jnp.int32(TW - 1)
+    ).astype(jnp.int32)
     ebonus_tail = jnp.where(
         s_dir == 1, np.int32(params.ag_b5), np.int32(params.ag_b3)
     )
@@ -291,8 +324,12 @@ def _score_rows(
     head_pat = jnp.where(h_ok, jnp.take_along_axis(s_pat, h_idxc, axis=1), np.uint8(4))
     head_logq = jnp.where(h_ok, jnp.take_along_axis(s_logq, h_idxc, axis=1), 0.0)
     head_plen = s_off.astype(jnp.int32)
-    head_text = gather_genome(s_loc[:, None] + s_off[:, None] - 1 - tcols)
-    head_tlen = (head_plen + params.max_k).astype(jnp.int32)
+    head_text = jnp.flip(
+        gather_window(s_loc + s_off.astype(jnp.int64) - TW), axis=1
+    )
+    head_tlen = jnp.minimum(
+        head_plen + params.max_k + s_bonus, jnp.int32(TW - 1)
+    ).astype(jnp.int32)
     ebonus_head = jnp.where(
         s_dir == 1, np.int32(params.ag_b3), np.int32(params.ag_b5)
     )
@@ -303,7 +340,47 @@ def _score_rows(
         gap_open=params.ag_open, gap_extend=params.ag_extend,
     )
 
-    s_lv_ok = sel_live & (s_lv_dist <= params.max_k)
+    # ---- seed-anchored Landau-Vishkin: tail forward from the seed end
+    # plus reverse LV over the head, on the SAME pattern/text rows the
+    # affine extensions use (BaseAligner.cpp:1160-1176, LandauVishkin.h:
+    # 100). Anchoring is load-bearing for parity: a windowed DP scores
+    # nearby candidates identically (they see the same window), while
+    # SNAP's per-candidate scores differ by the distance off the anchor
+    # diagonal — that difference drives pair selection and MAPQ.
+    if jax.default_backend() == "tpu" and TW + 1 <= 512:
+        from ..ops.dp_pallas import fitting_edit_distance_pallas
+
+        lv_tail = fitting_edit_distance_pallas(
+            tail_pat, tail_logq, tail_plen, tail_text, anchored=True
+        )
+        lv_head = fitting_edit_distance_pallas(
+            head_pat, head_logq, head_plen, head_text, anchored=True
+        )
+    else:
+        lv_tail = fitting_edit_distance(
+            tail_pat, tail_logq, tail_plen, tail_text, anchored=True
+        )
+        lv_head = fitting_edit_distance(
+            head_pat, head_logq, head_plen, head_text, anchored=True
+        )
+    t_empty = tail_plen == 0
+    h_empty = head_plen == 0
+    t_dist = jnp.where(t_empty, 0, lv_tail.dist)
+    h_dist = jnp.where(h_empty, 0, lv_head.dist)
+    t_lp = jnp.where(t_empty, 0.0, lv_tail.log_prob)
+    h_lp = jnp.where(h_empty, 0.0, lv_head.log_prob)
+    s_lv_dist = t_dist + h_dist
+    s_lv_logp = t_lp + h_lp + np.float32(seed) * np.float32(LOG_PERFECT)
+    lv_indels = jnp.where(t_empty, 0, lv_tail.indels) + jnp.where(
+        h_empty, 0, lv_head.indels
+    )
+    s_end = (
+        s_loc
+        + (s_off + seed).astype(jnp.int64)
+        + jnp.where(t_empty, 0, lv_tail.end_col).astype(jnp.int64)
+    )
+
+    s_lv_ok = sel_live & (s_lv_dist <= mk_eff)
     ag_ok = tail.valid & head.valid
     ag_score = tail.score + head.score + seed - 2 * s_plen
     ag_edits = tail.edits + head.edits
@@ -314,30 +391,18 @@ def _score_rows(
     ag_body_loc = s_loc + (s_off - head.text_used).astype(jnp.int64)
 
     if params.use_affine_gap:
-        # SNAP's LV is seed-ANCHORED (head/tail from the seed,
-        # BaseAligner.cpp:1160-1176), so its escalation gate
-        # (score1+score2 > maxKForSameAlignment, :1204) fires whenever
-        # the anchored-diagonal alignment needs gaps. Our windowed
-        # fitting DP can find a lower-distance pure-substitution twin
-        # at a SHIFTED diagonal (invisible to anchored LV because the
-        # seed region wouldn't match there) and under-report lv_dist,
-        # skipping the escalation SNAP performs — the PARITY.md p89 /
-        # r136 class (e.g. a 3-base deletion whose affine score 91
-        # beats the gapless twin's 90). Escalating those rows is safe:
-        # when the anchored LV distance really is <= max_k_same, affine
-        # gap reports the same alignment by the definition of
-        # maxKForSameAlignment, and the anchored AG head/tail is
-        # already computed for every row here.
-        shifted_twin = (
-            (res.indels == 0)
-            & (s_lv_dist > 0)
-            & (s_end != s_loc + s_plen.astype(jnp.int64))
-        )
-        s_esc = s_lv_ok & ((s_lv_dist > params.max_k_same) | shifted_twin)
+        # escalation gate: score1 + score2 > maxKForSameAlignment
+        # (BaseAligner.cpp:1204) — exact now that the LV is anchored
+        s_esc = s_lv_ok & (s_lv_dist > params.max_k_same)
     else:  # -G-: never escalate to affine gap
         s_esc = jnp.zeros_like(s_lv_ok)
     s_dist = jnp.where(s_esc, ag_edits, s_lv_dist)
     s_logp = jnp.where(s_esc, ag_logp, s_lv_logp)
+    # phase-3 parity: SNAP's paired aligner selects pairs on the plain
+    # LV matchProbability and only swaps in the affine values for the
+    # winner in phase 4 (IntersectingPairedEndAligner.cpp:2509-2626),
+    # so the pre-escalation LV log-prob rides along
+    s_lv_logp_out = s_lv_logp
     s_agsc = jnp.where(
         s_esc, ag_score,
         s_plen - (params.ag_match + params.ag_sub) * s_lv_dist,
@@ -346,12 +411,13 @@ def _score_rows(
     s_clip_b = jnp.where(s_esc, head.pattern_clip, 0)
     s_clip_a = jnp.where(s_esc, tail.pattern_clip, 0)
     s_body = jnp.where(s_esc, ag_body_loc, s_loc)
-    s_indels = jnp.where(s_esc, jnp.int32(1 << 20), res.indels)
+    s_indels = jnp.where(s_esc, jnp.int32(1 << 20), lv_indels)
     return SubsetOut(
         dist=s_dist, lv_dist=s_lv_dist.astype(jnp.int32), indels=s_indels,
         log_prob=s_logp, ag_score=s_agsc,
         end_loc=s_end, body_loc=s_body, escalated=s_esc,
         clip_before=s_clip_b, clip_after=s_clip_a, valid=s_ok,
+        lv_log_prob=s_lv_logp_out,
     )
 
 
@@ -375,6 +441,8 @@ class Tier1Out(NamedTuple):
     popular: jax.Array       # [B] int32
     n_lookups: jax.Array     # [B] int32
     truncated: jax.Array     # [B] bool gather cap overflowed (redo wide)
+    big_indel: jax.Array     # [B, K] int16 phase-2a score-raise bonus
+                             # (paired; zeros on the single-end path)
 
 
 class SubsetOut(NamedTuple):
@@ -394,6 +462,9 @@ class SubsetOut(NamedTuple):
     clip_before: jax.Array
     clip_after: jax.Array
     valid: jax.Array
+    lv_log_prob: jax.Array  # pre-escalation LV ln(matchProbability)
+                            # (phase-3 pair selection key; see
+                            # IntersectingPairedEndAligner.cpp:975-1005)
 
 
 def _align_impl(
@@ -412,7 +483,7 @@ def _align_impl(
     H = params.hit_cap
     K = params.max_cand
     seed = params.seed_len
-    margin = max(params.max_k, params.max_k_indels) + 1
+    margin = max(params.max_k, params.mki) + 1
     W = L + 2 * margin
 
     len_eff = (
@@ -432,14 +503,20 @@ def _align_impl(
     usable = valid_all & (pos[None, :] <= (len_eff - seed)[:, None])
     ranks = jnp.where(usable, rank, INF_RANK)  # [B, P]
     # S smallest ranks = the offsets SNAP would probe, in order
-    neg_top, offsets64 = jax.lax.top_k(-ranks, S)  # offsets [B, S]
-    offsets = offsets64.astype(jnp.int32)
-    seed_ok = neg_top > -INF_RANK
-
-    offs64 = offsets.astype(jnp.int64)
-    seed_fwd = jnp.take_along_axis(fwd_all, offs64, axis=1)
-    seed_rc = jnp.take_along_axis(rc_all, offs64, axis=1)
-    seed_ok = seed_ok & jnp.take_along_axis(valid_all, offs64, axis=1)
+    # one payload sort instead of top_k + 3 take_along_axis gathers:
+    # sorts shuffle lanes without per-element random gathers, which on
+    # TPU makes the sort strictly cheaper than the gathers it replaces
+    posP = jnp.broadcast_to(
+        jnp.arange(P, dtype=jnp.int32)[None, :], (B, P)
+    )
+    rank_s, offsets, seed_fwd, seed_rc = (
+        a[:, :S]
+        for a in jax.lax.sort(
+            (ranks, posP, fwd_all, rc_all),
+            dimension=1, num_keys=1, is_stable=True,
+        )
+    )
+    seed_ok = rank_s < INF_RANK  # usable already folds valid_all in
 
     canonical = jnp.minimum(seed_fwd, seed_rc)
     read_is_canon = seed_fwd <= seed_rc
@@ -482,7 +559,7 @@ def _align_impl(
         # everything. The wrap round of each probe is recoverable from
         # its rank (rank = wrap * DIV + offset_index).
         DIV = P // seed + 2
-        wrap_round = jnp.where(seed_ok, (-neg_top) // DIV, 0).astype(
+        wrap_round = jnp.where(seed_ok, rank_s // DIV, 0).astype(
             jnp.int32
         )
         if params.explore_popular:
@@ -520,19 +597,32 @@ def _align_impl(
     cand_f = f_locs.astype(jnp.int64) - off_flat
     cand_r = r_locs.astype(jnp.int64) - (le_flat - seed - off_flat)
 
-    # key packs (dir, location, probe-order index); dedup ignores the
-    # low OFF_BITS, so the payload carried out per candidate is the
-    # FIRST-probed seed's index — SNAP's candidate->seedOffset comes
-    # from the seed that inserted the candidate.
-    OFF_BITS = 10
+    # key packs (dir, location, probe-order index, offset value); dedup
+    # ignores everything below the location, so the payload carried out
+    # per candidate is the FIRST-probed seed's — SNAP's
+    # candidate->seedOffset comes from the seed that inserted the
+    # candidate. The offset VALUE rides in the low bits so no
+    # offsets-table gather is needed afterwards (a [B, K] element
+    # gather costs real time on TPU); probe order above it preserves
+    # the insertion-order tie rule. Reads longer than 1024 would
+    # overflow the offset field — pack the probe index alone there and
+    # gather (snapxl-class shapes are latency-insensitive).
+    OFFV_BITS = 10 if L <= 1024 else 0
+    PROBE_BITS = 10
+    OFF_BITS = PROBE_BITS + OFFV_BITS
     BIG = jnp.int64(1) << (42 + OFF_BITS)
-    INF_KEY = jnp.int64(1) << 62
+    INF_KEY = jnp.int64(3) << 61  # sorts after every valid key (dir-1
+                                  # keys reach BIG + 2^52 < 1.5 * 2^62)
     probe_ix = jnp.broadcast_to(
         jnp.arange(S, dtype=jnp.int64)[None, :, None], (B, S, H)
     ).reshape(B * S, H)
-    key_f = jnp.where(f_valid, (cand_f << OFF_BITS) | probe_ix, INF_KEY)
+    if OFFV_BITS:
+        payload = (probe_ix << OFFV_BITS) | off_flat
+    else:
+        payload = probe_ix
+    key_f = jnp.where(f_valid, (cand_f << OFF_BITS) | payload, INF_KEY)
     key_r = jnp.where(
-        r_valid, ((cand_r << OFF_BITS) | probe_ix) + BIG, INF_KEY
+        r_valid, ((cand_r << OFF_BITS) | payload) + BIG, INF_KEY
     )
     keys = jnp.concatenate(
         [key_f.reshape(B, S * H), key_r.reshape(B, S * H)], axis=1
@@ -564,12 +654,19 @@ def _align_impl(
     cand_weight = jnp.maximum(wv, 0).astype(jnp.int32)
     cand_dir = (cand_keys >= BIG).astype(jnp.int32)
     stripped = jnp.where(cand_dir == 1, cand_keys - BIG, cand_keys)
-    cand_probe = (stripped & ((1 << OFF_BITS) - 1)).astype(jnp.int64)
     cand_loc = stripped >> OFF_BITS
     cand_loc = jnp.where(cand_valid, cand_loc, 0)
-    # probe index -> read offset; RC-oriented patterns anchor at
-    # len_eff - seed_len - offset (BaseAligner.cpp:591-606)
-    off_of_probe = jnp.take_along_axis(offsets, cand_probe, axis=1)
+    # offset payload -> oriented read offset; RC-oriented patterns
+    # anchor at len_eff - seed_len - offset (BaseAligner.cpp:591-606)
+    if OFFV_BITS:
+        off_of_probe = (stripped & ((1 << OFFV_BITS) - 1)).astype(
+            jnp.int64
+        )
+    else:
+        cand_probe = (stripped & ((1 << PROBE_BITS) - 1)).astype(
+            jnp.int64
+        )
+        off_of_probe = jnp.take_along_axis(offsets, cand_probe, axis=1)
     cand_off = jnp.where(
         cand_dir == 1,
         len_eff[:, None] - seed - off_of_probe,
@@ -630,6 +727,7 @@ def _score_from_candidates(
     tier1_only: bool = False,
     dp_rows: int | None = None,
     return_needs: bool = False,
+    max_k_bonus: jax.Array | None = None,  # [B, K] i32 phase-2a raises
 ):
     """Two-tier scoring of an arbitrary [B, K] candidate set.
 
@@ -638,8 +736,15 @@ def _score_from_candidates(
     """
     B, L = bases.shape
     K = cand_loc.shape[1]
-    margin = max(params.max_k, params.max_k_indels) + 1
+    margin = max(params.max_k, params.mki) + 1
     W = L + 2 * margin
+    if max_k_bonus is None:
+        flat_bonus = jnp.zeros((B * K,), jnp.int32)
+    else:
+        flat_bonus = max_k_bonus.reshape(-1).astype(jnp.int32)
+    flat_mk_eff = jnp.minimum(
+        jnp.int32(params.max_k) + flat_bonus, jnp.int32(126)
+    )
     # =====================================================================
     # Scoring. Two tiers, like SNAP's own split between the 64-bit XOR
     # perfect-match scan and the full DP (LandauVishkin.h:377-407):
@@ -885,6 +990,9 @@ def _score_from_candidates(
             popular=popular,
             n_lookups=n_lookups,
             truncated=truncated,
+            big_indel=jnp.minimum(flat_bonus, 1023)
+            .astype(jnp.int16)
+            .reshape(B, K),
         )
 
     # ---- Tier 2: compact candidates that need gaps ----
@@ -942,6 +1050,7 @@ def _score_from_candidates(
         didx, pat_sel, logq_sel, plen[sel_idx],
         flat_loc[sel_idx], flat_off[sel_idx], flat_dir[sel_idx],
         sel_live, params, L, margin, W,
+        s_bonus=flat_bonus[sel_idx],
     )
     (s_dist, s_indels, s_logp, s_agsc, s_end, s_body, s_esc, s_clip_b,
      s_clip_a, s_ok) = (
@@ -954,7 +1063,7 @@ def _score_from_candidates(
     def scatter(base, vals):
         return base.at[sel_idx].set(jnp.where(sel_live, vals, base[sel_idx]))
 
-    gl_ok = flat_valid & ~needs_dp & (gapless_dist <= params.max_k)
+    gl_ok = flat_valid & ~needs_dp & (gapless_dist <= flat_mk_eff)
     dist = scatter(gapless_dist, s_dist)
     lv_dist = scatter(gapless_dist, sub.lv_dist.astype(gapless_dist.dtype))
     log_prob = scatter(gapless_logp, s_logp)
@@ -1010,6 +1119,7 @@ def score_candidates(
     tier1_only: bool = True,
     truncated: jax.Array | None = None,  # [B] bool (device-intersect
                                          # overflow -> host exact redo)
+    max_k_bonus: jax.Array | None = None,  # [B, K] i32 phase-2a raises
 ) -> Tier1Out | SingleAlignOut:
     """Score an injected candidate set (host- or device-generated).
 
@@ -1031,6 +1141,7 @@ def score_candidates(
             jnp.zeros((B,), bool) if truncated is None else truncated
         ),
         n_lookups=zeros, params=params, tier1_only=tier1_only,
+        max_k_bonus=max_k_bonus,
     )
 
 
@@ -1070,6 +1181,7 @@ def score_rows(
     offs: jax.Array,      # [M] i32
     live: jax.Array,      # [M] bool
     params: AlignParams,
+    bonus: jax.Array | None = None,  # [M] i32 phase-2a score raises
 ) -> SubsetOut:
     """Phase 2: DP + AG scoring of host-selected candidate rows.
 
@@ -1077,7 +1189,7 @@ def score_rows(
     the jit cache; dead rows (live=False) are padding.
     """
     B, L = bases.shape
-    margin = max(params.max_k, params.max_k_indels) + 1
+    margin = max(params.max_k, params.mki) + 1
     W = L + 2 * margin
     rc_bases, rc_quals = reverse_complement_reads(bases, quals, len_eff)
     logq_table = jnp.asarray(log_phred_error_table())
@@ -1087,7 +1199,7 @@ def score_rows(
     plen = len_eff[read_ix]
     return _score_rows(
         didx, pat, pat_logq, plen, locs, offs, dirs, live, params,
-        L, margin, W,
+        L, margin, W, s_bonus=bonus,
     )
 
 
@@ -1121,6 +1233,9 @@ def _pack_subset(sub: "SubsetOut") -> jax.Array:
             (sub.clip_before.astype(jnp.int32) & jnp.int32(0xFFFF))
             | (sub.clip_after.astype(jnp.int32) << jnp.int32(16)),
             w7,
+            jax.lax.bitcast_convert_type(
+                sub.lv_log_prob.astype(jnp.float32), jnp.int32
+            ),
         ],
         axis=1,
     )
@@ -1142,6 +1257,7 @@ def fetch_subset(sub: "SubsetOut") -> "SubsetOut":
         clip_before=sx(pk[:, 6]).astype(np.int32),
         clip_after=(pk[:, 6] >> 16).astype(np.int32),
         valid=((pk[:, 7] >> 17) & 1).astype(bool),
+        lv_log_prob=np.ascontiguousarray(pk[:, 8]).view(np.float32),
     )
 
 
@@ -1154,9 +1270,9 @@ def _pack_tier1(t1):
 
     cand words: w0 cand_loc (uint32 bitcast); w1 gapless_logp (f32
     bitcast); w2 seed_off(0..15) | weight(16..23) | direction(24) |
-    valid(25); w3 gapless_dist (full int32 — it carries the 1<<20
-    "no gapless score" sentinel). n_lookups has no host consumer and
-    is dropped.
+    valid(25); w3 gapless_dist(0..15, saturates at 1<<14 which also
+    serves as the "no gapless score" sentinel) | big_indel(16..25).
+    n_lookups has no host consumer and is dropped.
     """
     w2 = (
         (t1.seed_off.astype(jnp.int32) & jnp.int32(0xFFFF))
@@ -1173,7 +1289,8 @@ def _pack_tier1(t1):
                 t1.gapless_logp.astype(jnp.float32), jnp.int32
             ),
             w2,
-            t1.gapless_dist.astype(jnp.int32),
+            t1.gapless_dist.astype(jnp.int32)
+            | (t1.big_indel.astype(jnp.int32) << jnp.int32(16)),
         ],
         axis=2,
     )
@@ -1218,7 +1335,9 @@ def two_phase_merge(
     weight = ((w2 >> 16) & 0xFF).astype(np.int32)
     direction = ((w2 >> 24) & 1).astype(np.int32)
     valid = ((w2 >> 25) & 1).astype(bool)
-    gd = cand_pk[:, :, 3].astype(np.int32)
+    gd = (cand_pk[:, :, 3] & 0xFFFF).astype(np.int32)
+    big_indel = (cand_pk[:, :, 3] >> 16).astype(np.int32)
+    mk_eff = np.minimum(params.max_k + big_indel, 126)
     r0 = read_pk[:, 0]
     len_eff = (((r0 & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int32)
     popular = (r0 >> 16).astype(np.int32)
@@ -1247,6 +1366,7 @@ def two_phase_merge(
         "lv_dist": gd.astype(np.int64).copy(),
         "indels": np.zeros((B, K), np.int32),
         "log_prob": glp.astype(np.float64).copy(),
+        "lv_log_prob": glp.astype(np.float64).copy(),
         "ag_score": (
             plen2 - (params.ag_match + params.ag_sub) * gd
         ).astype(np.int64),
@@ -1258,11 +1378,12 @@ def two_phase_merge(
         "clip_after": np.zeros((B, K), np.int32),
         "seed_off": seed_off,
         "direction": direction,
-        "valid": valid & ~needs & (gd <= params.max_k),
+        "valid": valid & ~needs & (gd <= mk_eff),
         "len_eff": len_eff,
         "popular": popular,
         "weight": weight,
         "truncated": truncated,
+        "big_indel": big_indel,
     }
 
     idx = np.flatnonzero(needs.reshape(-1))
@@ -1279,6 +1400,7 @@ def two_phase_merge(
             jnp.asarray(sel // K), jnp.asarray(flat(direction)),
             jnp.asarray(flat(cand_loc)), jnp.asarray(flat(seed_off)),
             jnp.asarray(live), params,
+            bonus=jnp.asarray(flat(big_indel)),
         )
         sub = fetch_subset(sub)
         n = min(idx.size, M)
@@ -1287,6 +1409,7 @@ def two_phase_merge(
         merged["lv_dist"][rows, cols] = np.asarray(sub.lv_dist)[:n]
         merged["indels"][rows, cols] = np.asarray(sub.indels)[:n]
         merged["log_prob"][rows, cols] = np.asarray(sub.log_prob)[:n]
+        merged["lv_log_prob"][rows, cols] = np.asarray(sub.lv_log_prob)[:n]
         merged["ag_score"][rows, cols] = np.asarray(sub.ag_score)[:n]
         merged["end_loc"][rows, cols] = np.asarray(sub.end_loc)[:n]
         merged["body_loc"][rows, cols] = np.asarray(sub.body_loc)[:n]

@@ -81,11 +81,18 @@ def pack_bad16(bases: np.ndarray, n_words: int) -> np.ndarray:
 
 def make_device_index(arrays: dict, genome_bases: np.ndarray) -> DeviceIndex:
     """Build a DeviceIndex with row-gather-friendly layouts: packed
-    genome words and 8-aligned padded hits."""
+    genome words, 8-aligned padded hits, and a PAD-padded genome whose
+    length is a multiple of 8 (so scoring windows read as [G/8, 8] row
+    gathers; PAD never matches, identical semantics to out-of-bounds)."""
     packed, bad = pack_genome_words(genome_bases)
     hits = np.asarray(arrays["hits"])
     pad = 8 + (-(hits.shape[0] + 8)) % 8
     hits_p = np.concatenate([hits, np.zeros(pad, hits.dtype)])
+    gpad = (-genome_bases.shape[0]) % 8
+    if gpad:
+        genome_bases = np.concatenate(
+            [genome_bases, np.full(gpad, 5, np.uint8)]
+        )
     return DeviceIndex(
         table=jnp.asarray(np.asarray(arrays["table"])),
         hits=jnp.asarray(hits_p),

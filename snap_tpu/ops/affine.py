@@ -259,18 +259,64 @@ def affine_extend(
         best_g, best_g_row, best_g_lp, best_g_ct,
         best_l, best_l_row, best_l_col, best_l_lp, best_l_ct,
         plen, score_init, end_bonus,
+        pat_logq=pat_logq,
     )
+
+
+def _hq_log_err() -> np.float32:
+    """log-error threshold equivalent to the reference's raw-byte test
+    qualityString[i] >= 65 (AffineGapVectorized.h:698): the phred
+    table is monotone in the quality byte, so 'byte >= 65' is exactly
+    'log error <= table[65]' (the table clamps, so this must come from
+    the table, not from 10^-q/10)."""
+    from ..constants import phred_to_probability_table
+
+    return np.float32(math.log(phred_to_probability_table()[65]) + 1e-6)
+
+
+HQ_LOG_ERR = _hq_log_err()
 
 
 def finish_extend(
     best_g, best_g_row, best_g_lp, best_g_ct,
     best_l, best_l_row, best_l_col, best_l_lp, best_l_ct,
     plen, score_init, end_bonus,
+    pat_logq=None,
 ) -> ExtendResult:
     """Global-vs-local choice + probability epilogue, shared between the
     jnp recurrence above and the Pallas kernel (ops.affine_pallas)."""
     # choose local iff different and local >= global + endBonus
     choose_local = (best_l != best_g) & (best_l >= best_g + end_bonus)
+    if pat_logq is not None:
+        # "Try not to clip high quality bases (>= 65) from the read"
+        # (AffineGapVectorized.h:692-720): a soft clip is only taken
+        # when the would-be-clipped pattern region is overwhelmingly
+        # low-quality (< 10% of bases at phred >= 32); otherwise the
+        # global alignment stands and the extra bases surface as
+        # indels/mismatches, exactly like the reference's clipping
+        # optimizations. (The ±1-base "extend through one indel when
+        # >= 3 bases rematch" refinements are folded into the global
+        # path, which the full DP already explores.)
+        N, L = pat_logq.shape
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        hq = (pat_logq <= HQ_LOG_ERR) & (pos < plen[:, None])
+        pre = jnp.cumsum(hq.astype(jnp.int32), axis=1)
+        total = pre[:, -1]
+        start = jnp.clip(best_l_col + 1, 0, L - 1)
+        before = jnp.where(
+            start > 0,
+            jnp.take_along_axis(
+                pre, jnp.maximum(start - 1, 0)[:, None].astype(jnp.int64),
+                axis=1,
+            )[:, 0],
+            0,
+        )
+        hq_in_clip = total - before
+        clip_len = jnp.maximum(plen - 1 - best_l_col, 0)
+        low_q_clip = hq_in_clip.astype(jnp.float32) < 0.1 * jnp.maximum(
+            clip_len, 1
+        ).astype(jnp.float32)
+        choose_local = choose_local & (low_q_clip | (clip_len == 0))
     score = jnp.where(choose_local, best_l, best_g)
     row_used = jnp.where(choose_local, best_l_row, best_g_row)
     col_used = jnp.where(choose_local, best_l_col, jnp.maximum(plen - 1, 0))

@@ -340,4 +340,5 @@ def affine_extend_pallas(
         gi[:, 3], gi[:, 4], gi[:, 5], gf[:, 1], gi[:, 6],
         plen.astype(jnp.int32), score_init.astype(jnp.int32),
         end_bonus.astype(jnp.int32),
+        pat_logq=pat_logq.astype(jnp.float32),
     )

@@ -84,8 +84,18 @@ def fitting_edit_distance(
     pat_logq: jax.Array,   # [N, L] float32 log P(error) at each pattern base
     plen: jax.Array,       # [N] int32 effective (clipped) pattern length
     text: jax.Array,       # [N, W] uint8 base codes (5=pad never matches)
+    anchored: bool = False,
 ) -> DPResult:
-    """Fitting alignment: pattern fully aligned, free placement in text.
+    """Fitting alignment: pattern fully aligned, free text end.
+
+    anchored=False: free placement in text (both ends free) — the
+    windowed form that scores all nearby offsets at once.
+    anchored=True: the text START is pinned at column 0, exactly SNAP's
+    seed-anchored Landau-Vishkin extension (LandauVishkin.h:100,
+    BaseAligner.cpp:1160-1176): a path may begin with a deletion run
+    (text consumed before any pattern) but each deleted base costs an
+    edit, so candidates 30bp apart stop collapsing onto one windowed
+    optimum.
 
     Returns per candidate the minimum edit distance, the natural-log
     match probability of the chosen path, and the exclusive end column
@@ -96,12 +106,27 @@ def fitting_edit_distance(
     step = np.int32(EDIT_UNIT + 1)  # one edit + one indel base
 
     # State rows over text-consumed counts j in 0..W.
-    m = jnp.zeros((N, W + 1), dtype=jnp.int32)           # free start: M=0 everywhere
+    jc0 = jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+    if anchored:
+        m = jnp.where(jc0 == 0, np.int32(0), PINF)
+        m = jnp.broadcast_to(m, (N, W + 1)).astype(jnp.int32)
+        # leading deletion run: j text bases consumed pre-pattern
+        d = jnp.where(jc0 > 0, jc0 * step, PINF)
+        d = jnp.broadcast_to(d, (N, W + 1)).astype(jnp.int32)
+        dlp = jnp.where(
+            jc0 > 0,
+            np.float32(LOG_GAP_OPEN)
+            + (jc0 - 1).astype(jnp.float32) * np.float32(LOG_GAP_EXTEND),
+            NEG,
+        )
+        dlp = jnp.broadcast_to(dlp, (N, W + 1)).astype(jnp.float32)
+    else:
+        m = jnp.zeros((N, W + 1), dtype=jnp.int32)       # free start
+        d = jnp.full((N, W + 1), PINF, dtype=jnp.int32)
+        dlp = jnp.full((N, W + 1), NEG, dtype=jnp.float32)
     i_ = jnp.full((N, W + 1), PINF, dtype=jnp.int32)
-    d = jnp.full((N, W + 1), PINF, dtype=jnp.int32)
     mlp = jnp.zeros((N, W + 1), dtype=jnp.float32)
     ilp = jnp.full((N, W + 1), NEG, dtype=jnp.float32)
-    dlp = jnp.full((N, W + 1), NEG, dtype=jnp.float32)
 
     ans_packed = jnp.full((N,), PINF, dtype=jnp.int32)
     ans_lp = jnp.full((N,), NEG, dtype=jnp.float32)

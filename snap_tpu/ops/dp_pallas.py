@@ -46,7 +46,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(jc_ref, pat_ref, logq_ref, plen_ref, text_ref,
-            out_i_ref, out_f_ref, W: int, L: int):
+            out_i_ref, out_f_ref, W: int, L: int,
+            anchored: bool = False):
     # NB (Mosaic on this jax version): broadcasted_iota and pltpu.roll
     # fail to lower inside TC kernels, and dynamic lane slices are
     # unimplemented — so the column-index plane arrives as an input,
@@ -56,12 +57,27 @@ def _kernel(jc_ref, pat_ref, logq_ref, plen_ref, text_ref,
     jcols = jc_ref[:]
     in_w = jcols <= jnp.int32(W)  # valid "text consumed" counts are 0..W
 
-    m = jnp.where(in_w, jnp.int32(0), PINF)
+    if anchored:
+        # seed-anchored LV (LandauVishkin.h:100): text start pinned at
+        # column 0; leading deletion runs cost one edit per base
+        m = jnp.where(in_w & (jcols == jnp.int32(0)), jnp.int32(0), PINF)
+        d = jnp.where(
+            in_w & (jcols > jnp.int32(0)), jcols * STEP, PINF
+        )
+        dlp = jnp.where(
+            in_w & (jcols > jnp.int32(0)),
+            jnp.float32(LOG_GAP_OPEN)
+            + (jcols - jnp.int32(1)).astype(jnp.float32)
+            * jnp.float32(LOG_GAP_EXTEND),
+            NEG,
+        )
+    else:
+        m = jnp.where(in_w, jnp.int32(0), PINF)
+        d = jnp.full((R, WP), PINF, jnp.int32)
+        dlp = jnp.full((R, WP), NEG, jnp.float32)
     i_ = jnp.full((R, WP), PINF, jnp.int32)
-    d = jnp.full((R, WP), PINF, jnp.int32)
     mlp = jnp.zeros((R, WP), jnp.float32)
     ilp = jnp.full((R, WP), NEG, jnp.float32)
-    dlp = jnp.full((R, WP), NEG, jnp.float32)
 
     ans_c = jnp.full((R, 1), PINF, jnp.int32)
     ans_lp = jnp.full((R, 1), NEG, jnp.float32)
@@ -177,6 +193,7 @@ def fitting_edit_distance_pallas(
     plen: jax.Array,       # [N] int32
     text: jax.Array,       # [N, W] uint8 codes
     interpret: bool | None = None,
+    anchored: bool = False,
 ) -> DPResult:
     """Drop-in Pallas replacement for ops.dp.fitting_edit_distance."""
     N, L = pattern.shape
@@ -219,7 +236,7 @@ def fitting_edit_distance_pallas(
 
     grid = (NP // R,)
     out_i, out_f = pl.pallas_call(
-        functools.partial(_kernel, W=W, L=L),
+        functools.partial(_kernel, W=W, L=L, anchored=anchored),
         grid=grid,
         in_specs=[
             pl.BlockSpec((R, WP), _row0, memory_space=pltpu.VMEM),

@@ -270,6 +270,7 @@ def align_tier1_sharded(
             direction=g2(t1.direction), valid=g2(t1.valid),
             weight=g2(t1.weight), gapless_dist=g2(t1.gapless_dist),
             gapless_logp=g2(t1.gapless_logp),
+            big_indel=g2(t1.big_indel),
             popular=jax.lax.psum(t1.popular, "index"),
             truncated=(
                 jax.lax.psum(t1.truncated.astype(jnp.int32), "index") > 0
@@ -281,6 +282,7 @@ def align_tier1_sharded(
         cand_loc=c2, seed_off=c2, direction=c2, valid=c2, weight=c2,
         gapless_dist=c2, gapless_logp=c2, len_eff=P("data"),
         popular=P("data"), n_lookups=P("data"), truncated=P("data"),
+        big_indel=c2,
     )
     f = shard_map(
         local,

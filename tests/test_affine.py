@@ -67,7 +67,7 @@ def enc(s):
     return BASE_ENCODE[np.frombuffer(s.encode(), dtype=np.uint8)]
 
 
-def run_kernel(patterns, texts, score_init, end_bonus):
+def run_kernel(patterns, texts, score_init, end_bonus, qual_byte="I"):
     N = len(patterns)
     L = max(len(p) for p in patterns)
     T = max(len(t) for t in texts)
@@ -80,7 +80,7 @@ def run_kernel(patterns, texts, score_init, end_bonus):
         txt[i, : len(t)] = t
         plen[i] = len(p)
         tlen[i] = len(t)
-    logq = np.full((N, L), LOGQ[ord("I")], np.float32)
+    logq = np.full((N, L), LOGQ[ord(qual_byte)], np.float32)
     return affine_extend(
         jnp.asarray(pat),
         jnp.asarray(logq),
@@ -106,11 +106,18 @@ def test_perfect_tail():
 def test_mismatch_vs_clip():
     # 3 mismatches at the very end: clipping 3 bases loses 3 matches,
     # keeping them costs 3*4. local = 100+7, global = 100+10-12=98;
-    # clip iff 107 >= 98 + endBonus(7)=105 -> clip.
+    # score-wise clip iff 107 >= 98 + endBonus(7)=105 -> clip. BUT the
+    # reference refuses to soft-clip high-quality bases
+    # (AffineGapVectorized.h:692-720): with phred-40 ('I') tails the
+    # global alignment stands; with junk-quality ('#') tails the clip
+    # is taken.
     p = enc("ACGTACGTAC")
     t = enc("ACGTACGTGGTTTT")
     t[7:] = (t[7:] + 1) % 4  # break the last 3
     r = run_kernel([p], [t], score_init=100, end_bonus=7)
+    assert int(r.pattern_clip[0]) == 0
+    assert int(r.edits[0]) == 3
+    r = run_kernel([p], [t], score_init=100, end_bonus=7, qual_byte="#")
     assert int(r.pattern_clip[0]) == 3
     assert int(r.edits[0]) == 0
 
@@ -143,7 +150,10 @@ def test_random_vs_reference():
             p = rng.integers(0, 4, size=L).astype(np.uint8)
         pats.append(p)
         txts.append(t)
-    r = run_kernel(pats, txts, score_init=60, end_bonus=7)
+    # junk-quality patterns keep the clip rule permissive so the scalar
+    # model (which mirrors the DP recurrences, not the high-quality
+    # no-clip refinement) stays an exact reference
+    r = run_kernel(pats, txts, score_init=60, end_bonus=7, qual_byte="#")
     for i, (p, t) in enumerate(zip(pats, txts)):
         score, clip, used, valid = ref_extend(p, t, 60, 7)
         assert int(r.score[i]) == score, f"case {i}"

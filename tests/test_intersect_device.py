@@ -67,7 +67,9 @@ def _compare(index, bases, B, L, seed_len=20, hit_cap=32, cand_width=32):
 
     R = bases.shape[0]
     len_eff = np.full(R, L, np.int32)
-    ip = IntersectParams(seed_len=seed_len, num_seeds=8, max_cand=16)
+    ip = IntersectParams(
+        seed_len=seed_len, num_seeds=8, max_cand=16, max_k_indels=40
+    )
     host = paired_candidates(index.host, bases, len_eff, B, ip)
 
     offsets, set_ids = probe_offsets_for(len_eff, L, seed_len, 8)
@@ -78,6 +80,7 @@ def _compare(index, bases, B, L, seed_len=20, hit_cap=32, cand_width=32):
         hit_cap=hit_cap,
         cand_width=cand_width,
         max_cand=16,
+        max_k_indels=40,
     )
     dev = paired_candidates_device(
         index.device,
@@ -101,10 +104,11 @@ def _compare(index, bases, B, L, seed_len=20, hit_cap=32, cand_width=32):
         ("dir", host.dir),
         ("valid", host.valid),
         ("weight", host.weight),
+        ("big_indel", host.big_indel),
     ):
         d = dev[f_dev][ok_rows]
         h = f_host[ok_rows]
-        if f_dev in ("loc", "off", "dir", "weight"):
+        if f_dev in ("loc", "off", "dir", "weight", "big_indel"):
             d = np.where(dev["valid"][ok_rows], d, 0)
             h = np.where(host.valid[ok_rows], h, 0)
         mism = np.nonzero(d != h)
