@@ -21,8 +21,39 @@ import numpy as np
 BASELINE_READS_PER_SEC_PER_CHIP = 5_000_000 / 16
 
 
+def _gen_repeat_genome(rng, glen: int, repeat_frac: float) -> np.ndarray:
+    """Synthetic genome with planted repeats (same model as
+    tools/golden_harness.py --repeat-frac): ~300bp SINE-like units with
+    1% divergence, 6kb LINE-like units, and tandem microsatellites."""
+    seq = rng.integers(0, 4, size=glen).astype(np.uint8)
+    budget = int(glen * repeat_frac)
+    alu = rng.integers(0, 4, size=300).astype(np.uint8)
+    for _ in range(max(1, budget // 2 // 300)):
+        p = int(rng.integers(0, glen - 300))
+        u = alu.copy()
+        d = rng.random(300) < 0.01
+        u[d] = rng.integers(0, 4, int(d.sum()))
+        seq[p : p + 300] = u
+    line = rng.integers(0, 4, size=6000).astype(np.uint8)
+    for _ in range(max(1, budget // 2 // 6000)):
+        p = int(rng.integers(0, glen - 6000))
+        seq[p : p + 6000] = line
+    for _ in range(max(1, glen // 20000)):
+        unit = rng.integers(0, 4, size=4).astype(np.uint8)
+        reps = int(rng.integers(20, 60))
+        p = int(rng.integers(0, glen - 4 * reps))
+        seq[p : p + 4 * reps] = np.tile(unit, reps)
+    return seq
+
+
 def main() -> None:
     import snap_tpu  # noqa: F401
+    from snap_tpu import errors as _errors
+
+    # the per-batch progress lines include jit-compile time in their
+    # first samples, which reads like a collapse in logs; the JSON
+    # line below is the artifact
+    _errors.configure(quiet=True)
     import jax
     import jax.numpy as jnp
     from snap_tpu.genome import Genome, Contig
@@ -32,11 +63,16 @@ def main() -> None:
     from snap_tpu.align.pipeline import AlignParams, align_single_device
 
     rng = np.random.default_rng(0)
-    glen = 1_000_000  # representative bacterial-scale genome
+    glen = 1_000_000  # 1Mbp synthetic genome; the HEADLINE number uses
+    # a 25% repeat-content genome (SINE/LINE-like units + tandem
+    # microsatellites) because the reference's paper reports >3/4 of
+    # real alignment time in >=512-hit pairs — a uniform-random genome
+    # has near-zero repeat content and flatters the easy case. The
+    # random-genome step rate is reported as a secondary key.
     read_len = 100
     batch = 16384
 
-    codes = rng.integers(0, 4, size=glen).astype(np.uint8)
+    codes = _gen_repeat_genome(rng, glen, repeat_frac=0.25)
     bases = np.full(glen + 2000, PAD, dtype=np.uint8)
     bases[1000 : 1000 + glen] = codes
     genome = Genome(
@@ -81,17 +117,43 @@ def main() -> None:
     # Pipelined like the production align_file loop: batch i+1 is
     # dispatched before batch i's winners transfer, so device compute
     # overlaps the device->host hop.
-    n_iters = 8
-    t0 = time.perf_counter()
-    win_next, _ = align_winners_device(didx, b, q, l, fas, params, adaptive=True)
-    for _ in range(n_iters - 1):
-        win_cur = win_next
-        win_next, _ = align_winners_device(didx, b, q, l, fas, params, adaptive=True)
-        jax.device_get(win_cur)
-    jax.device_get(win_next)
-    dt = time.perf_counter() - t0
+    def timed_step(dx, bb, qq, ll, n_iters=8):
+        t0 = time.perf_counter()
+        win_next, _ = align_winners_device(
+            dx, bb, qq, ll, fas, params, adaptive=True
+        )
+        for _ in range(n_iters - 1):
+            win_cur = win_next
+            win_next, _ = align_winners_device(
+                dx, bb, qq, ll, fas, params, adaptive=True
+            )
+            jax.device_get(win_cur)
+        jax.device_get(win_next)
+        return batch * n_iters / (time.perf_counter() - t0)
 
-    reads_per_sec = batch * n_iters / dt
+    reads_per_sec = timed_step(didx, b, q, l)
+
+    # secondary: the same step on a uniform-random genome (the easy,
+    # near-zero-repeat case — kept for comparability with r01-r03)
+    rcodes = rng.integers(0, 4, size=glen).astype(np.uint8)
+    rbases = np.full(glen + 2000, PAD, dtype=np.uint8)
+    rbases[1000 : 1000 + glen] = rcodes
+    rgenome = Genome(
+        bases=rbases, contigs=[Contig(name="chr1", start=1000, length=glen)]
+    )
+    ridx = build_index(rgenome, seed_len=24)
+    rdidx = make_device_index(ridx, rbases)
+    rstarts = rng.integers(0, glen - read_len - 1, size=batch)
+    rreads = rcodes[rstarts[:, None] + np.arange(read_len)[None, :]]
+    rmut = rng.random(rreads.shape) < 0.01
+    rreads = np.where(
+        rmut, rng.integers(0, 4, rreads.shape), rreads
+    ).astype(np.uint8)
+    rb = jnp.asarray(rreads)
+    jax.device_get(
+        align_winners_device(rdidx, rb, q, l, fas, params, adaptive=True)[0]
+    )
+    random_rps = timed_step(rdidx, rb, q, l)
 
     # ---- end-to-end FASTQ -> SAM bytes (the whole production driver:
     # native FASTQ parse, device align, batched native SAM emission) ----
@@ -108,6 +170,8 @@ def main() -> None:
                 "vs_baseline": round(
                     reads_per_sec / BASELINE_READS_PER_SEC_PER_CHIP, 4
                 ),
+                "genome": "1Mbp, 25% repeat content",
+                "random_genome_step_reads_per_sec": round(random_rps, 1),
                 "e2e_fastq_to_sam_reads_per_sec": round(e2e_rps, 1),
                 "paired_e2e_reads_per_sec": round(paired_rps, 1),
             }

@@ -679,14 +679,18 @@ def _align_impl(
         )
     )
 
-    # per-read truncation flag: some usable lookup had more hits than the
-    # gather cap H but was not popular-skipped — its tail hits (cap..n)
-    # never became candidates, so pAll/MAPQ may be wrong. The driver
-    # re-runs flagged reads through the host full-hit-list path
-    # (BaseAligner.cpp:574-579 scores up to maxHits=300 per seed).
+    # per-read truncation flag: (a) some usable lookup had more hits
+    # than the gather cap H but was not popular-skipped — its tail hits
+    # never became candidates; (b) more distinct in-budget candidates
+    # existed than the K-wide tile holds (SNAP scores every candidate,
+    # BaseAligner.cpp:918-1028 — the cap is ours). Either way pAll /
+    # MAPQ may be wrong and the driver re-runs flagged reads through
+    # the host full-hit-list path (wide_single_candidates).
+    n_cand = (weight >= max(1, params.min_weight)).sum(axis=1)
     trunc = (
         ((f_n > H).reshape(B, S).any(axis=1))
         | ((r_n > H).reshape(B, S).any(axis=1))
+        | (n_cand > K)
     )
 
     res = _score_from_candidates(
@@ -829,7 +833,27 @@ def _score_from_candidates(
                 )
             return out
 
-        words = window_words(didx.genome_packed, w0, WW)  # [BK, WW]
+        def window_pairs(pb, w0, WW):
+            # interleaved (packed, bad16) planes: 2*WW consecutive
+            # elements from the [n/16, 16] view — 2 row gathers pull
+            # BOTH planes at once (vs 4 with separate arrays)
+            e0 = 2 * w0
+            r0 = e0 >> 4
+            nrows = (2 * WW + 15 + 15) // 16
+            blocks = [
+                pb[jnp.clip(r0 + j, 0, pb.shape[0] - 1)]
+                for j in range(nrows)
+            ]
+            ab = jnp.concatenate(blocks, axis=1)
+            shw = (e0 & 15).astype(jnp.int32)  # even phases only
+            out = jnp.zeros((w0.shape[0], 2 * WW), pb.dtype)
+            for s in range(0, 16, 2):
+                out = jnp.where(
+                    (shw == s)[:, None],
+                    jax.lax.slice_in_dim(ab, s, s + 2 * WW, axis=1),
+                    out,
+                )
+            return out[:, 0::2], out[:, 1::2]
 
         def align_words(w, ph, lane_bits):
             # funnel-shift adjacent words by the per-row phase so lane 0
@@ -842,6 +866,12 @@ def _score_from_candidates(
             )
             return lo | hi  # [BK, W-1]
 
+        if use_gapless_kernel and didx.genome_pb16 is not None:
+            words, b16 = window_pairs(didx.genome_pb16, w0, WW)
+        else:
+            words = window_words(didx.genome_packed, w0, WW)  # [BK, WW]
+            b16 = None
+
         aligned = align_words(words, phase, 2)
 
         if use_gapless_kernel:
@@ -849,7 +879,8 @@ def _score_from_candidates(
 
             PW = (L + 15) // 16
             t_w = aligned[:, :PW]
-            b16 = window_words(didx.genome_bad16, w0, WW)
+            if b16 is None:
+                b16 = window_words(didx.genome_bad16, w0, WW)
             bad_w = align_words(b16, phase, 2)[:, :PW]
 
             def pack_pat16(mat):
@@ -1733,8 +1764,16 @@ def align_winners_device(
     import dataclasses
 
     B2 = phase_b_rows or max(min(256, B), B // 8)
-    params_a = dataclasses.replace(params, num_seeds=2 * s1_lookups - 2)
-    dp_a = max(512, (B * params.max_cand) // 256)
+    # Phase A also narrows the candidate tile: most reads have 1-2
+    # distinct candidates, so a K/4-wide tile quarters the gapless
+    # window gathers (the tier-1 cost driver); reads with more
+    # candidates are flagged by the K-overflow bit and rerun at full
+    # width in phase B
+    K_A = min(4, params.max_cand)
+    params_a = dataclasses.replace(
+        params, num_seeds=2 * s1_lookups - 2, max_cand=K_A
+    )
+    dp_a = max(512, (B * K_A) // 64)
     out_a, needs_a, lowest = _align_impl(
         didx, bases, quals, lens, params_a,
         tier1_only=False, dp_rows=dp_a, return_needs=True,
@@ -1746,6 +1785,19 @@ def align_winners_device(
         max_k=params.max_k, extra_search_depth=params.extra_search_depth,
         return_scores=True, use_ukkonen=params.use_ukkonen,
     )
+    if K_A != params.max_cand:
+        # widen phase-A per-candidate arrays to the full K tile (pad
+        # slots carry valid=False) so the phase-B row merge lines up
+        KF = params.max_cand
+
+        def _pad_k(a):
+            if a.ndim == 2 and a.shape[1] == K_A:
+                return jnp.concatenate(
+                    [a, jnp.zeros((B, KF - K_A), a.dtype)], axis=1
+                )
+            return a
+
+        out_a = SingleAlignOut(*(_pad_k(x) for x in out_a))
 
     # SNAP's stop rule (BaseAligner.cpp:1028): quit seeding when
     # min_dir(lowestPossibleScoreOfAnyUnseenLocation) exceeds
@@ -1766,7 +1818,12 @@ def align_winners_device(
     else:
         lim = D64 + jnp.minimum(mk64, run_all)
     resolved = lowest.astype(jnp.int64) > lim
-    unres = ~resolved & (out_a.len_eff >= jnp.int32(params.seed_len))
+    # truncated phase-A rows (hit-cap or K_A-overflow) rerun at full
+    # depth/width in phase B; if still truncated there, the flag
+    # survives the merge and routes them to the host wide redo
+    unres = (~resolved | out_a.truncated) & (
+        out_a.len_eff >= jnp.int32(params.seed_len)
+    )
 
     # compact unresolved reads into a fixed-width full-depth rerun
     _, rows = jax.lax.top_k(unres.astype(jnp.int32), B2)

@@ -44,6 +44,11 @@ class DeviceIndex(NamedTuple):
     # both and mismatches reduce to XOR + popcount (the TPU form of
     # SNAP's 64-bit XOR scan). Words past the genome end are all-bad.
     genome_bad16: jax.Array | None = None
+    # packed + bad16 interleaved ([2i] = packed[i], [2i+1] = bad16[i]),
+    # viewed as [n/16, 16] rows: one window read pulls BOTH planes in
+    # two 64B row gathers instead of four 32B ones (gather cost on TPU
+    # scales with the number of indices)
+    genome_pb16: jax.Array | None = None
 
 
 def pack_genome_words(bases: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -93,15 +98,24 @@ def make_device_index(arrays: dict, genome_bases: np.ndarray) -> DeviceIndex:
         genome_bases = np.concatenate(
             [genome_bases, np.full(gpad, 5, np.uint8)]
         )
+    bad16 = pack_bad16(genome_bases, packed.shape[0])
+    inter = np.empty(2 * packed.shape[0], dtype=np.uint32)
+    inter[0::2] = packed
+    inter[1::2] = bad16
+    pad16 = (-inter.shape[0]) % 16
+    if pad16:
+        # pad words read as all-bad so windows past the end never match
+        tailp = np.zeros(pad16, np.uint32)
+        tailp[1::2] = 0x55555555
+        inter = np.concatenate([inter, tailp])
     return DeviceIndex(
         table=jnp.asarray(np.asarray(arrays["table"])),
         hits=jnp.asarray(hits_p),
         genome=jnp.asarray(genome_bases),
         genome_packed=jnp.asarray(packed),
         genome_bad=jnp.asarray(bad),
-        genome_bad16=jnp.asarray(
-            pack_bad16(genome_bases, packed.shape[0])
-        ),
+        genome_bad16=jnp.asarray(bad16),
+        genome_pb16=jnp.asarray(inter.reshape(-1, 16)),
     )
 
 
