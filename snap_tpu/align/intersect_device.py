@@ -89,6 +89,12 @@ def paired_candidates_device(
     R, L = bases.shape
     B = R // 2
     S = p.num_seeds
+    if S > 32:
+        raise ValueError(
+            f"device intersection packs the lookup index in 5 bits; "
+            f"num_seeds={S} > 32 (use the host path)"
+        )
+    SB = 5  # lookup-index bits in the entry key
     HP = p.hit_cap
     C = p.cand_width
     K = p.max_cand
@@ -174,15 +180,15 @@ def paired_candidates_device(
             jnp.arange(S, dtype=jnp.int64)[None, :, None], (R, S, HP)
         ).reshape(R * S, HP)
         key = jnp.where(
-            lvalid, ((norm + _LOC_BIAS) << 4) | s_ix, _INF_KEY
+            lvalid, ((norm + _LOC_BIAS) << SB) | s_ix, _INF_KEY
         )
         ents.append(key.reshape(R, M))
 
     e_key = jnp.stack(ents, axis=1)          # [R, 2, M]
     e_key = jnp.sort(e_key.reshape(R * 2, M), axis=1)
     e_valid = e_key < _INF_KEY
-    e_norm = jnp.where(e_valid, e_key >> 4, _POS_INF)  # biased norm
-    e_s = (e_key & 15).astype(jnp.int32)
+    e_norm = jnp.where(e_valid, e_key >> SB, _POS_INF)  # biased norm
+    e_s = (e_key & ((1 << SB) - 1)).astype(jnp.int32)
 
     # ---- fuzzy per-lookup match via nearest-entry scans ----
     matched = []

@@ -195,7 +195,11 @@ class PairedEndAligner:
 
             didx_sc = local_index_view(self.index.device_sharded)
         pc = None  # host candidates, fetched lazily (hamming rescue)
-        if self.device_intersect and self.mesh is None:
+        if (
+            self.device_intersect
+            and self.mesh is None
+            and ip.num_seeds <= 32  # device key packs lookup idx in 5b
+        ):
             from .intersect_device import (
                 DeviceIntersectParams, paired_candidates_device,
                 probe_offsets_for,

@@ -922,17 +922,64 @@ class SingleEndAligner:
             self.params.num_lookups, self.params.seed_len,
             self.params.max_hits, self.params.explore_popular,
         )
-        # pow2-bucketed shapes so recurring redo sizes hit the jit cache
-        nvalid = int(wc.valid.sum(axis=1).max()) if len(rows) else 0
+        # pow2-bucketed shapes so recurring redo sizes hit the jit
+        # cache; rows are processed in chunks bounded by rows*K so a
+        # repeat-heavy batch (every read truncated, hundreds of wide
+        # candidates each) can't ask the device for one giant graph —
+        # the unchunked form compiled a >16GB tier on the 25%-repeat
+        # bench and OOMed HBM
+        per_row_valid = wc.valid.sum(axis=1)
+        order = np.argsort(per_row_valid, kind="stable")
+        CAP = 1 << 18  # max rows*K per scoring call
+        chunks: list[list[int]] = []
+        cur: list[int] = []
+        cur_k = 16
+        for oi in order:
+            nv = int(per_row_valid[oi])
+            k_need = 16
+            while k_need < nv:
+                k_need <<= 1
+            k_new = max(cur_k, k_need)
+            m_new = len(cur) + 1
+            mp = 1
+            while mp < m_new:
+                mp <<= 1
+            if cur and mp * k_new > CAP:
+                chunks.append(cur)
+                cur = [int(oi)]
+                cur_k = k_need
+            else:
+                cur.append(int(oi))
+                cur_k = k_new
+        if cur:
+            chunks.append(cur)
+        for chunk in chunks:
+            self._redo_wide_chunk(
+                batch, results, rows, front_clips, force_dp, wc,
+                sub_b, sub_q, len_eff, chunk,
+            )
+
+    def _redo_wide_chunk(
+        self, batch, results, rows, front_clips, force_dp, wc,
+        sub_b, sub_q, len_eff, chunk,
+    ):
+        import jax.numpy as jnp
+
+        from .pipeline import score_candidates, two_phase_merge
+        from .post import collect_secondary_results, finalize_read
+
+        ridx = np.asarray(chunk, dtype=np.int64)
+        nvalid = int(wc.valid[ridx].sum(axis=1).max())
         K = 16
         while K < nvalid:
             K <<= 1
-        M = len(rows)
+        K = min(K, wc.loc.shape[1])
+        M = len(chunk)
         Mp = 1
         while Mp < M:
             Mp <<= 1
         pad2 = lambda a: np.concatenate(
-            [a, np.zeros((Mp - M,) + a.shape[1:], a.dtype)]
+            [a[ridx], np.zeros((Mp - M,) + a.shape[1:], a.dtype)]
         )
         t1 = score_candidates(
             self._scoring_didx, jnp.asarray(pad2(sub_b)),
@@ -954,7 +1001,8 @@ class SingleEndAligner:
                       "body_loc", "indels")
         }
         is_alt = merged["cand_loc"] >= self.first_alt_start
-        for j, i in enumerate(rows):
+        for j, ci in enumerate(chunk):
+            i = rows[ci]
             dist = merged["dist"][j]
             logp = merged["log_prob"][j]
             ag = merged["ag_score"][j]
@@ -965,11 +1013,11 @@ class SingleEndAligner:
             if self.max_dist_fraction > 0.0:
                 limit = min(
                     self.params.max_k,
-                    int(len_eff[j] * self.max_dist_fraction),
+                    int(len_eff[ci] * self.max_dist_fraction),
                 )
                 v = v & (dist <= limit)
             ra, alt_supp = finalize_read(
-                dist, logp, ag, e, cl, dr, v, int(wc.popular[j]),
+                dist, logp, ag, e, cl, dr, v, int(wc.popular[ci]),
                 is_alt=is_alt[j],
                 alt_awareness=self.alt_awareness,
                 emit_alt=self.emit_alt,

@@ -648,6 +648,11 @@ def cmd_paired(args: list[str]) -> int:
     mesh, n_index = _maybe_mesh(opts)
     if mesh is not None:
         index.to_mesh(mesh, n_index)
+    # -n default differs by command: 25 single / 8 paired
+    # (AlignerOptions.cpp:107-117 defaults block)
+    from .constants import DEFAULT_NUM_SEEDS_PAIRED
+
+    opts["overrides"].setdefault("num_seeds", DEFAULT_NUM_SEEDS_PAIRED)
     params = AlignParams(
         seed_len=index.seed_len,
         max_probe=index.max_probe,

@@ -289,20 +289,19 @@ def finish_extend(
     choose_local = (best_l != best_g) & (best_l >= best_g + end_bonus)
     if pat_logq is not None:
         # "Try not to clip high quality bases (>= 65) from the read"
-        # (AffineGapVectorized.h:692-720): a soft clip is only taken
-        # when the would-be-clipped pattern region is overwhelmingly
-        # low-quality (< 10% of bases at phred >= 32); otherwise the
-        # global alignment stands and the extra bases surface as
-        # indels/mismatches, exactly like the reference's clipping
-        # optimizations. (The ±1-base "extend through one indel when
-        # >= 3 bases rematch" refinements are folded into the global
-        # path, which the full DP already explores.)
+        # (AffineGapVectorized.h:692-720): the clip boundary walks
+        # right through consecutive high-quality bases; when that walk
+        # reaches the end of the pattern the local clip is abandoned
+        # and the full pattern is consumed (the bases surface as
+        # indels/mismatches in the full-pattern readout). A walk that
+        # stops early leaves the clip standing, so mixed-quality tails
+        # still soft-clip exactly like the reference.
         N, L = pat_logq.shape
         pos = jnp.arange(L, dtype=jnp.int32)[None, :]
         hq = (pat_logq <= HQ_LOG_ERR) & (pos < plen[:, None])
         pre = jnp.cumsum(hq.astype(jnp.int32), axis=1)
         total = pre[:, -1]
-        start = jnp.clip(best_l_col + 1, 0, L - 1)
+        start = jnp.clip(best_l_col, 0, L - 1)
         before = jnp.where(
             start > 0,
             jnp.take_along_axis(
@@ -311,12 +310,11 @@ def finish_extend(
             )[:, 0],
             0,
         )
-        hq_in_clip = total - before
+        hq_from_col = total - before           # hq count in [col, plen)
+        span = jnp.maximum(plen - start, 0)    # bases in [col, plen)
+        all_hq_to_end = hq_from_col == span
         clip_len = jnp.maximum(plen - 1 - best_l_col, 0)
-        low_q_clip = hq_in_clip.astype(jnp.float32) < 0.1 * jnp.maximum(
-            clip_len, 1
-        ).astype(jnp.float32)
-        choose_local = choose_local & (low_q_clip | (clip_len == 0))
+        choose_local = choose_local & ~(all_hq_to_end & (clip_len > 0))
     score = jnp.where(choose_local, best_l, best_g)
     row_used = jnp.where(choose_local, best_l_row, best_g_row)
     col_used = jnp.where(choose_local, best_l_col, jnp.maximum(plen - 1, 0))

@@ -42,11 +42,12 @@ def snap_binary():
     return binary
 
 
-def _run_harness(tmp_path, snap_binary, extra):
+def _run_harness(tmp_path, snap_binary, extra, reads=120):
     import golden_harness as gh
 
     argv = [
-        "golden_harness.py", "--reads", "120", "--genome-size", "60000",
+        "golden_harness.py", "--reads", str(reads),
+        "--genome-size", "60000" if reads <= 200 else "100000",
         "--seed", "7", "--ref-binary", snap_binary,
         "--workdir", str(tmp_path), "--batch", "128",
     ] + extra
@@ -106,6 +107,32 @@ def test_paired_parity(snap_binary, tmp_path):
     exact, total = _run_harness(tmp_path, snap_binary, ["--paired"])
     assert total >= 200
     assert exact / total >= 0.97, (exact, total)
+
+
+@pytest.mark.slow
+def test_single_end_parity_at_scale(snap_binary, tmp_path):
+    """1000-read indel harness at the measured residual rate (0.1%
+    all-fields, 2026-08-20 run of tools/golden_harness.py --reads 1000
+    --indel-rate 0.003 --seed 7); threshold set at ~3x the residual so
+    a regression that doubles it fails."""
+    exact, total = _run_harness(
+        tmp_path, snap_binary,
+        ["--indel-rate", "0.003"], reads=1000,
+    )
+    assert total >= 1000
+    assert exact / total >= 0.997, (exact, total)
+
+
+@pytest.mark.slow
+def test_paired_parity_at_scale(snap_binary, tmp_path):
+    """500-pair harness; measured residual 0/1000 (2026-08-20, after
+    the paired -n default fix and the device-intersect 5-bit
+    lookup-index fix). Threshold leaves ~1% sampling headroom."""
+    exact, total = _run_harness(
+        tmp_path, snap_binary, ["--paired"], reads=500,
+    )
+    assert total >= 1000
+    assert exact / total >= 0.99, (exact, total)
 
 
 def test_repetitive_genome_mapq_parity(snap_binary, tmp_path):

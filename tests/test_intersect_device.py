@@ -62,21 +62,25 @@ def _mk_pairs(rng, seq, B, L):
     return bases
 
 
-def _compare(index, bases, B, L, seed_len=20, hit_cap=32, cand_width=32):
+def _compare(
+    index, bases, B, L, seed_len=20, hit_cap=32, cand_width=32,
+    num_seeds=8,
+):
     import jax.numpy as jnp
 
     R = bases.shape[0]
     len_eff = np.full(R, L, np.int32)
     ip = IntersectParams(
-        seed_len=seed_len, num_seeds=8, max_cand=16, max_k_indels=40
+        seed_len=seed_len, num_seeds=num_seeds, max_cand=16,
+        max_k_indels=40,
     )
     host = paired_candidates(index.host, bases, len_eff, B, ip)
 
-    offsets, set_ids = probe_offsets_for(len_eff, L, seed_len, 8)
+    offsets, set_ids = probe_offsets_for(len_eff, L, seed_len, num_seeds)
     dp = DeviceIntersectParams(
         seed_len=seed_len,
         max_probe=index.max_probe,
-        num_seeds=8,
+        num_seeds=num_seeds,
         hit_cap=hit_cap,
         cand_width=cand_width,
         max_cand=16,
@@ -128,6 +132,17 @@ def test_device_matches_host_random_genome():
     bases = _mk_pairs(rng, seq, 64, 100)
     dev, over = _compare(index, bases, 64, 100)
     # random genome: nothing should overflow the caps
+    assert not over.any()
+
+
+def test_device_matches_host_many_seeds():
+    """num_seeds > 16 exercises the 5-bit lookup-index packing (a
+    4-bit field silently corrupted candidate locations for -n > 16)."""
+    rng = np.random.default_rng(23)
+    genome, seq = _mk_genome(rng, 120_000)
+    index = GenomeIndex.build(genome, seed_len=20)
+    bases = _mk_pairs(rng, seq, 48, 100)
+    dev, over = _compare(index, bases, 48, 100, num_seeds=25)
     assert not over.any()
 
 
