@@ -477,6 +477,7 @@ def _align_impl(
     dp_rows: int | None = None,
     return_needs: bool = False,
     return_lowest: bool = False,
+    cand_only: bool = False,
 ):
     B, L = bases.shape
     S = params.num_lookups
@@ -692,6 +693,16 @@ def _align_impl(
         | ((r_n > H).reshape(B, S).any(axis=1))
         | (n_cand > K)
     )
+
+    if cand_only:
+        bundle = (
+            cand_loc, cand_off, cand_dir, cand_valid, cand_weight,
+            popular, trunc, len_eff,
+            seed_ok.sum(axis=1).astype(jnp.int32),
+        )
+        if return_lowest:
+            return bundle, lowest_possible
+        return bundle
 
     res = _score_from_candidates(
         didx, bases, rc_bases, logq_f_in=None, logq_r_in=None, quals=quals,
@@ -1700,13 +1711,6 @@ def _device_finalize(
     return win
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "params", "dp_rows", "alt_awareness", "max_score_gap",
-        "adaptive", "phase_b_rows",
-    ),
-)
 def align_winners_device(
     didx: DeviceIndex,
     bases: jax.Array,
@@ -1720,7 +1724,7 @@ def align_winners_device(
     adaptive: bool = False,
     phase_b_rows: int | None = None,
 ):
-    """Single-dispatch fast path: align + device finalize.
+    """Production fast path: align + device finalize.
 
     Returns (packed winners [B+1, 16] int32, full SingleAlignOut).
     Winners cross device->host as ONE array — per-leaf fetches each pay
@@ -1732,11 +1736,18 @@ def align_winners_device(
 
     adaptive=True replays SNAP's seed-loop early termination
     (BaseAligner.cpp:1028) as a two-phase wavefront: phase A probes
-    only the first unwrapped seed pass; reads SNAP would have kept
-    seeding (stop bound <= scoreLimit) are compacted into a
-    phase_b_rows-wide full-depth rerun whose results scatter back over
-    phase A's. Reads beyond the phase-B capacity fall back to the
-    host wide-redo path via the truncated flag.
+    only the first unwrapped seed pass with a narrow K=4 candidate
+    tile; reads SNAP would have kept seeding (stop bound <=
+    scoreLimit), or whose candidates overflowed the narrow tile, are
+    compacted into a phase_b_rows-wide full-depth rerun whose results
+    scatter back over phase A's. Reads beyond the phase-B capacity
+    fall back to the host wide-redo path via the truncated flag.
+
+    The two phases are SEPARATE jit units chained device-to-device
+    (no host sync between them): one fused graph held both full
+    pipelines and took the remote XLA compiler tens of minutes —
+    split, each unit is an ordinary-sized program and phase B reuses
+    the non-adaptive compilation pattern.
     """
     B, L = bases.shape
     if dp_rows is None:
@@ -1748,22 +1759,106 @@ def align_winners_device(
     P = L - params.seed_len + 1
     s1_lookups = (P - 1) // params.seed_len + 1 if P > 0 else 1
     if not adaptive or s1_lookups >= params.num_lookups:
-        out, needs_total = _align_impl(
-            didx, bases, quals, lens, params,
-            tier1_only=False, dp_rows=dp_rows, return_needs=True,
+        return _awd_fused(
+            didx, bases, quals, lens, first_alt_start, params,
+            dp_rows, alt_awareness, max_score_gap,
         )
-        win = _device_finalize(
-            out, first_alt_start, alt_awareness, max_score_gap,
-            params.use_affine_gap, needs_total, dp_rows,
-            max_k=params.max_k,
-            extra_search_depth=params.extra_search_depth,
-            use_ukkonen=params.use_ukkonen,
-        )
-        return pack_winners(win), out
-
-    import dataclasses
 
     B2 = phase_b_rows or max(min(256, B), B // 8)
+    out_a, win_a, needs_a, rows, live, overflow = _awd_phase_a(
+        didx, bases, quals, lens, first_alt_start, params,
+        alt_awareness, max_score_gap, s1_lookups, B2,
+    )
+    return _awd_phase_b(
+        didx, bases, quals, lens, first_alt_start, params,
+        alt_awareness, max_score_gap, B2,
+        out_a, win_a, needs_a, rows, live, overflow,
+    )
+
+
+# The production step is chained from three modest jit units — candgen,
+# scoring, finalize — with device-resident handoffs (no host sync).
+# One fused graph was both slower at runtime (XLA re-fused the cheap
+# index math into several expensive consumers) and pathological to
+# compile: the remote XLA service took tens of minutes or wedged on
+# the monolith, while each unit below compiles in seconds to a couple
+# of minutes.
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "return_lowest")
+)
+def _awd_candidates(didx, bases, quals, lens, params, return_lowest=False):
+    return _align_impl(
+        didx, bases, quals, lens, params,
+        cand_only=True, return_lowest=return_lowest,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params", "dp_rows"))
+def _awd_score(didx, bases, quals, bundle, params, dp_rows):
+    (cand_loc, cand_off, cand_dir, cand_valid, cand_weight,
+     popular, trunc, len_eff, n_lookups) = bundle
+    rc_bases, rc_quals = reverse_complement_reads(bases, quals, len_eff)
+    out, needs = _score_from_candidates(
+        didx, bases, rc_bases, logq_f_in=None, logq_r_in=None,
+        quals=quals, rc_quals=rc_quals, len_eff=len_eff,
+        cand_loc=cand_loc, cand_off=cand_off, cand_dir=cand_dir,
+        cand_valid=cand_valid, cand_weight=cand_weight,
+        popular=popular, truncated=trunc, n_lookups=n_lookups,
+        params=params, tier1_only=False, dp_rows=dp_rows,
+        return_needs=True,
+    )
+    return out, needs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params", "dp_rows", "alt_awareness", "max_score_gap",
+        "return_scores",
+    ),
+)
+def _awd_finalize(
+    out, first_alt_start, needs_total, params, dp_rows,
+    alt_awareness, max_score_gap, return_scores=False,
+):
+    res = _device_finalize(
+        out, first_alt_start, alt_awareness, max_score_gap,
+        params.use_affine_gap, needs_total, dp_rows,
+        max_k=params.max_k,
+        extra_search_depth=params.extra_search_depth,
+        use_ukkonen=params.use_ukkonen,
+        return_scores=return_scores,
+    )
+    if return_scores:
+        win, run_all, run_na = res
+        return pack_winners(win), win, run_all, run_na
+    return pack_winners(res), res
+
+
+def _awd_fused(
+    didx, bases, quals, lens, first_alt_start, params,
+    dp_rows, alt_awareness, max_score_gap,
+):
+    bundle = _awd_candidates(didx, bases, quals, lens, params)
+    out, needs_total = _awd_score(
+        didx, bases, quals, bundle, params, dp_rows
+    )
+    packed, _ = _awd_finalize(
+        out, first_alt_start, needs_total, params, dp_rows,
+        alt_awareness, max_score_gap,
+    )
+    return packed, out
+
+
+def _awd_phase_a(
+    didx, bases, quals, lens, first_alt_start, params,
+    alt_awareness, max_score_gap, s1_lookups, B2,
+):
+    import dataclasses
+
+    B, L = bases.shape
     # Phase A also narrows the candidate tile: most reads have 1-2
     # distinct candidates, so a K/4-wide tile quarters the gapless
     # window gathers (the tier-1 cost driver); reads with more
@@ -1774,26 +1869,45 @@ def align_winners_device(
         params, num_seeds=2 * s1_lookups - 2, max_cand=K_A
     )
     dp_a = max(512, (B * K_A) // 64)
-    out_a, needs_a, lowest = _align_impl(
-        didx, bases, quals, lens, params_a,
-        tier1_only=False, dp_rows=dp_a, return_needs=True,
-        return_lowest=True,
+    bundle, lowest = _awd_candidates(
+        didx, bases, quals, lens, params_a, return_lowest=True
     )
-    win_a, run_all, run_na = _device_finalize(
-        out_a, first_alt_start, alt_awareness, max_score_gap,
-        params.use_affine_gap, needs_a, dp_a,
-        max_k=params.max_k, extra_search_depth=params.extra_search_depth,
-        return_scores=True, use_ukkonen=params.use_ukkonen,
+    out_a, needs_a = _awd_score(
+        didx, bases, quals, bundle, params_a, dp_a
     )
-    if K_A != params.max_cand:
+    _, win_a, run_all, run_na = _awd_finalize(
+        out_a, first_alt_start, needs_a, params, dp_a,
+        alt_awareness, max_score_gap, return_scores=True,
+    )
+    out_a, rows, live, overflow = _awd_route(
+        out_a, lowest, run_all, run_na, params,
+        alt_awareness, max_score_gap, B2, params.max_cand,
+    )
+    return out_a, win_a, needs_a, rows, live, overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params", "alt_awareness", "max_score_gap", "B2", "K_full",
+    ),
+)
+def _awd_route(
+    out_a, lowest, run_all, run_na, params,
+    alt_awareness, max_score_gap, B2, K_full,
+):
+    """Phase-A epilogue: SNAP's stop rule picks the unresolved reads,
+    compacts them into the phase-B row set, and widens the phase-A
+    candidate tile to the full K for the later merge."""
+    B = out_a.len_eff.shape[0]
+    K_A = out_a.dist.shape[1]
+    if K_A != K_full:
         # widen phase-A per-candidate arrays to the full K tile (pad
         # slots carry valid=False) so the phase-B row merge lines up
-        KF = params.max_cand
-
         def _pad_k(a):
             if a.ndim == 2 and a.shape[1] == K_A:
                 return jnp.concatenate(
-                    [a, jnp.zeros((B, KF - K_A), a.dtype)], axis=1
+                    [a, jnp.zeros((B, K_full - K_A), a.dtype)], axis=1
                 )
             return a
 
@@ -1831,7 +1945,15 @@ def align_winners_device(
     live = unres[rows]
     sel = jnp.zeros((B,), bool).at[rows].set(live)
     overflow = unres & ~sel
+    return out_a, rows, live, overflow
 
+
+def _awd_phase_b(
+    didx, bases, quals, lens, first_alt_start, params,
+    alt_awareness, max_score_gap, B2,
+    out_a, win_a, needs_a, rows, live, overflow,
+):
+    B, L = bases.shape
     # Phase B concentrates essentially every DP-needing read of the
     # WHOLE batch (the unresolved ones), so its DP tier must be sized
     # to the full-batch demand, not to B2: at 1% error the demand is
@@ -1839,16 +1961,27 @@ def align_winners_device(
     # default or the overflow flag redoes the batch on the host
     dp_b = max(1024, (B * params.max_cand) // 128,
                (B2 * params.max_cand) // 64)
-    out_b, needs_b = _align_impl(
-        didx, bases[rows], quals[rows], lens[rows], params,
-        tier1_only=False, dp_rows=dp_b, return_needs=True,
+    b_b, q_b, l_b = bases[rows], quals[rows], lens[rows]
+    bundle = _awd_candidates(didx, b_b, q_b, l_b, params)
+    out_b, needs_b = _awd_score(didx, b_b, q_b, bundle, params, dp_b)
+    _, win_b = _awd_finalize(
+        out_b, first_alt_start, needs_b, params, dp_b,
+        alt_awareness, max_score_gap,
     )
-    win_b = _device_finalize(
-        out_b, first_alt_start, alt_awareness, max_score_gap,
-        params.use_affine_gap, needs_b, dp_b,
-        max_k=params.max_k, extra_search_depth=params.extra_search_depth,
-        use_ukkonen=params.use_ukkonen,
+    K_A = min(4, params.max_cand)
+    dp_a = max(512, (B * K_A) // 64)
+    return _awd_merge(
+        out_a, win_a, out_b, win_b, rows, live, overflow,
+        needs_a, needs_b, dp_a, dp_b,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("dp_a", "dp_b"))
+def _awd_merge(
+    out_a, win_a, out_b, win_b, rows, live, overflow,
+    needs_a, needs_b, dp_a, dp_b,
+):
+    B2 = rows.shape[0]
 
     def mrg(a, b):
         cur = a[rows]
