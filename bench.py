@@ -156,10 +156,18 @@ def main() -> None:
     random_rps = timed_step(rdidx, rb, q, l)
 
     # ---- end-to-end FASTQ -> SAM bytes (the whole production driver:
-    # native FASTQ parse, device align, batched native SAM emission) ----
-    e2e_rps, paired_rps = _bench_end_to_end(
-        genome, codes, glen, read_len, batch
-    )
+    # native FASTQ parse, device align, batched native SAM emission).
+    # Runs in a timeout-bounded subprocess: the remote compile service
+    # occasionally loses an RPC response and the requesting process
+    # hangs forever — a wedged e2e half must not take the headline
+    # step measurement down with it (a fresh process retries the same
+    # cached-compile keys and normally sails through).
+    e2e_rps = paired_rps = None
+    for attempt in range(2):
+        res = _run_e2e_subprocess(timeout_s=2100)
+        if res is not None:
+            e2e_rps, paired_rps = res
+            break
 
     print(
         json.dumps(
@@ -172,11 +180,66 @@ def main() -> None:
                 ),
                 "genome": "1Mbp, 25% repeat content",
                 "random_genome_step_reads_per_sec": round(random_rps, 1),
-                "e2e_fastq_to_sam_reads_per_sec": round(e2e_rps, 1),
-                "paired_e2e_reads_per_sec": round(paired_rps, 1),
+                "e2e_fastq_to_sam_reads_per_sec": (
+                    round(e2e_rps, 1) if e2e_rps else None
+                ),
+                "paired_e2e_reads_per_sec": (
+                    round(paired_rps, 1) if paired_rps else None
+                ),
             }
         )
     )
+
+
+def _run_e2e_subprocess(timeout_s: int):
+    """Run `bench.py --e2e-only` in a child; returns (e2e, paired) or
+    None on timeout/failure."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__),
+             "--e2e-only"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    for ln in reversed(r.stdout.strip().splitlines()):
+        try:
+            d = _json.loads(ln)
+            return d["e2e"], d["paired"]
+        except Exception:
+            continue
+    return None
+
+
+def _e2e_only() -> None:
+    import snap_tpu  # noqa: F401
+    from snap_tpu import errors as _errors
+
+    _errors.configure(quiet=True)
+    rng = np.random.default_rng(0)
+    glen = 1_000_000
+    read_len = 100
+    batch = 16384
+    from snap_tpu.constants import PAD
+    from snap_tpu.genome import Contig, Genome
+
+    codes = _gen_repeat_genome(rng, glen, repeat_frac=0.25)
+    bases = np.full(glen + 2000, PAD, dtype=np.uint8)
+    bases[1000 : 1000 + glen] = codes
+    genome = Genome(
+        bases=bases, contigs=[Contig(name="chr1", start=1000, length=glen)]
+    )
+    e2e_rps, paired_rps = _bench_end_to_end(
+        genome, codes, glen, read_len, batch
+    )
+    print(json.dumps({"e2e": e2e_rps, "paired": paired_rps}))
 
 
 def _bench_end_to_end(genome, codes, glen, read_len, batch):
@@ -272,4 +335,9 @@ def _bench_end_to_end(genome, codes, glen, read_len, batch):
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--e2e-only" in _sys.argv:
+        _e2e_only()
+    else:
+        main()

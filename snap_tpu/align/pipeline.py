@@ -151,6 +151,27 @@ class SingleAlignOut(NamedTuple):
     truncated: jax.Array # [B] bool some lookup overflowed the gather cap
 
 
+def device_logq(quals: jax.Array) -> jax.Array:
+    """ln P(base wrong) from raw phred+33 bytes, computed elementwise.
+
+    Identical math to log(phred_to_probability_table()[q]) (the
+    lv_phredToProbability mix-in of SNP_PROB), but as VPU arithmetic:
+    the table-lookup form is a [B, L] random-element gather — ~1.6M
+    gather indices per batch at 16384x100, tens of ms on TPU — while
+    exp/log on the same shape is sub-millisecond."""
+    from ..constants import SNP_PROB
+
+    qf = quals.astype(jnp.float32)
+    e10 = jnp.exp(
+        np.float32(-np.log(10.0) / 10.0) * (qf - np.float32(33.0))
+    )
+    err = np.float32(1.0) - (np.float32(1.0) - e10) * np.float32(
+        1.0 - SNP_PROB
+    )
+    ok = (quals >= 33) & (quals < 127)
+    return jnp.log(jnp.where(ok, err, np.float32(SNP_PROB)))
+
+
 def clip_back(quals: jax.Array, lens: jax.Array) -> jax.Array:
     """Default ClipBack: drop the trailing run of '#'-quality bases."""
     B, L = quals.shape
@@ -776,16 +797,17 @@ def _score_from_candidates(
     # =====================================================================
     from ..ops.dp import LOG_PERFECT
 
-    logq_table = jnp.asarray(log_phred_error_table())
     BK = B * K
     flat_dir = cand_dir.reshape(-1)  # [B*K]
     read_ix = jnp.repeat(jnp.arange(B, dtype=jnp.int64), K)
     # phred->log-error lookup per READ ([B, L] element gathers); the
     # naive logq_table[patq] is a [B*K, L] random-element gather and
-    # dominated the whole tier-1 step
+    # dominated the whole tier-1 step; even the per-READ table lookup
+    # is a 1.6M-index gather, so the log-error comes from elementwise
+    # arithmetic (device_logq)
     if logq_f_in is None:
-        logq_f = logq_table[quals.astype(jnp.int64)].astype(jnp.float32)
-        logq_r = logq_table[rc_quals.astype(jnp.int64)].astype(jnp.float32)
+        logq_f = device_logq(quals)
+        logq_r = device_logq(rc_quals)
     else:
         logq_f, logq_r = logq_f_in, logq_r_in
     plen = len_eff[read_ix]
@@ -1234,10 +1256,9 @@ def score_rows(
     margin = max(params.max_k, params.mki) + 1
     W = L + 2 * margin
     rc_bases, rc_quals = reverse_complement_reads(bases, quals, len_eff)
-    logq_table = jnp.asarray(log_phred_error_table())
     pat = jnp.where((dirs == 1)[:, None], rc_bases[read_ix], bases[read_ix])
     patq = jnp.where((dirs == 1)[:, None], rc_quals[read_ix], quals[read_ix])
-    pat_logq = logq_table[patq.astype(jnp.int64)].astype(jnp.float32)
+    pat_logq = device_logq(patq)
     plen = len_eff[read_ix]
     return _score_rows(
         didx, pat, pat_logq, plen, locs, offs, dirs, live, params,
