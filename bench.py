@@ -1,24 +1,59 @@
 """Benchmark: single-end alignment device throughput (reads/sec/chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE final JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Intermediate copies of the same artifact line are printed (flushed)
+after every completed stage, so a wedged later stage — or the driver's
+outer timeout — can never erase an already-measured number. This is
+the round-4 postmortem fix: BENCH_r04 was rc=124 with zero output
+because the old single-process bench compiled everything before
+printing anything. The reference prints reads/s per run
+unconditionally (/root/reference/SNAPLib/AlignerContext.cpp:533-573);
+this bench now does the moral equivalent.
+
+Structure:
+  parent (this process, never imports jax):
+    - spawns `bench.py --stage main` (headline + random-genome step
+      rates) and `bench.py --stage e2e` (FASTQ->SAM single + paired)
+      as timeout-bounded subprocesses, one retry each; children
+      stream one JSON line per completed measurement, so a child
+      killed mid-stage still delivers its finished measurements;
+    - prints the merged artifact line after every update;
+    - traps SIGTERM/SIGINT and prints the artifact before dying.
+  children: stderr -> log file (compile-progress lines), stdout ->
+    parent pipe (JSON only).
 
 Baseline: the reference's north-star target is 5M 100bp reads/s on a
 v5e-16 (BASELINE.md), i.e. 312,500 reads/s/chip. vs_baseline is
 measured reads/s/chip divided by that.
 
-The measured step is the jitted align wavefront (seed lookup, candidate
-generation, DP scoring) on synthetic 100bp reads over a 1Mbp random
-genome — a proxy for BASELINE config 1 (E. coli single-end LV).
+The measured step is the jitted align wavefront (seed lookup,
+candidate generation, DP scoring) on synthetic 100bp reads over a
+1Mbp genome with 25% repeat content (the paper puts >3/4 of real
+alignment time in >=512-hit pairs, so a uniform-random genome
+flatters the easy case); the uniform-random rate is a secondary key.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
 import time
 
 import numpy as np
 
 BASELINE_READS_PER_SEC_PER_CHIP = 5_000_000 / 16
+
+# Parent wall-clock budget. The driver wraps `python bench.py` in its
+# own timeout; stay under it and print what we have. Override with
+# SNAP_BENCH_BUDGET_S.
+BUDGET_S = float(os.environ.get("SNAP_BENCH_BUDGET_S", "3200"))
+T0 = time.time()
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.time() - T0)
 
 
 def _gen_repeat_genome(rng, glen: int, repeat_frac: float) -> np.ndarray:
@@ -46,179 +81,224 @@ def _gen_repeat_genome(rng, glen: int, repeat_frac: float) -> np.ndarray:
     return seq
 
 
+# ---------------------------------------------------------------- parent
+
+RESULT: dict = {
+    "metric": "single_end_align_step_reads_per_sec_per_chip",
+    "value": None,
+    "unit": "reads/s/chip",
+    "vs_baseline": None,
+    "genome": "1Mbp, 25% repeat content",
+    "random_genome_step_reads_per_sec": None,
+    "e2e_fastq_to_sam_reads_per_sec": None,
+    "paired_e2e_reads_per_sec": None,
+}
+
+_KEYMAP = {
+    "headline": "value",
+    "random": "random_genome_step_reads_per_sec",
+    "e2e": "e2e_fastq_to_sam_reads_per_sec",
+    "paired": "paired_e2e_reads_per_sec",
+}
+
+
+def _print_artifact() -> None:
+    if RESULT["value"] is not None:
+        RESULT["vs_baseline"] = round(
+            RESULT["value"] / BASELINE_READS_PER_SEC_PER_CHIP, 4
+        )
+    print(json.dumps(RESULT), flush=True)
+
+
+def _run_stage_child(stage: str, timeout_s: float) -> bool:
+    """Run `bench.py --stage <stage>` streaming its JSON lines into
+    RESULT; print the merged artifact after each update. Returns True
+    if the child exited cleanly."""
+    import subprocess
+
+    if timeout_s <= 30:
+        return False
+    log_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"snap_bench_{stage}.log"
+    )
+    logf = open(log_path, "ab")
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__), "--stage", stage],
+        stdout=subprocess.PIPE,
+        stderr=logf,
+        text=True,
+    )
+    deadline = time.time() + timeout_s
+    got_any = False
+    import queue
+    import threading
+
+    q: "queue.Queue[str | None]" = queue.Queue()
+
+    def _reader():
+        for line in proc.stdout:
+            q.put(line)
+        q.put(None)
+
+    threading.Thread(target=_reader, daemon=True).start()
+    try:
+        while True:
+            left = deadline - time.time()
+            if left <= 0:
+                proc.kill()
+                proc.wait()
+                return got_any
+            try:
+                line = q.get(timeout=min(left, 5.0))
+            except queue.Empty:
+                continue
+            if line is None:
+                break
+            try:
+                d = json.loads(line)
+            except Exception:
+                continue
+            k = d.get("key")
+            if k in _KEYMAP and d.get("value") is not None:
+                RESULT[_KEYMAP[k]] = round(float(d["value"]), 1)
+                got_any = True
+                _print_artifact()
+        proc.wait()
+    finally:
+        logf.close()
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    return proc.returncode == 0 or got_any
+
+
 def main() -> None:
+    def _die(signum, frame):  # noqa: ARG001
+        _print_artifact()
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _die)
+    signal.signal(signal.SIGINT, _die)
+
+    # Stage 1: device step rates (headline + random). One retry — the
+    # remote XLA compile service occasionally drops an RPC and the
+    # child hangs; compiles finished before the kill persist in the
+    # on-disk cache, so the retry resumes from where it died.
+    for _ in range(2):
+        if RESULT["value"] is not None:
+            break
+        _run_stage_child("main", min(1500.0, _remaining() - 600))
+
+    # Stage 2: end-to-end FASTQ->SAM (single + paired) — same
+    # retry-once policy.
+    for _ in range(2):
+        if RESULT["e2e_fastq_to_sam_reads_per_sec"] is not None:
+            break
+        _run_stage_child("e2e", min(1500.0, _remaining() - 30))
+
+    # Headline never landed but the random-genome rate did: report it
+    # as the value rather than nothing (flagged via the genome field).
+    if RESULT["value"] is None and RESULT[
+        "random_genome_step_reads_per_sec"
+    ] is not None:
+        RESULT["value"] = RESULT["random_genome_step_reads_per_sec"]
+        RESULT["genome"] = "1Mbp uniform random (headline stage failed)"
+
+    _print_artifact()
+
+
+# ---------------------------------------------------------------- stages
+
+
+def _emit(key: str, value: float) -> None:
+    print(json.dumps({"key": key, "value": value}), flush=True)
+
+
+def _stage_main() -> None:
+    """Device step rates: headline (25%-repeat genome) then the
+    uniform-random secondary. Emits each as soon as it is measured."""
     import snap_tpu  # noqa: F401
     from snap_tpu import errors as _errors
 
-    # the per-batch progress lines include jit-compile time in their
-    # first samples, which reads like a collapse in logs; the JSON
-    # line below is the artifact
     _errors.configure(quiet=True)
     import jax
     import jax.numpy as jnp
     from snap_tpu.genome import Genome, Contig
     from snap_tpu.constants import PAD
     from snap_tpu.index.build import build_index
-    from snap_tpu.index.index import DeviceIndex
-    from snap_tpu.align.pipeline import AlignParams, align_single_device
+    from snap_tpu.index.index import make_device_index
+    from snap_tpu.align.pipeline import AlignParams, align_winners_device
 
     rng = np.random.default_rng(0)
-    glen = 1_000_000  # 1Mbp synthetic genome; the HEADLINE number uses
-    # a 25% repeat-content genome (SINE/LINE-like units + tandem
-    # microsatellites) because the reference's paper reports >3/4 of
-    # real alignment time in >=512-hit pairs — a uniform-random genome
-    # has near-zero repeat content and flatters the easy case. The
-    # random-genome step rate is reported as a secondary key.
+    glen = 1_000_000
     read_len = 100
     batch = 16384
 
-    codes = _gen_repeat_genome(rng, glen, repeat_frac=0.25)
-    bases = np.full(glen + 2000, PAD, dtype=np.uint8)
-    bases[1000 : 1000 + glen] = codes
-    genome = Genome(
-        bases=bases, contigs=[Contig(name="chr1", start=1000, length=glen)]
-    )
-    idx = build_index(genome, seed_len=24)
-    from snap_tpu.index.index import make_device_index
-
-    didx = make_device_index(idx, bases)
     # SNAP's single-end defaults: -n 25 seeds (AlignerOptions.cpp:115)
     # with the seed-loop early stop (BaseAligner.cpp:1028) — replayed
     # here as the adaptive two-phase wavefront
-    params = AlignParams(
-        seed_len=24, max_probe=idx["max_probe"], num_seeds=25,
-        hit_cap=8, max_cand=16,
-    )
+    def make_inputs(codes):
+        bases = np.full(glen + 2000, PAD, dtype=np.uint8)
+        bases[1000 : 1000 + glen] = codes
+        genome = Genome(
+            bases=bases,
+            contigs=[Contig(name="chr1", start=1000, length=glen)],
+        )
+        idx = build_index(genome, seed_len=24)
+        didx = make_device_index(idx, bases)
+        params = AlignParams(
+            seed_len=24, max_probe=idx["max_probe"], num_seeds=25,
+            hit_cap=8, max_cand=16,
+        )
+        starts = rng.integers(0, glen - read_len - 1, size=batch)
+        reads = codes[starts[:, None] + np.arange(read_len)[None, :]]
+        mut = rng.random(reads.shape) < 0.01
+        reads = np.where(
+            mut, rng.integers(0, 4, reads.shape), reads
+        ).astype(np.uint8)
+        quals = np.full((batch, read_len), ord("I"), dtype=np.uint8)
+        lens = np.full(batch, read_len, dtype=np.int32)
+        fas = jnp.int64(bases.shape[0])
+        return (
+            didx, jnp.asarray(reads), jnp.asarray(quals),
+            jnp.asarray(lens), fas, params,
+        )
 
-    starts = rng.integers(0, glen - read_len - 1, size=batch)
-    reads = codes[starts[:, None] + np.arange(read_len)[None, :]]
-    mut = rng.random(reads.shape) < 0.01
-    reads = np.where(mut, rng.integers(0, 4, reads.shape), reads).astype(np.uint8)
-    quals = np.full((batch, read_len), ord("I"), dtype=np.uint8)
-    lens = np.full(batch, read_len, dtype=np.int32)
-
-    b = jnp.asarray(reads)
-    q = jnp.asarray(quals)
-    l = jnp.asarray(lens)
-
-    # Measure the production fast path: the full align wavefront
-    # (candidates, gapless prescreen, device-gated DP tier, device
-    # winner selection + MAPQ) with only the compact per-read winners
-    # crossing device->host. Timing materializes the winners on the
-    # host every iteration (device_get): the axon plugin's
-    # block_until_ready can return before execution completes, so
-    # dispatch-only loops would look absurdly fast.
-    from snap_tpu.align.pipeline import align_winners_device
-
-    fas = jnp.int64(bases.shape[0])  # no ALT contigs
-    win, _out = align_winners_device(didx, b, q, l, fas, params, adaptive=True)
-    jax.device_get(win)  # compile + settle
-
-    # Pipelined like the production align_file loop: batch i+1 is
-    # dispatched before batch i's winners transfer, so device compute
-    # overlaps the device->host hop.
-    def timed_step(dx, bb, qq, ll, n_iters=8):
+    # Timing materializes the winners on the host every iteration
+    # (device_get): the axon plugin's block_until_ready can return
+    # before execution completes, so dispatch-only loops would look
+    # absurdly fast. Pipelined like the production align_file loop:
+    # batch i+1 is dispatched before batch i's winners transfer.
+    def timed_step(didx, b, q, l, fas, params, n_iters=8):
+        win, _ = align_winners_device(
+            didx, b, q, l, fas, params, adaptive=True
+        )
+        jax.device_get(win)  # compile + settle
         t0 = time.perf_counter()
         win_next, _ = align_winners_device(
-            dx, bb, qq, ll, fas, params, adaptive=True
+            didx, b, q, l, fas, params, adaptive=True
         )
         for _ in range(n_iters - 1):
             win_cur = win_next
             win_next, _ = align_winners_device(
-                dx, bb, qq, ll, fas, params, adaptive=True
+                didx, b, q, l, fas, params, adaptive=True
             )
             jax.device_get(win_cur)
         jax.device_get(win_next)
         return batch * n_iters / (time.perf_counter() - t0)
 
-    reads_per_sec = timed_step(didx, b, q, l)
+    codes = _gen_repeat_genome(rng, glen, repeat_frac=0.25)
+    _emit("headline", timed_step(*make_inputs(codes)))
 
-    # secondary: the same step on a uniform-random genome (the easy,
-    # near-zero-repeat case — kept for comparability with r01-r03)
     rcodes = rng.integers(0, 4, size=glen).astype(np.uint8)
-    rbases = np.full(glen + 2000, PAD, dtype=np.uint8)
-    rbases[1000 : 1000 + glen] = rcodes
-    rgenome = Genome(
-        bases=rbases, contigs=[Contig(name="chr1", start=1000, length=glen)]
-    )
-    ridx = build_index(rgenome, seed_len=24)
-    rdidx = make_device_index(ridx, rbases)
-    rstarts = rng.integers(0, glen - read_len - 1, size=batch)
-    rreads = rcodes[rstarts[:, None] + np.arange(read_len)[None, :]]
-    rmut = rng.random(rreads.shape) < 0.01
-    rreads = np.where(
-        rmut, rng.integers(0, 4, rreads.shape), rreads
-    ).astype(np.uint8)
-    rb = jnp.asarray(rreads)
-    jax.device_get(
-        align_winners_device(rdidx, rb, q, l, fas, params, adaptive=True)[0]
-    )
-    random_rps = timed_step(rdidx, rb, q, l)
-
-    # ---- end-to-end FASTQ -> SAM bytes (the whole production driver:
-    # native FASTQ parse, device align, batched native SAM emission).
-    # Runs in a timeout-bounded subprocess: the remote compile service
-    # occasionally loses an RPC response and the requesting process
-    # hangs forever — a wedged e2e half must not take the headline
-    # step measurement down with it (a fresh process retries the same
-    # cached-compile keys and normally sails through).
-    e2e_rps = paired_rps = None
-    for attempt in range(2):
-        res = _run_e2e_subprocess(timeout_s=2100)
-        if res is not None:
-            e2e_rps, paired_rps = res
-            break
-
-    print(
-        json.dumps(
-            {
-                "metric": "single_end_align_step_reads_per_sec_per_chip",
-                "value": round(reads_per_sec, 1),
-                "unit": "reads/s/chip",
-                "vs_baseline": round(
-                    reads_per_sec / BASELINE_READS_PER_SEC_PER_CHIP, 4
-                ),
-                "genome": "1Mbp, 25% repeat content",
-                "random_genome_step_reads_per_sec": round(random_rps, 1),
-                "e2e_fastq_to_sam_reads_per_sec": (
-                    round(e2e_rps, 1) if e2e_rps else None
-                ),
-                "paired_e2e_reads_per_sec": (
-                    round(paired_rps, 1) if paired_rps else None
-                ),
-            }
-        )
-    )
+    _emit("random", timed_step(*make_inputs(rcodes)))
 
 
-def _run_e2e_subprocess(timeout_s: int):
-    """Run `bench.py --e2e-only` in a child; returns (e2e, paired) or
-    None on timeout/failure."""
-    import json as _json
-    import os
-    import subprocess
-    import sys
-
-    try:
-        r = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__),
-             "--e2e-only"],
-            capture_output=True, timeout=timeout_s, text=True,
-        )
-    except subprocess.TimeoutExpired:
-        return None
-    if r.returncode != 0:
-        return None
-    for ln in reversed(r.stdout.strip().splitlines()):
-        try:
-            d = _json.loads(ln)
-            return d["e2e"], d["paired"]
-        except Exception:
-            continue
-    return None
-
-
-def _e2e_only() -> None:
+def _stage_e2e() -> None:
+    """End-to-end FASTQ -> SAM bytes (the whole production driver:
+    native FASTQ parse, device align, batched native SAM emission),
+    single then paired; each emitted as soon as it is measured."""
     import snap_tpu  # noqa: F401
     from snap_tpu import errors as _errors
 
@@ -236,10 +316,7 @@ def _e2e_only() -> None:
     genome = Genome(
         bases=bases, contigs=[Contig(name="chr1", start=1000, length=glen)]
     )
-    e2e_rps, paired_rps = _bench_end_to_end(
-        genome, codes, glen, read_len, batch
-    )
-    print(json.dumps({"e2e": e2e_rps, "paired": paired_rps}))
+    _bench_end_to_end(genome, codes, glen, read_len, batch)
 
 
 def _bench_end_to_end(genome, codes, glen, read_len, batch):
@@ -251,7 +328,6 @@ def _bench_end_to_end(genome, codes, glen, read_len, batch):
     output write. First pass warms the jit caches; the timed pass runs
     the same files again.
     """
-    import io
     import os
     import tempfile
     import time as _time
@@ -297,7 +373,7 @@ def _bench_end_to_end(genome, codes, glen, read_len, batch):
         run_single()  # warm the jit caches
         t0 = _time.perf_counter()
         run_single()
-        e2e_rps = n_single / (_time.perf_counter() - t0)
+        _emit("e2e", n_single / (_time.perf_counter() - t0))
 
         # paired: proper FR pairs, insert 200..400
         fq1, fq2 = os.path.join(td, "r1.fq"), os.path.join(td, "r2.fq")
@@ -329,15 +405,17 @@ def _bench_end_to_end(genome, codes, glen, read_len, batch):
         run_paired()
         t0 = _time.perf_counter()
         run_paired()
-        paired_rps = 2 * n_pairs / (_time.perf_counter() - t0)
-
-    return e2e_rps, paired_rps
+        _emit("paired", 2 * n_pairs / (_time.perf_counter() - t0))
 
 
 if __name__ == "__main__":
-    import sys as _sys
-
-    if "--e2e-only" in _sys.argv:
-        _e2e_only()
+    if "--stage" in sys.argv:
+        stage = sys.argv[sys.argv.index("--stage") + 1]
+        if stage == "main":
+            _stage_main()
+        elif stage == "e2e":
+            _stage_e2e()
+        else:
+            raise SystemExit(f"unknown stage {stage}")
     else:
         main()
