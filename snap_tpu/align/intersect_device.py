@@ -68,36 +68,30 @@ class DeviceIntersectParams:
                                  # intersect.IntersectParams.max_k_indels
 
 
-@functools.partial(jax.jit, static_argnames=("p",))
-def paired_candidates_device(
+def _phase1_entries(
     didx: DeviceIndex,
     bases: jax.Array,     # [R, L] uint8, R = 2B (side0 rows then side1)
     len_eff: jax.Array,   # [R] int32
     offsets: jax.Array,   # [R, S] int32 probe offsets (-1 = unused)
     set_ids: jax.Array,   # [R, S] int32 disjoint-set id per lookup
-    min_sp: jax.Array,    # [] int64 minSpacing (traced: -ins adapts it)
-    max_sp: jax.Array,    # [] int64 maxSpacing
     p: DeviceIntersectParams,
-) -> dict:
-    """Phases 1-2 on device. Returns a dict of device arrays:
+):
+    """Phase 1 against ONE index (shard): pack seeds, probe, gather
+    hits, normalize into per-(row, dir) entry-key tables.
 
-    loc[R,K] i64 (normalized start), off[R,K] i32 (oriented anchor =
-    the normalization offset), dir[R,K] i32, valid[R,K] bool,
-    weight[R,K] i32, popular[R] i32, n_lookups[R] i32,
-    overflow[R] bool (needs exact host redo).
+    Split out so the sharded path can run it per index shard and
+    all-gather the entry tables (a lookup's hit list lives wholly in
+    one shard, so recorded/popular counts psum and the merged entry
+    table is exactly the single-index table; see
+    parallel/mesh.paired_candidates_sharded).
+
+    Returns (e_key [2R, M] UNSORTED, rec_by_set [2, R, NS] i32,
+    popular [R] i32, n_lookups [R] i32, over [R] bool).
     """
     R, L = bases.shape
-    B = R // 2
     S = p.num_seeds
-    if S > 32:
-        raise ValueError(
-            f"device intersection packs the lookup index in 5 bits; "
-            f"num_seeds={S} > 32 (use the host path)"
-        )
     SB = 5  # lookup-index bits in the entry key
     HP = p.hit_cap
-    C = p.cand_width
-    K = p.max_cand
     M = S * HP
     seed = p.seed_len
     NS = S  # disjoint-set ids are < number of lookups
@@ -184,8 +178,40 @@ def paired_candidates_device(
         )
         ents.append(key.reshape(R, M))
 
-    e_key = jnp.stack(ents, axis=1)          # [R, 2, M]
-    e_key = jnp.sort(e_key.reshape(R * 2, M), axis=1)
+    e_key = jnp.stack(ents, axis=1).reshape(R * 2, M)  # [2R, M]
+    return e_key, rec_by_set, popular, n_lookups, over
+
+
+def _phase2_from_entries(
+    e_key: jax.Array,      # [2R, M] entry keys (any order; sorted here)
+    rec_by_set: jax.Array,  # [2, R, NS] i32 recorded lookups per set
+    popular: jax.Array,     # [R] i32
+    n_lookups: jax.Array,   # [R] i32
+    over: jax.Array,        # [R] bool (phase-1 gather-cap overflow)
+    len_eff: jax.Array,     # [R] i32
+    offsets: jax.Array,     # [R, S] i32 probe offsets
+    set_ids: jax.Array,     # [R, S] i32
+    min_sp: jax.Array,
+    max_sp: jax.Array,
+    p: DeviceIntersectParams,
+    L: int,
+) -> dict:
+    """Phase 2 from (possibly shard-merged) entry tables: fuzzy match,
+    bestPossibleScore, dedup/compaction, mate windows, phase 2a, top-K.
+    M may be S*HP (single index) or S*HP*n_shards (merged)."""
+    R2, M = e_key.shape
+    R = R2 // 2
+    B = R // 2
+    S = p.num_seeds
+    SB = 5
+    C = p.cand_width
+    K = p.max_cand
+    seed = p.seed_len
+    NS = S
+    offc = jnp.clip(offsets, 0, max(L - seed, 0)).astype(jnp.int64)
+    fz = jnp.int64(p.fuzzy_dist)
+
+    e_key = jnp.sort(e_key, axis=1)
     e_valid = e_key < _INF_KEY
     e_norm = jnp.where(e_valid, e_key >> SB, _POS_INF)  # biased norm
     e_s = (e_key & ((1 << SB) - 1)).astype(jnp.int32)
@@ -370,6 +396,39 @@ def paired_candidates_device(
         "n_lookups": n_lookups,
         "overflow": over,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def paired_candidates_device(
+    didx: DeviceIndex,
+    bases: jax.Array,     # [R, L] uint8, R = 2B (side0 rows then side1)
+    len_eff: jax.Array,   # [R] int32
+    offsets: jax.Array,   # [R, S] int32 probe offsets (-1 = unused)
+    set_ids: jax.Array,   # [R, S] int32 disjoint-set id per lookup
+    min_sp: jax.Array,    # [] int64 minSpacing (traced: -ins adapts it)
+    max_sp: jax.Array,    # [] int64 maxSpacing
+    p: DeviceIntersectParams,
+) -> dict:
+    """Phases 1-2 on device. Returns a dict of device arrays:
+
+    loc[R,K] i64 (normalized start), off[R,K] i32 (oriented anchor =
+    the normalization offset), dir[R,K] i32, valid[R,K] bool,
+    weight[R,K] i32, popular[R] i32, n_lookups[R] i32,
+    overflow[R] bool (needs exact host redo).
+    """
+    S = p.num_seeds
+    if S > 32:
+        raise ValueError(
+            f"device intersection packs the lookup index in 5 bits; "
+            f"num_seeds={S} > 32 (use the host path)"
+        )
+    e_key, rec_by_set, popular, n_lookups, over = _phase1_entries(
+        didx, bases, len_eff, offsets, set_ids, p
+    )
+    return _phase2_from_entries(
+        e_key, rec_by_set, popular, n_lookups, over, len_eff,
+        offsets, set_ids, min_sp, max_sp, p, bases.shape[1],
+    )
 
 
 def probe_offsets_for(

@@ -197,7 +197,6 @@ class PairedEndAligner:
         pc = None  # host candidates, fetched lazily (hamming rescue)
         if (
             self.device_intersect
-            and self.mesh is None
             and ip.num_seeds <= 32  # device key packs lookup idx in 5b
         ):
             from .intersect_device import (
@@ -208,18 +207,35 @@ class PairedEndAligner:
             offsets, set_ids = probe_offsets_for(
                 len_eff, bases.shape[1], ip.seed_len, ip.num_seeds
             )
-            pcd = paired_candidates_device(
-                didx_sc, dev_bases, jnp.asarray(len_eff),
-                jnp.asarray(offsets), jnp.asarray(set_ids),
-                jnp.int64(self.min_spacing), jnp.int64(self.max_spacing),
-                DeviceIntersectParams(
-                    seed_len=ip.seed_len,
-                    max_probe=self.index.max_probe,
-                    num_seeds=ip.num_seeds,
-                    max_cand=ip.max_cand,
-                    max_k_indels=ip.max_k_indels,
-                ),
+            dip = DeviceIntersectParams(
+                seed_len=ip.seed_len,
+                max_probe=self.index.max_probe,
+                num_seeds=ip.num_seeds,
+                max_cand=ip.max_cand,
+                max_k_indels=ip.max_k_indels,
             )
+            if self.mesh is None:
+                pcd = paired_candidates_device(
+                    didx_sc, dev_bases, jnp.asarray(len_eff),
+                    jnp.asarray(offsets), jnp.asarray(set_ids),
+                    jnp.int64(self.min_spacing),
+                    jnp.int64(self.max_spacing), dip,
+                )
+            else:
+                # sharded index: per-shard phase-1 entry tables
+                # all-gather along the 'index' mesh axis (the config-5
+                # deployment keeps paired phases 1-2 device-resident)
+                from ..parallel.mesh import paired_candidates_sharded
+
+                pcd = paired_candidates_sharded(
+                    self.index.device_sharded,
+                    jnp.asarray(bases[:B]), jnp.asarray(bases[B:]),
+                    jnp.asarray(len_eff[:B]), jnp.asarray(len_eff[B:]),
+                    jnp.asarray(offsets[:B]), jnp.asarray(offsets[B:]),
+                    jnp.asarray(set_ids[:B]), jnp.asarray(set_ids[B:]),
+                    jnp.int64(self.min_spacing),
+                    jnp.int64(self.max_spacing), dip, self.mesh,
+                )
             ov = pcd["overflow"]
             ovp = ov[:B] | ov[B:]
             t1 = score_candidates(
@@ -338,6 +354,8 @@ class PairedEndAligner:
             )
             results.append(None)
 
+        self.stats.paired_slow_rows += len(slow)
+        self.stats.paired_planned_rows += n - len(slow)
         # pass 2: one batched LV start recovery + one native AG-CIGAR
         # call over every slow winner that needs a traceback
         pre = (
@@ -1089,6 +1107,7 @@ class PairedEndAligner:
         rows = np.flatnonzero(f["truncated"][:B])
         if rows.size == 0:
             return
+        self.stats.intersect_overflow_pairs += int(rows.size)
         nb = rows.size
         P2 = 1 << max(4, int(np.ceil(np.log2(nb))))
         pr = np.zeros(P2, dtype=np.int64)

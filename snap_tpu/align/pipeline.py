@@ -742,6 +742,47 @@ def _align_impl(
     return res
 
 
+def window_words(arr, w0, WW):
+    """[N, WW] consecutive words starting at per-row word index w0, via
+    ceil((WW+7)/8) row gathers of an [n/8, 8] view + one 8-way phase
+    select (gather cost on TPU scales with the number of indices)."""
+    if arr.shape[0] % 8 != 0:
+        return arr[
+            jnp.clip(
+                w0[:, None] + jnp.arange(WW, dtype=jnp.int64)[None, :],
+                0, arr.shape[0] - 1,
+            )
+        ]
+    a2 = arr.reshape(-1, 8)
+    nrows = (WW + 7 + 7) // 8
+    r0 = w0 >> 3
+    blocks = [
+        a2[jnp.clip(r0 + j, 0, a2.shape[0] - 1)] for j in range(nrows)
+    ]
+    ab = jnp.concatenate(blocks, axis=1)  # [N, nrows*8]
+    shw = (w0 & 7).astype(jnp.int32)
+    out = jnp.zeros((w0.shape[0], WW), arr.dtype)
+    for s in range(8):
+        out = jnp.where(
+            (shw == s)[:, None],
+            jax.lax.slice_in_dim(ab, s, s + WW, axis=1),
+            out,
+        )
+    return out
+
+
+def align_words(w, ph, lane_bits):
+    """Funnel-shift adjacent words by the per-row phase so lane 0 holds
+    the window's first base — one variable-shift pass instead of
+    nphases shifted jnp.where selects over [N, L]."""
+    sh = (lane_bits * ph).astype(jnp.uint32)[:, None]
+    lo = w[:, :-1] >> sh
+    hi = jnp.where(
+        sh == 0, np.uint32(0), w[:, 1:] << (np.uint32(32) - sh)
+    )
+    return lo | hi  # [N, W-1]
+
+
 def _score_from_candidates(
     didx: DeviceIndex,
     bases: jax.Array,     # [B, L] uint8
@@ -836,35 +877,6 @@ def _score_from_candidates(
         w0 = loc_c // 16
         phase = (loc_c % 16).astype(jnp.int32)
         WW = L // 16 + 2
-        def window_words(arr, w0, WW):
-            # [BK, WW] consecutive words via ceil((WW+7)/8) row gathers
-            # of an [n/8, 8] view + one 8-way phase select (gather cost
-            # on TPU scales with the number of indices)
-            if arr.shape[0] % 8 != 0:
-                return arr[
-                    jnp.clip(
-                        w0[:, None]
-                        + jnp.arange(WW, dtype=jnp.int64)[None, :],
-                        0, arr.shape[0] - 1,
-                    )
-                ]
-            a2 = arr.reshape(-1, 8)
-            nrows = (WW + 7 + 7) // 8
-            r0 = w0 >> 3
-            blocks = [
-                a2[jnp.clip(r0 + j, 0, a2.shape[0] - 1)]
-                for j in range(nrows)
-            ]
-            ab = jnp.concatenate(blocks, axis=1)  # [BK, nrows*8]
-            shw = (w0 & 7).astype(jnp.int32)
-            out = jnp.zeros((w0.shape[0], WW), arr.dtype)
-            for s in range(8):
-                out = jnp.where(
-                    (shw == s)[:, None],
-                    jax.lax.slice_in_dim(ab, s, s + WW, axis=1),
-                    out,
-                )
-            return out
 
         def window_pairs(pb, w0, WW):
             # interleaved (packed, bad16) planes: 2*WW consecutive
@@ -887,17 +899,6 @@ def _score_from_candidates(
                     out,
                 )
             return out[:, 0::2], out[:, 1::2]
-
-        def align_words(w, ph, lane_bits):
-            # funnel-shift adjacent words by the per-row phase so lane 0
-            # holds the candidate's first base — one variable-shift pass
-            # instead of nphases shifted jnp.where selects over [BK, L]
-            sh = (lane_bits * ph).astype(jnp.uint32)[:, None]
-            lo = w[:, :-1] >> sh
-            hi = jnp.where(
-                sh == 0, np.uint32(0), w[:, 1:] << (np.uint32(32) - sh)
-            )
-            return lo | hi  # [BK, W-1]
 
         if use_gapless_kernel and didx.genome_pb16 is not None:
             words, b16 = window_pairs(didx.genome_pb16, w0, WW)
@@ -1517,7 +1518,145 @@ class WinnerOut(NamedTuple):
     valid_count: jax.Array  # [B] int16 (stats: lvCalls analogue)
     esc_count: jax.Array    # [B] int16 (stats: affineGapCalls analogue)
     truncated: jax.Array    # [B] bool hit-cap overflow: redo via wide pass
+    edge_indel: jax.Array   # [B] bool gapless dist-2 winner admits a
+                            # one-indel dist-1 twin (host force-DP redo)
+    ag_flip: jax.Array      # [B] bool a single gap ties/beats the
+                            # winner's substitutions (AG traceback path)
     dp_overflow: jax.Array  # [] bool: DP tier truncated, redo via host path
+
+
+def winner_flags(
+    didx: DeviceIndex,
+    bases: jax.Array,      # [B, L] device reads (front-clipped layout)
+    len_eff: jax.Array,    # [B] effective (back-clipped) length
+    dirs: jax.Array,       # [B] winner direction
+    end_loc: jax.Array,    # [B] winner end location (int64)
+    dist: jax.Array,       # [B] winner edit distance (int64)
+    params: AlignParams,
+) -> tuple[jax.Array, jax.Array]:
+    """Device twins of the two host emission screens, evaluated on each
+    read's chosen winner so the host plan path needs no genome reads:
+
+    - single.one_indel_improves (edge-indel honesty): a gapless dist-2
+      alignment admitting a one-1bp-indel dist-1 twin — prefix/suffix
+      run tests on the -1/0/+1 diagonal match vectors
+      (SNAP always-LV scoring, BaseAligner.cpp:1160-1173);
+    - single.ag_restructure_possible (emission-time AG CIGAR rule,
+      ReadWriter.cpp:231): the exact best single-gap(1..3)-plus-
+      substitutions penalty over all split points ties/beats the
+      all-substitution penalty.
+
+    Both were ~90ms/batch of host numpy on the e2e critical path (1-core
+    host); here they are one [B]-row byte window gather + elementwise
+    diagonal scans. Genome windows clamp at the array edge (the host
+    versions clamp per-index); alignments within 3bp of the genome
+    array edge sit in the PAD margin and never match either way.
+
+    Returns ungated (edge_raw, ag_raw) [B] bools; the caller applies
+    the found/gapless/unclipped/dist gates.
+    """
+    B, L = bases.shape
+    M3 = 3
+    W = L + 2 * M3 + 1
+    plen = jnp.maximum(len_eff.astype(jnp.int64), 0)
+    start = end_loc.astype(jnp.int64) - plen
+    g = didx.genome
+    Gn = g.shape[0]
+    ws = jnp.clip(start - M3, 0, Gn - 1)
+    # byte-level window rows: same row-gather trick as window_words but
+    # on the uint8 genome, truncated to a multiple of 8 (the tail bases
+    # are genome padding)
+    a2 = g[: (Gn // 8) * 8].reshape(-1, 8)
+    nrows = (W + 7 + 7) // 8
+    r0 = ws >> 3
+    blocks = [
+        a2[jnp.clip(r0 + j, 0, a2.shape[0] - 1)] for j in range(nrows)
+    ]
+    ab = jnp.concatenate(blocks, axis=1)  # [B, nrows*8]
+    shw = (ws & 7).astype(jnp.int32)
+    Gw = jnp.zeros((B, W), g.dtype)
+    for s in range(8):
+        Gw = jnp.where(
+            (shw == s)[:, None],
+            jax.lax.slice_in_dim(ab, s, s + W, axis=1),
+            Gw,
+        )
+
+    # oriented pattern: forward reads as-is, reverse = RC left-aligned
+    # (device bases are already front-clipped, so fe = 0)
+    rc, _ = reverse_complement_reads(
+        bases, bases, len_eff.astype(jnp.int32)
+    )
+    P = jnp.where((dirs == 1)[:, None], rc, bases)
+    pos = jnp.arange(L, dtype=jnp.int64)[None, :]
+    in_read = pos < plen[:, None]
+    plen32 = plen.astype(jnp.int32)
+
+    def eq(shift):  # pattern vs genome shifted by `shift` diagonals
+        gs = jax.lax.slice_in_dim(Gw, M3 + shift, M3 + shift + L, axis=1)
+        return ((P == gs) & (P < 4) & (gs < 4)) | ~in_read
+
+    eqs = {s: eq(s) for s in range(-M3, M3 + 1)}
+    zero_col = jnp.zeros((B, 1), jnp.int32)
+    cums = {
+        s: jnp.concatenate(
+            [zero_col, jnp.cumsum((~eqs[s]).astype(jnp.int32), axis=1)],
+            axis=1,
+        )
+        for s in eqs
+    }
+
+    # ---- ag_restructure screen: exact best single-gap cost ----
+    unit = jnp.int32(params.ag_match + params.ag_sub)
+    c0 = cums[0]
+    kpos = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
+    in_split = kpos <= plen32[:, None]
+    BIG = jnp.int32(1 << 30)
+    best = jnp.full((B,), BIG)
+    pidx = plen[:, None]
+
+    def at_plen(c):
+        return jnp.take_along_axis(c, pidx, axis=1)[:, 0]
+
+    for s in range(1, M3 + 1):
+        base_pen = jnp.int32(params.ag_open + s * params.ag_extend)
+        cs = cums[s]
+        tot_s = at_plen(cs)
+        cost_d = base_pen + unit * jnp.min(
+            jnp.where(in_split, c0 + (tot_s[:, None] - cs), BIG), axis=1
+        )
+        best = jnp.minimum(best, cost_d)
+        cm = cums[-s]
+        tot_m = at_plen(cm)
+        suf = tot_m[:, None] - cm[:, s:]
+        pre = c0[:, : L + 1 - s]
+        ok_k = kpos[:, : L + 1 - s] <= (plen32[:, None] - s)
+        cost_i = base_pen + jnp.int32(s * params.ag_match) + unit * jnp.min(
+            jnp.where(ok_k, pre + suf, BIG), axis=1
+        )
+        best = jnp.minimum(best, cost_i)
+    ag_raw = best <= unit * dist.astype(jnp.int32)
+
+    # ---- one-indel screen: diagonal prefix/suffix runs ----
+    posi = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    def pref(a):  # leading all-True run, capped at plen
+        fp = jnp.min(jnp.where(~a, posi, jnp.int32(L)), axis=1)
+        return jnp.minimum(fp, plen32)
+
+    def suff(a):  # trailing all-True run within [0, plen)
+        lf = jnp.max(jnp.where(~a, posi, jnp.int32(-1)), axis=1)
+        return jnp.clip(plen32 - 1 - lf, 0, plen32)
+
+    eq0, eqp, eqm = eqs[0], eqs[1], eqs[-1]
+    L0, R0 = pref(eq0), suff(eq0)
+    edge_raw = (
+        (L0 + suff(eqp) >= plen32)          # 1D: tail on +1 diagonal
+        | (L0 + suff(eqm) >= plen32 - 1)    # 1I: tail on -1 diagonal
+        | (pref(eqp) + R0 >= plen32 - 1)    # 1I: head on +1 diagonal
+        | (pref(eqm) + R0 >= plen32)        # 1D: head on -1 diagonal
+    )
+    return edge_raw, ag_raw
 
 
 def _device_finalize(
@@ -1532,6 +1671,9 @@ def _device_finalize(
     extra_search_depth: int = 1,
     return_scores: bool = False,
     use_ukkonen: bool = True,
+    didx: DeviceIndex | None = None,
+    bases: jax.Array | None = None,
+    flag_params: AlignParams | None = None,
 ) -> WinnerOut:
     from ..constants import MAPQ_MAX, MAX_MERGE_DIST
 
@@ -1704,6 +1846,34 @@ def _device_finalize(
     def at_w(a):
         return jnp.take_along_axis(a, wk, axis=1)[:, 0]
 
+    # emission screens on device (host twins: single.one_indel_improves
+    # / single.ag_restructure_possible); gates mirror the host plan path
+    no_flags = jnp.zeros_like(found)
+    edge_indel = ag_flip = no_flags
+    if didx is not None and bases is not None and flag_params is not None:
+        w_indels = at_w(out.indels)
+        w_cb = at_w(out.clip_before)
+        w_ca = at_w(out.clip_after)
+        base_gate = (
+            found
+            & ~fallback
+            & ~out.truncated
+            & (w_indels == 0)
+            & (w_cb == 0)
+            & (w_ca == 0)
+        )
+        want_edge = flag_params.max_k_same >= 2
+        want_ag = use_affine_gap
+        if want_edge or want_ag:
+            edge_raw, ag_raw = winner_flags(
+                didx, bases, out.len_eff, chosen["dr"], chosen["e"],
+                chosen["d"], flag_params,
+            )
+            if want_edge:
+                edge_indel = base_gate & (chosen["d"] == 2) & edge_raw
+            if want_ag:
+                ag_flip = base_gate & (chosen["d"] >= 2) & ag_raw
+
     win = WinnerOut(
         found=found,
         fallback=fallback,
@@ -1722,6 +1892,8 @@ def _device_finalize(
         valid_count=out.valid.sum(axis=1).astype(jnp.int16),
         esc_count=(out.escalated & out.valid).sum(axis=1).astype(jnp.int16),
         truncated=out.truncated,
+        edge_indel=edge_indel,
+        ag_flip=ag_flip,
         dp_overflow=needs_total > jnp.int32(dp_rows),
     )
     if return_scores:
@@ -1841,7 +2013,7 @@ def _awd_score(didx, bases, quals, bundle, params, dp_rows):
     ),
 )
 def _awd_finalize(
-    out, first_alt_start, needs_total, params, dp_rows,
+    didx, bases, out, first_alt_start, needs_total, params, dp_rows,
     alt_awareness, max_score_gap, return_scores=False,
 ):
     res = _device_finalize(
@@ -1851,6 +2023,7 @@ def _awd_finalize(
         extra_search_depth=params.extra_search_depth,
         use_ukkonen=params.use_ukkonen,
         return_scores=return_scores,
+        didx=didx, bases=bases, flag_params=params,
     )
     if return_scores:
         win, run_all, run_na = res
@@ -1867,7 +2040,7 @@ def _awd_fused(
         didx, bases, quals, bundle, params, dp_rows
     )
     packed, _ = _awd_finalize(
-        out, first_alt_start, needs_total, params, dp_rows,
+        didx, bases, out, first_alt_start, needs_total, params, dp_rows,
         alt_awareness, max_score_gap,
     )
     return packed, out
@@ -1897,7 +2070,7 @@ def _awd_phase_a(
         didx, bases, quals, bundle, params_a, dp_a
     )
     _, win_a, run_all, run_na = _awd_finalize(
-        out_a, first_alt_start, needs_a, params, dp_a,
+        didx, bases, out_a, first_alt_start, needs_a, params, dp_a,
         alt_awareness, max_score_gap, return_scores=True,
     )
     out_a, rows, live, overflow = _awd_route(
@@ -1986,7 +2159,7 @@ def _awd_phase_b(
     bundle = _awd_candidates(didx, b_b, q_b, l_b, params)
     out_b, needs_b = _awd_score(didx, b_b, q_b, bundle, params, dp_b)
     _, win_b = _awd_finalize(
-        out_b, first_alt_start, needs_b, params, dp_b,
+        didx, b_b, out_b, first_alt_start, needs_b, params, dp_b,
         alt_awareness, max_score_gap,
     )
     K_A = min(4, params.max_cand)
@@ -2028,7 +2201,7 @@ WINNER_COLS = (
     "found", "fallback", "cand_k", "direction", "dist", "mapq",
     "end_loc", "body_loc", "clip_before", "clip_after", "escalated",
     "indels", "len_eff", "popular", "valid_count", "esc_count",
-    "truncated",
+    "truncated", "edge_indel", "ag_flip",
 )
 
 
@@ -2050,8 +2223,9 @@ def pack_winners(win: WinnerOut) -> jax.Array:
       w4 len_eff | popular             w5 valid_count | esc_count
     indels saturates at 0x7FFF: it carries a 1<<20 "escalated, count
     unknown" sentinel and the host only distinguishes zero/nonzero.
-      w6 cand_k | mapq(16..23) | flags(24..28:
-         found, fallback, direction, escalated, truncated)
+      w6 cand_k | mapq(16..23) | flags(24..30:
+         found, fallback, direction, escalated, truncated,
+         edge_indel, ag_flip)
     """
     M = jnp.int32(0xFFFF)
 
@@ -2069,6 +2243,7 @@ def pack_winners(win: WinnerOut) -> jax.Array:
         | (win.mapq.astype(jnp.int32) << jnp.int32(16))
         | bit("found", 24) | bit("fallback", 25) | bit("direction", 26)
         | bit("escalated", 27) | bit("truncated", 28)
+        | bit("edge_indel", 29) | bit("ag_flip", 30)
     )
     arr = jnp.stack(
         [
@@ -2127,6 +2302,8 @@ class HostWinners:
         self.direction = (w6 >> 26) & 1
         self.escalated = ((w6 >> 27) & 1).astype(bool)
         self.truncated = ((w6 >> 28) & 1).astype(bool)
+        self.edge_indel = ((w6 >> 29) & 1).astype(bool)
+        self.ag_flip = ((w6 >> 30) & 1).astype(bool)
 
 
 @jax.jit

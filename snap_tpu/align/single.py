@@ -1172,27 +1172,10 @@ class SingleEndAligner:
 
         # -- edge-indel honesty: gapless dist-2 winners where one
         # 1-base indel explains both mismatches get SNAP's always-LV
-        # treatment via an exact force-DP redo (see _one_indel_improves)
-        edge_mask = np.zeros(n, dtype=bool)
-        if self.params.max_k_same >= 2:
-            fe_all = np.asarray(front_clips[:n]).astype(np.int64)
-            cmask = (
-                found[:n]
-                & ~np.asarray(win.fallback[:n]).astype(bool)
-                & ~np.asarray(win.truncated[:n]).astype(bool)
-                & (np.asarray(win.indels[:n]) == 0)
-                & (np.asarray(win.clip_before[:n]) == 0)
-                & (np.asarray(win.clip_after[:n]) == 0)
-                & (dists[:n] == 2)
-            )
-            crows = np.flatnonzero(cmask)
-            if crows.size:
-                plen_c = len_eff[crows]
-                ok = self._one_indel_improves(
-                    batch, crows, dirs[crows],
-                    end_locs[crows] - plen_c, plen_c, fe_all[crows],
-                )
-                edge_mask[crows[ok]] = True
+        # treatment via an exact force-DP redo. The screen itself ran
+        # on device (pipeline.winner_flags, the one_indel_improves
+        # twin); the flag rides the packed winners.
+        edge_mask = np.asarray(win.edge_indel[:n]).astype(bool)
 
         # -- batched-emission plan: the overwhelmingly common case of a
         # found, gapless, unclipped, single-contig primary alignment is
@@ -1233,19 +1216,10 @@ class SingleEndAligner:
                 # emission-time AG CIGAR rule (ReadWriter.cpp:231):
                 # dist>=2 rows where a single gap ties/beats the
                 # substitutions leave the vectorized plan and take the
-                # per-read AG traceback in winner_record
-                agrows = np.flatnonzero(simple_mask & (dists[:n] >= 2))
-                if agrows.size:
-                    flg = ag_restructure_possible(
-                        self.genome_np, batch.bases, agrows,
-                        dirs[agrows], start_loc[agrows], plen[agrows],
-                        fe[agrows], dists[agrows],
-                        match=self.params.ag_match,
-                        sub=self.params.ag_sub,
-                        gap_open=self.params.ag_open,
-                        gap_extend=self.params.ag_extend,
-                    )
-                    simple_mask[agrows[flg]] = False
+                # per-read AG traceback in winner_record. Screened on
+                # device (pipeline.winner_flags, the
+                # ag_restructure_possible twin).
+                simple_mask &= ~np.asarray(win.ag_flip[:n]).astype(bool)
             srows = np.flatnonzero(simple_mask)
             if srows.size:
                 mq = mapqs[srows].astype(np.int32)

@@ -211,6 +211,7 @@ def align_winners_sharded(
             params.use_affine_gap, needs_max, dp_rows,
             max_k=params.max_k,
             extra_search_depth=params.extra_search_depth,
+            didx=_local_didx(didx_local), bases=b, flag_params=params,
         )
         # pack per shard WITHOUT the dp_overflow tail row (tails would
         # interleave in the data-axis concat); the flag reduces globally
@@ -292,3 +293,82 @@ def align_tier1_sharded(
         check_vma=False,
     )
     return f(didx, bases, quals, lens)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "mesh"))
+def paired_candidates_sharded(
+    didx: DeviceIndex,    # stacked [n_shards, ...] tables
+    bases0: jax.Array,    # [B, L] side-0 reads, sharded over 'data'
+    bases1: jax.Array,    # [B, L] side-1 reads
+    len_eff0: jax.Array,  # [B] i32
+    len_eff1: jax.Array,
+    offsets0: jax.Array,  # [B, S] i32 probe offsets (-1 = unused)
+    offsets1: jax.Array,
+    set_ids0: jax.Array,  # [B, S] i32 disjoint-set ids
+    set_ids1: jax.Array,
+    min_sp: jax.Array,    # [] i64
+    max_sp: jax.Array,    # [] i64
+    p,                    # DeviceIntersectParams
+    mesh: Mesh,
+) -> dict:
+    """Sharded-index twin of intersect_device.paired_candidates_device
+    (phases 1-2 of IntersectingPairedEndAligner.cpp:406-717 on a
+    (data x index) mesh): each device probes its local index shard for
+    its data column's seeds, the per-(row, dir) entry-key tables
+    all-gather along 'index' (a seed's hit list lives wholly in one
+    shard, so the merged table equals the single-index table; recorded
+    / popular counts psum), and phase 2 (fuzzy match, bps, compaction,
+    mate windows, phase 2a, top-K) runs on the union.
+
+    Inputs arrive split per side so every local block holds both mates
+    of its pairs (the mate-window step pairs local row i with local
+    row B_loc + i); outputs are re-concatenated [side0; side1] to the
+    [2B] row order the driver uses.
+    """
+    from ..align.intersect_device import (
+        _phase1_entries, _phase2_from_entries,
+    )
+
+    L = bases0.shape[1]
+
+    def local(didx_local, b0, b1, le0, le1, of0, of1, si0, si1, mn, mx):
+        b = jnp.concatenate([b0, b1], axis=0)
+        le = jnp.concatenate([le0, le1], axis=0)
+        off = jnp.concatenate([of0, of1], axis=0)
+        sid = jnp.concatenate([si0, si1], axis=0)
+        e_key, rec, pop, nlk, over = _phase1_entries(
+            _local_didx(didx_local), b, le, off, sid, p
+        )
+        e_key = jax.lax.all_gather(e_key, "index", axis=1, tiled=True)
+        rec = jax.lax.psum(rec, "index")
+        # popularity / gather-cap overflow are owned by exactly one
+        # shard per lookup; n_lookups is table-independent (identical
+        # on every shard)
+        pop = jax.lax.psum(pop, "index")
+        over = jax.lax.psum(over.astype(jnp.int32), "index") > 0
+        out = _phase2_from_entries(
+            e_key, rec, pop, nlk, over, le, off, sid, mn, mx, p, L
+        )
+        Bl = b0.shape[0]
+        return {k: (v[:Bl], v[Bl:]) for k, v in out.items()}
+
+    d = P("data")
+    out_specs = {
+        k: (d, d)
+        for k in ("loc", "off", "dir", "valid", "weight", "big_indel",
+                  "popular", "n_lookups", "overflow")
+    }
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(_IDX_SPECS, d, d, d, d, d, d, d, d, P(), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    halves = f(
+        didx, bases0, bases1, len_eff0, len_eff1, offsets0, offsets1,
+        set_ids0, set_ids1, min_sp, max_sp,
+    )
+    return {
+        k: jnp.concatenate([v0, v1], axis=0) for k, (v0, v1) in halves.items()
+    }

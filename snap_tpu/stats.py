@@ -43,6 +43,13 @@ class AlignerStats:
     # suspicion, and pairs where that single-end result won
     ag_forced_single: int = 0
     ag_used_single: int = 0
+    # device-intersection health (VERDICT r4 #4): pairs whose device
+    # phases 1-2 overflowed (gather cap / compaction cut) and were
+    # redone by the exact host intersection, and pairs that declined
+    # the vectorized finalize plan into the per-pair Python path
+    intersect_overflow_pairs: int = 0
+    paired_slow_rows: int = 0
+    paired_planned_rows: int = 0
     seconds_reading: float = 0.0
     seconds_aligning: float = 0.0
     seconds_writing: float = 0.0
@@ -61,6 +68,8 @@ class AlignerStats:
             "filtered", "extra_alignments", "aligned_as_pairs",
             "lv_calls", "affine_gap_calls",
             "ag_forced_single", "ag_used_single",
+            "intersect_overflow_pairs", "paired_slow_rows",
+            "paired_planned_rows",
         ):
             setattr(self, f, getattr(self, f) + getattr(other, f))
         for f in (
@@ -108,6 +117,19 @@ class AlignerStats:
                 f"{100.0 * self.seconds_aligning / t:.0f}%",
                 f"{100.0 * self.seconds_writing / t:.0f}%",
             ]
+            if self.is_paired:
+                # device-intersection health: fraction of pairs redone
+                # on the host (overflow) and fraction taking the
+                # per-pair Python finalize instead of the plan
+                pairs = max(1, self.total // 2)
+                slow_base = max(
+                    1, self.paired_slow_rows + self.paired_planned_rows
+                )
+                header += ["%IsectOverflow", "%SlowFinalize"]
+                row += [
+                    f"{100.0 * self.intersect_overflow_pairs / pairs:0.2f}%",
+                    f"{100.0 * self.paired_slow_rows / slow_base:0.2f}%",
+                ]
         if self.profile_ag:
             # AlignerContext.cpp:547-549: paired runs additionally show
             # how often affine-gap suspicion forced (and won) the

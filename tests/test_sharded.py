@@ -169,3 +169,78 @@ def test_winners_sharded_matches_single():
         np.testing.assert_array_equal(
             getattr(w1, f)[m], getattr(w8, f)[m], err_msg=f
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_paired_intersect_sharded_matches_single():
+    """Device paired intersection (phases 1-2) on the (data=4, index=2)
+    mesh must equal the single-index device intersection bit-for-bit:
+    a seed's hit list lives wholly in one shard, so the all-gathered
+    entry tables merge to exactly the single-index table."""
+    from snap_tpu.align.intersect_device import (
+        DeviceIntersectParams,
+        paired_candidates_device,
+        probe_offsets_for,
+    )
+    from snap_tpu.index.build import reshard_index
+    from snap_tpu.index.index import make_device_index
+    from snap_tpu.parallel.mesh import paired_candidates_sharded
+
+    rng = np.random.default_rng(23)
+    glen = 30000
+    codes = rng.integers(0, 4, size=glen).astype(np.uint8)
+    # plant repeats so some lookups are crowded
+    unit = codes[500:800].copy()
+    for _ in range(12):
+        p = int(rng.integers(0, glen - 300))
+        codes[p : p + 300] = unit
+    bases_g = np.full(glen + 2000, PAD, np.uint8)
+    bases_g[1000 : 1000 + glen] = codes
+    genome = Genome(
+        bases=bases_g, contigs=[Contig(name="c1", start=1000, length=glen)]
+    )
+    seed_len = 20
+    single = build_index(genome, seed_len)
+    sharded = reshard_index(single, 2)
+
+    B, L = 8, 100
+    p1 = rng.integers(0, glen - 500, size=B)
+    ins = rng.integers(250, 450, size=B)
+    r1 = codes[p1[:, None] + np.arange(L)[None, :]].copy()
+    r2f = codes[(p1 + ins - L)[:, None] + np.arange(L)[None, :]]
+    r2 = ((3 - r2f[:, ::-1]) % 4).astype(np.uint8)
+    mut = rng.random(r1.shape) < 0.01
+    r1 = np.where(mut, rng.integers(0, 4, r1.shape), r1).astype(np.uint8)
+    bases = np.concatenate([r1, r2], axis=0)
+    len_eff = np.full(2 * B, L, np.int32)
+
+    p = DeviceIntersectParams(
+        seed_len=seed_len,
+        max_probe=max(single["max_probe"], sharded["max_probe"]),
+        num_seeds=8, max_cand=8, max_k_indels=40,
+    )
+    offsets, set_ids = probe_offsets_for(len_eff, L, seed_len, p.num_seeds)
+
+    didx1 = make_device_index(single, bases_g)
+    out1 = paired_candidates_device(
+        didx1, jnp.asarray(bases), jnp.asarray(len_eff),
+        jnp.asarray(offsets), jnp.asarray(set_ids),
+        jnp.int64(50), jnp.int64(500), p,
+    )
+
+    mesh = make_mesh(4, 2)
+    didx8 = sharded_device_index(sharded, bases_g, mesh)
+    out8 = paired_candidates_sharded(
+        didx8,
+        jnp.asarray(bases[:B]), jnp.asarray(bases[B:]),
+        jnp.asarray(len_eff[:B]), jnp.asarray(len_eff[B:]),
+        jnp.asarray(offsets[:B]), jnp.asarray(offsets[B:]),
+        jnp.asarray(set_ids[:B]), jnp.asarray(set_ids[B:]),
+        jnp.int64(50), jnp.int64(500), p, mesh,
+    )
+
+    for k in ("loc", "off", "dir", "valid", "weight", "big_indel",
+              "popular", "n_lookups", "overflow"):
+        np.testing.assert_array_equal(
+            np.asarray(out1[k]), np.asarray(out8[k]), err_msg=k
+        )

@@ -52,7 +52,7 @@ def test_packed_winners_roundtrip_and_fields():
     win_packed, _out = align_winners_device(didx, b, q, l, fas, params)
     w = HostWinners(jax.device_get(win_packed))
     assert not w.dp_overflow
-    assert len(WINNER_COLS) == 17
+    assert len(WINNER_COLS) == 19
     found = np.asarray(w.found)
     assert found.sum() >= len(starts) * 0.9
     # winners land where the reads were sampled from (padding offset 1000)
@@ -115,6 +115,8 @@ def test_pack_unpack_bit_exact():
         valid_count=rng.integers(0, 1024, B).astype(np.int16),
         esc_count=rng.integers(0, 1024, B).astype(np.int16),
         truncated=rng.integers(0, 2, B).astype(bool),
+        edge_indel=rng.integers(0, 2, B).astype(bool),
+        ag_flip=rng.integers(0, 2, B).astype(bool),
     )
     for overflow in (False, True):
         win = WinnerOut(
@@ -136,3 +138,84 @@ def test_pack_unpack_bit_exact():
                 np.asarray(got).astype(np.int64),
                 v.astype(np.int64), err_msg=k,
             )
+
+
+def test_winner_flags_match_host_screens():
+    """pipeline.winner_flags (device) must equal the host screens it
+    replaces (single.one_indel_improves / ag_restructure_possible) on
+    forward and RC rows, including planted positives."""
+    import jax.numpy as jnp
+
+    from snap_tpu.align.pipeline import AlignParams, winner_flags
+    from snap_tpu.align.single import (
+        ag_restructure_possible, one_indel_improves,
+    )
+    from snap_tpu.constants import PAD
+    from snap_tpu.genome import Contig, Genome
+    from snap_tpu.index.build import build_index
+    from snap_tpu.index.index import make_device_index
+
+    rng = np.random.default_rng(5)
+    glen = 20000
+    codes = rng.integers(0, 4, size=glen).astype(np.uint8)
+    gbases = np.full(glen + 2000, PAD, dtype=np.uint8)
+    gbases[1000 : 1000 + glen] = codes
+    genome = Genome(
+        bases=gbases, contigs=[Contig(name="chr1", start=1000, length=glen)]
+    )
+    idx = build_index(genome, seed_len=20)
+    didx = make_device_index(idx, gbases)
+    params = AlignParams(seed_len=20, max_probe=idx["max_probe"])
+
+    B, L = 48, 100
+    starts = rng.integers(0, glen - L - 10, size=B)
+    reads = codes[starts[:, None] + np.arange(L)[None, :]].copy()
+    for i in range(B):
+        kind = i % 4
+        if kind == 0:      # two substitutions (screen negatives)
+            for p in (20, 60):
+                reads[i, p] = (reads[i, p] + 1) % 4
+        elif kind == 1:    # 1bp deletion near the tail (edge-indel)
+            s = starts[i]
+            reads[i, L - 3 :] = codes[s + L - 2 : s + L + 1]
+        elif kind == 2:    # 3bp deletion mid-tail (ag restructure)
+            s = starts[i]
+            reads[i, 90:] = codes[s + 93 : s + 103]
+        # kind == 3: clean
+    dirs = (np.arange(B) % 2).astype(np.int32)
+    DEC_RC = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+    oriented = reads.copy()
+    rc_rows = np.flatnonzero(dirs == 1)
+    # device/host convention: `bases` rows hold the READ; for dir=1 the
+    # oriented pattern is its RC. Make the stored read the RC of the
+    # genome-matching sequence so the oriented pattern matches.
+    oriented[rc_rows] = DEC_RC[reads[rc_rows, ::-1]]
+    plens = np.full(B, L, np.int64)
+    start_locs = starts.astype(np.int64) + 1000
+    end_locs = start_locs + plens
+    dists = np.full(B, 2, np.int64)
+    fes = np.zeros(B, np.int64)
+    rows = np.arange(B)
+
+    edge_dev, ag_dev = winner_flags(
+        didx, jnp.asarray(oriented), jnp.asarray(plens.astype(np.int32)),
+        jnp.asarray(dirs), jnp.asarray(end_locs), jnp.asarray(dists),
+        params,
+    )
+    edge_host = one_indel_improves(
+        gbases, oriented, rows, dirs, start_locs, plens, fes
+    )
+    ag_host = ag_restructure_possible(
+        gbases, oriented, rows, dirs, start_locs, plens, fes, dists,
+        match=params.ag_match, sub=params.ag_sub,
+        gap_open=params.ag_open, gap_extend=params.ag_extend,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(edge_dev), edge_host, err_msg="edge_indel"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ag_dev), ag_host, err_msg="ag_flip"
+    )
+    # the planted cases actually fire both screens
+    assert edge_host[1::4].all(), "planted 1bp deletions must flag"
+    assert ag_host[2::4].all(), "planted 3bp deletions must flag"
