@@ -1563,24 +1563,45 @@ def winner_flags(
     g = didx.genome
     Gn = g.shape[0]
     ws = jnp.clip(start - M3, 0, Gn - 1)
-    # byte-level window rows: same row-gather trick as window_words but
-    # on the uint8 genome, truncated to a multiple of 8 (the tail bases
-    # are genome padding)
-    a2 = g[: (Gn // 8) * 8].reshape(-1, 8)
-    nrows = (W + 7 + 7) // 8
-    r0 = ws >> 3
-    blocks = [
-        a2[jnp.clip(r0 + j, 0, a2.shape[0] - 1)] for j in range(nrows)
-    ]
-    ab = jnp.concatenate(blocks, axis=1)  # [B, nrows*8]
-    shw = (ws & 7).astype(jnp.int32)
-    Gw = jnp.zeros((B, W), g.dtype)
-    for s in range(8):
-        Gw = jnp.where(
-            (shw == s)[:, None],
-            jax.lax.slice_in_dim(ab, s, s + W, axis=1),
-            Gw,
+    if (
+        didx.genome_packed is not None
+        and didx.genome_bad16 is not None
+        and didx.genome_packed.shape[0] % 8 == 0
+    ):
+        # packed-word window: 2x2 row gathers + funnel shift + lane
+        # unpack — ~4 gather indices/read instead of ~15 byte rows
+        WN = W // 16 + 2
+        w0 = ws // 16
+        phase = (ws % 16).astype(jnp.int32)
+        aw = align_words(window_words(didx.genome_packed, w0, WN), phase, 2)
+        ab16 = align_words(window_words(didx.genome_bad16, w0, WN), phase, 2)
+        sh = 2 * jnp.arange(16, dtype=jnp.uint32)
+        cw = (aw[:, :, None] >> sh[None, None, :]) & jnp.uint32(3)
+        bw = (ab16[:, :, None] >> sh[None, None, :]) & jnp.uint32(1)
+        Gw = (
+            jnp.where(bw != 0, jnp.uint32(4), cw)
+            .reshape(B, -1)[:, :W]
+            .astype(g.dtype)
         )
+    else:
+        # byte-level window rows: same row-gather trick as window_words
+        # but on the uint8 genome, truncated to a multiple of 8 (the
+        # tail bases are genome padding)
+        a2 = g[: (Gn // 8) * 8].reshape(-1, 8)
+        nrows = (W + 7 + 7) // 8
+        r0 = ws >> 3
+        blocks = [
+            a2[jnp.clip(r0 + j, 0, a2.shape[0] - 1)] for j in range(nrows)
+        ]
+        ab = jnp.concatenate(blocks, axis=1)  # [B, nrows*8]
+        shw = (ws & 7).astype(jnp.int32)
+        Gw = jnp.zeros((B, W), g.dtype)
+        for s in range(8):
+            Gw = jnp.where(
+                (shw == s)[:, None],
+                jax.lax.slice_in_dim(ab, s, s + W, axis=1),
+                Gw,
+            )
 
     # oriented pattern: forward reads as-is, reverse = RC left-aligned
     # (device bases are already front-clipped, so fe = 0)
@@ -1739,11 +1760,16 @@ def _device_finalize(
     # candidate slot order IS weight order (top_k by weight), so
     # replay the running limit over original slots. Without this,
     # pAll (and MAPQ) is deflated on repetitive genomes.
-    rep_orig = (
-        jnp.zeros((B, K), bool)
-        .at[jnp.arange(B, dtype=jnp.int32)[:, None], k_s]
-        .set(reps)
+    # sorted -> original slot space WITHOUT a [B, K] scatter: k_s is a
+    # per-row permutation, so a payload sort keyed on it delivers reps
+    # in original slot order (sorts are lane shuffles; scatters/gathers
+    # cost ~32ns per index on TPU). pos_sorted records each original
+    # slot's sorted position for the inverse mapping below.
+    _, rep_orig_i, pos_sorted = jax.lax.sort(
+        (k_s, reps.astype(jnp.int32), karr),
+        dimension=1, num_keys=1, is_stable=True,
     )
+    rep_orig = rep_orig_i.astype(bool)
     INF = jnp.int64(1 << 40)
     d_orig = jnp.where(rep_orig, d, INF)
     lv_orig = jnp.where(rep_orig, out.lv_dist.astype(jnp.int64), INF)
@@ -1773,11 +1799,13 @@ def _device_finalize(
         run_na = jnp.where(ok & ~ak, jnp.minimum(run_na, dk), run_na)
     if use_ukkonen:
         inc_orig = jnp.stack(inc_cols, axis=1)  # [B, K] original slots
-        # back to sorted space: included flag of the rep per sorted slot
-        inc_s = jnp.take_along_axis(
-            inc_orig, k_s.astype(jnp.int64), axis=1
+        # back to sorted space without a gather: sort by each original
+        # slot's sorted position (inverse of the k_s permutation)
+        _, inc_s_i = jax.lax.sort(
+            (pos_sorted, inc_orig.astype(jnp.int32)),
+            dimension=1, num_keys=1, is_stable=True,
         )
-        reps = reps & inc_s
+        reps = reps & inc_s_i.astype(bool)
 
     probs = jnp.where(reps, jnp.exp(lp_s.astype(jnp.float64)), 0.0)
     p_all = probs.sum(axis=1)

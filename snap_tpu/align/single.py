@@ -51,6 +51,7 @@ def winner_record(
     contig_bounds: tuple[np.ndarray, np.ndarray] | None = None,
     use_affine_gap: bool = True,
     precomputed_ag=_AG_NOT_CACHED,
+    ag_restructure: bool | None = None,
 ) -> dict:
     """Compute (start_loc, cigar, nm) for a chosen candidate of read i.
 
@@ -82,13 +83,17 @@ def winner_record(
         # the reference recomputes every score>0 CIGAR with affine gap
         # at emission (ReadWriter.cpp:231, SAM.cpp:1653): when a
         # single-gap interpretation ties/beats the substitutions, take
-        # the real AG traceback below instead of emitting {plen}M
-        fast_ok = not bool(
-            ag_restructure_possible(
-                genome_np, batch.bases, [i], [direction],
-                [end_loc - plen], [plen], [front_extra], [dist],
-            )[0]
-        )
+        # the real AG traceback below instead of emitting {plen}M.
+        # Callers holding the device-computed flag (winner_flags) pass
+        # it via ag_restructure and skip the per-row screen.
+        if ag_restructure is None:
+            ag_restructure = bool(
+                ag_restructure_possible(
+                    genome_np, batch.bases, [i], [direction],
+                    [end_loc - plen], [plen], [front_extra], [dist],
+                )[0]
+            )
+        fast_ok = not ag_restructure
     if fast_ok:
         start_loc = end_loc - plen
         if contig_bounds is None or _inside_one_contig(
@@ -1248,26 +1253,36 @@ class SingleEndAligner:
             else:
                 simple_mask = None
 
-        # -- batched AG CIGARs for escalated winners: one native call
-        # replaces the per-row traceback pipeline (the emission hot
-        # path for the ~4% of reads whose alignment needed gaps)
+        # -- batched AG CIGARs for escalated winners AND device-flagged
+        # gapless restructure rows (win.ag_flip): one LV start-recovery
+        # sweep + one native AG call replace the per-row traceback
+        # pipeline (the emission hot path for the ~4% of reads whose
+        # alignment needed gaps or a restructured CIGAR)
         ag_cache: dict[int, tuple | None] = {}
+        esc_flags = np.asarray(win.escalated[:n]).astype(bool)
+        flip_flags = np.asarray(win.ag_flip[:n]).astype(bool)
+        flag_known = (
+            ~np.asarray(win.fallback[:n]).astype(bool)
+            & ~np.asarray(win.truncated[:n]).astype(bool)
+        )
         if self.params.use_affine_gap:
-            esc_rows = np.flatnonzero(
+            ag_base = (
                 found[:n]
-                & np.asarray(win.escalated[:n]).astype(bool)
-                & ~np.asarray(win.fallback[:n]).astype(bool)
-                & ~np.asarray(win.truncated[:n]).astype(bool)
+                & flag_known
                 & ~edge_mask
                 & (np.asarray(batch.lengths[:n]) >= self.min_read_length)
                 & (dists[:n] > 0)
             )
-            esc_rows = [i for i in esc_rows if i not in fb_pos]
-            if esc_rows:
+            ag_rows = np.flatnonzero(ag_base & (esc_flags | flip_flags))
+            ag_rows = [i for i in ag_rows if i not in fb_pos]
+            if ag_rows:
                 from .agcigar import compute_ag_cigar_batch
+                from .cigar import recover_starts_batch
 
-                bodies, bquals_l, locs_l, fcs, bcs, mgs = [], [], [], [], [], []
-                for i in esc_rows:
+                bodies, bquals_l, fcs, bcs, mgs = [], [], [], [], []
+                lv_pats, lv_sub = [], []  # start recovery for flip rows
+                locs_arr = np.empty(len(ag_rows), np.int64)
+                for t, i in enumerate(ag_rows):
                     plen_i = int(len_eff[i])
                     fe_i = int(front_clips[i])
                     back_q_i = int(batch.lengths[i]) - fe_i - plen_i
@@ -1284,19 +1299,34 @@ class SingleEndAligner:
                     ca = int(arrays["clip_after"][i, 0])
                     bodies.append(pat[cb : plen_i - ca])
                     bquals_l.append(oq[cb : plen_i - ca])
-                    locs_l.append(int(arrays["body_loc"][i, 0]))
+                    if esc_flags[i]:
+                        locs_arr[t] = int(arrays["body_loc"][i, 0])
+                    else:
+                        # flip row: recover the LV alignment start in
+                        # the batched sweep below (winner_record's
+                        # non-escalated branch, done once for all rows)
+                        lv_pats.append(bodies[-1])
+                        lv_sub.append(t)
                     fcs.append(f0 + cb)
                     bcs.append(b0 + ca)
                     mgs.append(
                         min(MAX_K_TRACEBACK, max(8, 2 * int(dists[i]) + 8))
                     )
+                if lv_sub:
+                    sub = np.asarray(lv_sub)
+                    rws = np.asarray(ag_rows)[sub]
+                    locs_arr[sub] = recover_starts_batch(
+                        lv_pats, self.genome_np, end_locs[rws],
+                        np.minimum(
+                            self.params.max_k, dists[rws] + 2
+                        ),
+                    )
                 res_b = compute_ag_cigar_batch(
-                    self.genome_np, bodies, bquals_l,
-                    np.asarray(locs_l, np.int64),
+                    self.genome_np, bodies, bquals_l, locs_arr,
                     np.asarray(fcs, np.int32), np.asarray(bcs, np.int32),
                     np.asarray(mgs, np.int32), use_m=self.use_m,
                 )
-                for i, r in zip(esc_rows, res_b):
+                for i, r in zip(ag_rows, res_b):
                     ag_cache[int(i)] = r
 
         results = []
@@ -1355,6 +1385,13 @@ class SingleEndAligner:
                 contig_bounds=self.contig_bounds,
                 use_affine_gap=self.params.use_affine_gap,
                 precomputed_ag=ag_cache.get(i, _AG_NOT_CACHED),
+                # device-screened restructure flag (winner_flags);
+                # unknown (None -> row screen) for fallback-redone rows
+                ag_restructure=(
+                    bool(flip_flags[i])
+                    if flag_known[i] and i not in fb_pos
+                    else None
+                ),
             )
             rec.update(
                 status=status, direction=direction, mapq=mapq, dist=dist,

@@ -164,10 +164,27 @@ def probe(
     nrows = t2.shape[0]
     stride = bank_slots // BUCKET_SLOTS
     brow = bank * stride + home
-    rows = jnp.concatenate(
-        [t2[jnp.clip(brow + j, 0, nrows - 1)] for j in range(span)],
-        axis=1,
-    ).reshape(queries.shape[0], span * BUCKET_SLOTS, 4)
+    if span >= 3 and nrows % 2 == 0:
+        # double-bucket gather rows: ceil((span+1)/2) indices instead
+        # of span (TPU gather cost scales with the index count, not
+        # bytes). The aligned window [2*(home//2), ...) always covers
+        # buckets home..home+span-1; the extra buckets it sweeps in
+        # can't false-positive because table keys are unique.
+        dr = span // 2 + 1
+        t4 = t2.reshape(nrows // 2, 2 * BUCKET_SLOTS * 4)
+        drow = brow >> 1
+        rows = jnp.concatenate(
+            [
+                t4[jnp.clip(drow + j, 0, nrows // 2 - 1)]
+                for j in range(dr)
+            ],
+            axis=1,
+        ).reshape(queries.shape[0], dr * 2 * BUCKET_SLOTS, 4)
+    else:
+        rows = jnp.concatenate(
+            [t2[jnp.clip(brow + j, 0, nrows - 1)] for j in range(span)],
+            axis=1,
+        ).reshape(queries.shape[0], span * BUCKET_SLOTS, 4)
     q_lo = (queries & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     q_hi = (queries >> jnp.uint64(32)).astype(jnp.uint32)
     hit = (rows[:, :, 0] == q_lo[:, None]) & (rows[:, :, 1] == q_hi[:, None])

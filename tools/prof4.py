@@ -28,17 +28,29 @@ def log(msg):
 
 
 def timeit(fn, n=8, warm=1):
+    """Forced-materialization timing: the axon plugin's
+    block_until_ready can return before execution completes, so the
+    measurement fetches an output leaf to the host (a device_get of a
+    tiny slice still forces the producing computation). The device
+    executes enqueued programs in order, so syncing only the LAST of n
+    back-to-back dispatches amortizes the ~tens-of-ms link round trip
+    across all n samples."""
     import jax
+    import jax.tree_util as jtu
+
+    def sync(r):
+        leaf = jtu.tree_leaves(r)[0]
+        jax.device_get(leaf[:1] if getattr(leaf, "ndim", 0) else leaf)
 
     for i in range(warm):
         t0 = time.perf_counter()
-        r = fn()
-        jax.block_until_ready(r)
+        sync(fn())
         log(f"  warm {i}: {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
+    r = None
     for _ in range(n):
         r = fn()
-    jax.block_until_ready(r)
+    sync(r)
     return (time.perf_counter() - t0) / n
 
 
@@ -110,6 +122,18 @@ def main():
         jax.device_get(jnp.sum(b))
         res["first_dget_s"] = time.perf_counter() - t0
         log(f"  {res['first_dget_s']:.1f}s")
+        # per-sample sync overhead (dispatch RTT + tiny fetch): every
+        # timeit sample below pays this once — subtract it when
+        # reading unit times
+        tiny = jnp.arange(8)
+
+        @jax.jit
+        def null_op(x):
+            return x + 1
+
+        t = timeit(lambda: null_op(tiny))
+        res["sync_overhead_ms"] = t * 1e3
+        log(f"  sync overhead: {t*1e3:.1f} ms/sample")
 
     S = params.num_lookups
     H = params.hit_cap
@@ -166,26 +190,66 @@ def main():
         res["tier1_ms"] = t * 1e3
         log(f"  tier1: {t*1e3:.1f} ms ({batch/t:,.0f} r/s)")
 
-    if "full" in stages:
-        log("compile+run: non-adaptive full step + D2H")
+    if "units" in stages:
+        # the adaptive production step's own jit units, phase-A shapes
+        import dataclasses
+
+        from snap_tpu.align.pipeline import (
+            _awd_candidates, _awd_finalize, _awd_score,
+        )
+
+        Ppos = read_len - params.seed_len + 1
+        s1 = (Ppos - 1) // params.seed_len + 1 if Ppos > 0 else 1
+        K_A = min(4, params.max_cand)
+        params_a = dataclasses.replace(
+            params, num_seeds=2 * s1 - 2, max_cand=K_A
+        )
+        dp_a = max(512, (batch * K_A) // 64)
+        log("compile+run: phase-A candidates")
+        bundle, _low = _awd_candidates(
+            didx, b, q, l, params_a, return_lowest=True
+        )
         t = timeit(
-            lambda: jax.device_get(
-                align_winners_device(
-                    didx, b, q, l, fas, params, adaptive=False
-                )[0]
-            )
+            lambda: _awd_candidates(
+                didx, b, q, l, params_a, return_lowest=True
+            )[0][0]
+        )
+        res["a_cand_ms"] = t * 1e3
+        log(f"  A candidates: {t*1e3:.1f} ms")
+        log("compile+run: phase-A scoring")
+        out_a, needs_a = _awd_score(didx, b, q, bundle, params_a, dp_a)
+        t = timeit(
+            lambda: _awd_score(didx, b, q, bundle, params_a, dp_a)[0].dist
+        )
+        res["a_score_ms"] = t * 1e3
+        log(f"  A scoring: {t*1e3:.1f} ms")
+        log("compile+run: phase-A finalize (incl. winner_flags)")
+        t = timeit(
+            lambda: _awd_finalize(
+                didx, b, out_a, fas, needs_a, params, dp_a, True, 64,
+                return_scores=True,
+            )[0]
+        )
+        res["a_final_ms"] = t * 1e3
+        log(f"  A finalize: {t*1e3:.1f} ms")
+
+    if "full" in stages:
+        log("compile+run: non-adaptive full step (device time)")
+        t = timeit(
+            lambda: align_winners_device(
+                didx, b, q, l, fas, params, adaptive=False
+            )[0]
         )
         res["full_ms"] = t * 1e3
         log(f"  full non-adaptive: {t*1e3:.1f} ms ({batch/t:,.0f} r/s)")
 
     if "adaptive" in stages:
-        log("compile+run: adaptive full step + D2H")
+        log("compile+run: adaptive full step (device time; the bench's"
+            " pipelined loop adds the overlapped winner D2H)")
         t = timeit(
-            lambda: jax.device_get(
-                align_winners_device(
-                    didx, b, q, l, fas, params, adaptive=True
-                )[0]
-            )
+            lambda: align_winners_device(
+                didx, b, q, l, fas, params, adaptive=True
+            )[0]
         )
         res["adaptive_ms"] = t * 1e3
         log(f"  adaptive: {t*1e3:.1f} ms ({batch/t:,.0f} r/s)")

@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--genome", type=int, default=1_000_000)
     ap.add_argument("--err", type=float, default=0.01)
     ap.add_argument("--indel-frac", type=float, default=0.10)
+    ap.add_argument("--repeat-frac", type=float, default=0.0)
     ap.add_argument("--profile", action="store_true")
     args = ap.parse_args()
 
@@ -47,7 +48,12 @@ def main():
 
     rng = np.random.default_rng(0)
     glen = args.genome
-    codes = rng.integers(0, 4, size=glen).astype(np.uint8)
+    if args.repeat_frac > 0:
+        from bench import _gen_repeat_genome
+
+        codes = _gen_repeat_genome(rng, glen, args.repeat_frac)
+    else:
+        codes = rng.integers(0, 4, size=glen).astype(np.uint8)
     gb = np.full(glen + 2000, PAD, dtype=np.uint8)
     gb[1000 : 1000 + glen] = codes
     genome = Genome(
@@ -133,6 +139,16 @@ def main():
     print(
         f"align_batch+emit: {best*1e3:8.1f} ms "
         f"({2*B/best:10,.0f} reads/s incl. CPU-device step)"
+    )
+    st = aligner.stats
+    done = max(1, st.paired_slow_rows + st.paired_planned_rows)
+    print(
+        f"intersect overflow pairs: {st.intersect_overflow_pairs} "
+        f"({100.0 * st.intersect_overflow_pairs / done:.2f}% of "
+        f"{done} finalized)\n"
+        f"slow finalize rows: {st.paired_slow_rows} "
+        f"({100.0 * st.paired_slow_rows / done:.2f}%), planned: "
+        f"{st.paired_planned_rows}"
     )
 
     if args.profile:
