@@ -431,6 +431,113 @@ def paired_candidates_device(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("p",))
+def _paired_candidates_rows(
+    didx: DeviceIndex,
+    bases: jax.Array,     # [2B, L] full batch rows (side0 then side1)
+    len_eff: jax.Array,
+    offsets: jax.Array,
+    set_ids: jax.Array,
+    rows: jax.Array,      # [M2] i64 pair ids to (re)intersect
+    live: jax.Array,      # [M2] bool
+    min_sp: jax.Array,
+    max_sp: jax.Array,
+    p: DeviceIntersectParams,
+) -> dict:
+    """Run the device intersection on a gathered subset of pairs (both
+    sides of each selected pair), under `p`'s (typically wider)
+    geometry. Dead pad rows run with len_eff=0."""
+    B = bases.shape[0] // 2
+    sub = jnp.concatenate([rows, rows + B])
+    le = jnp.where(
+        jnp.concatenate([live, live]), len_eff[sub], 0
+    ).astype(len_eff.dtype)
+    return paired_candidates_device(
+        didx, bases[sub], le, offsets[sub], set_ids[sub],
+        min_sp, max_sp, p,
+    )
+
+
+def paired_wide_redo(
+    didx: DeviceIndex,
+    bases: jax.Array,
+    len_eff: jax.Array,
+    offsets: jax.Array,
+    set_ids: jax.Array,
+    pcd: dict,
+    over_rows: np.ndarray,   # host row ids of overflowed pairs
+    min_sp,
+    max_sp,
+    p: DeviceIntersectParams,
+    hit_cap: int = 512,
+    cand_width: int = 256,
+) -> dict:
+    """Second, wider device tier for pairs the standard intersection
+    flagged (gather-cap or compaction-cut overflow) — the paired
+    analogue of the single-end adaptive phase B. A ~25%-repeat genome
+    overflows ~18% of pairs at HP=64/C=64 (SINE-density seeds carry
+    hundreds of hits); rerunning just those rows at HP=512/C=256 keeps
+    them device-resident instead of shipping them to the
+    single-core-host exact redo. Pairs that overflow even the wide
+    geometry keep their flag and take the host path.
+
+    Row counts are padded to a power of two (>=64) so the wide graphs
+    compile for a handful of shapes. Returns pcd with the redone rows'
+    fields overwritten and `overflow` updated.
+    """
+    import dataclasses
+
+    wide_p = dataclasses.replace(
+        p, hit_cap=hit_cap, cand_width=cand_width
+    )
+    # chunk so the wide entry tables ([4*M2, S*HP] i64) and the fused
+    # mate-window reduction stay well under HBM
+    CHUNK = 2048
+    for c0 in range(0, over_rows.size, CHUNK):
+        chunk = over_rows[c0 : c0 + CHUNK]
+        nb = chunk.size
+        M2 = 1 << max(6, int(np.ceil(np.log2(max(nb, 1)))))
+        rows = np.zeros(M2, np.int64)
+        rows[:nb] = chunk
+        live = np.zeros(M2, bool)
+        live[:nb] = True
+        sub = _paired_candidates_rows(
+            didx, bases, len_eff, offsets, set_ids,
+            jnp.asarray(rows), jnp.asarray(live),
+            min_sp, max_sp, wide_p,
+        )
+        pcd = _scatter_pcd(pcd, sub, jnp.asarray(rows), jnp.asarray(live))
+    return pcd
+
+
+@jax.jit
+def _scatter_pcd(pcd: dict, sub: dict, rows: jax.Array, live: jax.Array):
+    B = pcd["overflow"].shape[0] // 2
+    M2 = rows.shape[0]
+    out = dict(pcd)
+    for k in ("loc", "off", "dir", "valid", "weight", "big_indel"):
+        for side, base in ((0, 0), (1, B)):
+            new = sub[k][side * M2 : (side + 1) * M2]
+            old = pcd[k][rows + base]
+            out[k] = (
+                out[k]
+                .at[rows + base]
+                .set(jnp.where(live[:, None], new, old))
+            )
+    ov_new = sub["overflow"][:M2] | sub["overflow"][M2:]
+    for base in (0, B):
+        out["overflow"] = (
+            out["overflow"]
+            .at[rows + base]
+            .set(
+                jnp.where(
+                    live, ov_new, pcd["overflow"][rows + base]
+                )
+            )
+        )
+    return out
+
+
 def probe_offsets_for(
     len_eff: np.ndarray, L: int, seed_len: int, num_seeds: int
 ) -> tuple[np.ndarray, np.ndarray]:

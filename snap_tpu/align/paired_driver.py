@@ -221,6 +221,26 @@ class PairedEndAligner:
                     jnp.int64(self.min_spacing),
                     jnp.int64(self.max_spacing), dip,
                 )
+                # wide second tier: rerun overflowed pairs on device at
+                # HP=512/C=256 (repeat-dense seeds overflow the
+                # standard caps on ~18% of pairs at 25% repeat
+                # content); only the residue takes the exact host redo
+                import jax as _jax
+
+                ovh = np.asarray(_jax.device_get(pcd["overflow"]))
+                ovp_h = ovh[:B] | ovh[B:]
+                n_over = int(ovp_h.sum())
+                if n_over > 0:
+                    from .intersect_device import paired_wide_redo
+
+                    self.stats.intersect_wide_pairs += n_over
+                    pcd = paired_wide_redo(
+                        didx_sc, dev_bases, jnp.asarray(len_eff),
+                        jnp.asarray(offsets), jnp.asarray(set_ids),
+                        pcd, np.flatnonzero(ovp_h),
+                        jnp.int64(self.min_spacing),
+                        jnp.int64(self.max_spacing), dip,
+                    )
             else:
                 # sharded index: per-shard phase-1 entry tables
                 # all-gather along the 'index' mesh axis (the config-5
@@ -616,15 +636,13 @@ class PairedEndAligner:
         Mf = M.reshape(n, K * K)
         nc = Mf.sum(axis=1)
         ar = np.arange(n)
-        c_a = Mf.argmax(axis=1)
-        Mf2 = Mf.copy()
-        Mf2[ar, c_a] = False
-        c_b = Mf2.argmax(axis=1)
-        has2 = nc == 2
 
         len_ok0 = np.asarray(b0.lengths[:n]) >= self.min_read_length
         len_ok1 = np.asarray(b1.lengths[:n]) >= self.min_read_length
-        fast = len_ok0 & len_ok1 & (nc >= 1) & (nc <= 2)
+        # combos handled by the vectorized selection; busier rows (and
+        # ALT-touching rows) keep the exact per-pair path
+        CAP = min(16, K * K)
+        fast = len_ok0 & len_ok1 & (nc >= 1) & (nc <= CAP)
         if self.alt_awareness and self.first_alt_start is not None:
             bd = self.first_alt_start
             has_alt = ((loc0 >= bd) & v0).any(axis=1) | (
@@ -634,8 +652,13 @@ class PairedEndAligner:
         if not fast.any():
             return None, None, []
 
-        i0a, i1a = c_a // K, c_a % K
-        i0b, i1b = c_b // K, c_b % K
+        # first-CAP combo ids in enumeration order (i0-major — the
+        # np.nonzero order finalize_pair's _pair_combos walks)
+        cid = np.argsort(~Mf, axis=1, kind="stable")[:, :CAP]
+        cval = np.arange(CAP)[None, :] < np.minimum(nc, CAP)[:, None]
+        ci0 = cid // K
+        ci1 = cid % K
+        AR = ar[:, None]
         ag0 = f["ag_score"][r0s].astype(np.int64)
         ag1 = f["ag_score"][r1s].astype(np.int64)
         lp0 = f["log_prob"][r0s].astype(np.float64)
@@ -651,72 +674,103 @@ class PairedEndAligner:
         lvd1 = f["lv_dist"][r1s].astype(np.int64)
         e0arr = f["end_loc"][r0s].astype(np.int64)
         e1arr = f["end_loc"][r1s].astype(np.int64)
-        ag_a = lvag0[ar, i0a] + lvag1[ar, i1a]
-        ag_b = lvag0[ar, i0b] + lvag1[ar, i1b]
-        pr_a = np.exp(lvlp0[ar, i0a] + lvlp1[ar, i1a])
-        pr_b = np.exp(lvlp0[ar, i0b] + lvlp1[ar, i1b])
-        aga_a = ag0[ar, i0a] + ag1[ar, i1a]
-        aga_b = ag0[ar, i0b] + ag1[ar, i1b]
-        pra_a = np.exp(lp0[ar, i0a] + lp1[ar, i1a])
-        pra_b = np.exp(lp0[ar, i0b] + lp1[ar, i1b])
-        lvd_a = lvd0[ar, i0a] + lvd1[ar, i1a]
-        lvd_b = lvd0[ar, i0b] + lvd1[ar, i1b]
-        e0_a, e1_a = e0arr[ar, i0a], e1arr[ar, i1a]
-        e0_b, e1_b = e0arr[ar, i0b], e1arr[ar, i1b]
-        # the greedy merge walks combos in (e0, e1) lexsort order with
-        # stable ties (= enumeration order); swap so "a" comes first
-        swap = has2 & (
-            (e0_b < e0_a) | ((e0_b == e0_a) & (e1_b < e1_a))
-        )
+        ce0 = e0arr[AR, ci0]
+        ce1 = e1arr[AR, ci1]
+        cag = lvag0[AR, ci0] + lvag1[AR, ci1]
+        cpr = np.exp(lvlp0[AR, ci0] + lvlp1[AR, ci1])
+        caga = ag0[AR, ci0] + ag1[AR, ci1]
+        cpra = np.exp(lp0[AR, ci0] + lp1[AR, ci1])
+        clvd = lvd0[AR, ci0] + lvd1[AR, ci1]
 
-        def sw(a, b):
-            return np.where(swap, b, a), np.where(swap, a, b)
+        # per-row stable lexsort by (e0, e1) — finalize_pair's
+        # np.lexsort((e1, e0)) walk order; invalid combos sink
+        BIGE = np.int64(1) << 60
+        p1 = np.argsort(np.where(cval, ce1, BIGE), axis=1, kind="stable")
+        k0 = np.take_along_axis(np.where(cval, ce0, BIGE), p1, axis=1)
+        p2 = np.argsort(k0, axis=1, kind="stable")
+        perm = np.take_along_axis(p1, p2, axis=1)
 
-        ag_a, ag_b = sw(ag_a, ag_b)
-        pr_a, pr_b = sw(pr_a, pr_b)
-        aga_a, aga_b = sw(aga_a, aga_b)
-        pra_a, pra_b = sw(pra_a, pra_b)
-        lvd_a, lvd_b = sw(lvd_a, lvd_b)
-        e0_a, e0_b = sw(e0_a, e0_b)
-        e1_a, e1_b = sw(e1_a, e1_b)
-        i0a, i0b = sw(i0a, i0b)
-        i1a, i1b = sw(i1a, i1b)
-        # rep/best choice: later combo wins only when strictly better
-        # by (LV agScore, LV probability) — the phase-3 values
-        b_better = has2 & (
-            (ag_b > ag_a) | ((ag_b == ag_a) & (pr_b > pr_a))
+        def takep(a):
+            return np.take_along_axis(a, perm, axis=1)
+
+        ce0, ce1, cag, cpr, caga, cpra, clvd, ci0, ci1 = (
+            takep(a) for a in (ce0, ce1, cag, cpr, caga, cpra, clvd,
+                               ci0, ci1)
         )
-        anchored = (
-            has2
-            & (np.abs(e0_a - e0_b) <= PAIRED_MERGE_ANCHOR_DIST)
-            & (np.abs(e1_a - e1_b) <= PAIRED_MERGE_ANCHOR_DIST)
-        )
-        # phase-4 flip: the non-chosen, non-merge-eliminated combo
-        # joins the affine comparison when its LV pair score is within
-        # extraSearchDepth of the winner's
+        cval = takep(cval)
+
+        # greedy merge-anchor walk (finalize_pair's reps loop),
+        # vectorized across rows: reps occupy slots in insertion
+        # order; a combo within 50bp of an existing rep on both ends
+        # merges into the FIRST such rep and replaces it only when
+        # strictly better by (LV agScore, LV probability)
+        AD = PAIRED_MERGE_ANCHOR_DIST
+        NEG = np.int64(-1) << 40
+        re0 = np.zeros((n, CAP), np.int64)
+        re1 = np.zeros((n, CAP), np.int64)
+        rag = np.full((n, CAP), NEG)
+        rpr = np.zeros((n, CAP))
+        raga = np.full((n, CAP), NEG)
+        rpra = np.zeros((n, CAP))
+        rlvd = np.zeros((n, CAP), np.int64)
+        ri0 = np.zeros((n, CAP), np.int64)
+        ri1 = np.zeros((n, CAP), np.int64)
+        ralive = np.zeros((n, CAP), bool)
+        rcount = np.zeros(n, np.int64)
+        slots = np.arange(CAP)[None, :]
+        for t in range(CAP):
+            v_t = cval[:, t]
+            if not v_t.any():
+                break
+            near = (
+                ralive
+                & (np.abs(re0 - ce0[:, t : t + 1]) <= AD)
+                & (np.abs(re1 - ce1[:, t : t + 1]) <= AD)
+            )
+            has = near.any(axis=1) & v_t
+            j = np.where(near, slots, CAP).min(axis=1)
+            jc = np.clip(j, 0, CAP - 1)
+            better = has & (
+                (cag[:, t] > rag[ar, jc])
+                | ((cag[:, t] == rag[ar, jc]) & (cpr[:, t] > rpr[ar, jc]))
+            )
+            app = v_t & ~has
+            dst = np.where(better, jc, rcount)
+            w = np.flatnonzero(better | app)
+            dw = dst[w]
+            for arr, src in (
+                (re0, ce0), (re1, ce1), (rag, cag), (rpr, cpr),
+                (raga, caga), (rpra, cpra), (rlvd, clvd),
+                (ri0, ci0), (ri1, ci1),
+            ):
+                arr[w, dw] = src[w, t]
+            ralive[w, dw] = True
+            rcount += app
+
+        # set_best: first rep (insertion order) maximizing
+        # (LV agScore, LV probability); pAll sums the LV probs
+        mag = np.where(ralive, rag, NEG)
+        m1 = ralive & (mag == mag.max(axis=1)[:, None])
+        mpr = np.where(m1, rpr, -np.inf)
+        m2 = m1 & (mpr == mpr.max(axis=1)[:, None])
+        bi = np.clip(np.where(m2, slots, CAP).min(axis=1), 0, CAP - 1)
+        p_all = np.where(ralive, rpr, 0.0).sum(axis=1)
+
+        # phase-4 flip: reps within extraSearchDepth of the winner's
+        # LV pair score compete on (affine agScore, affine prob); the
+        # winner's probability swaps to its affine value in pBest and
+        # pAll (IntersectingPairedEndAligner.cpp:2712-2726)
         D = np.int64(self.params.extra_search_depth)
-        lvd_ch = np.where(b_better, lvd_b, lvd_a)
-        lvd_ot = np.where(b_better, lvd_a, lvd_b)
-        aga_ch = np.where(b_better, aga_b, aga_a)
-        aga_ot = np.where(b_better, aga_a, aga_b)
-        pra_ch = np.where(b_better, pra_b, pra_a)
-        pra_ot = np.where(b_better, pra_a, pra_b)
-        flip = (
-            has2
-            & ~anchored
-            & (lvd_ot <= lvd_ch + D)
-            & ((aga_ot > aga_ch) | ((aga_ot == aga_ch) & (pra_ot > pra_ch)))
-        )
-        take_b = b_better ^ flip
-        ch_i0 = np.where(take_b, i0b, i0a)
-        ch_i1 = np.where(take_b, i1b, i1a)
-        pr_ch = np.where(take_b, pr_b, pr_a)          # LV prob of winner
-        pr_ch_aff = np.where(take_b, pra_b, pra_a)    # affine prob
-        # phase-3 pAll over LV probs, then the phase-4 swap of the
-        # winner's probability to its affine value (:2712-2726)
-        p_all = np.where(has2 & ~anchored, pr_a + pr_b, pr_ch)
-        p_all = p_all - pr_ch + pr_ch_aff
-        pr_ch = pr_ch_aff
+        fl = ralive & (rlvd <= (rlvd[ar, bi] + D)[:, None])
+        fag = np.where(fl, raga, NEG)
+        f1m = fl & (fag == fag.max(axis=1)[:, None])
+        fpr = np.where(f1m, rpra, -np.inf)
+        f2m = f1m & (fpr == fpr.max(axis=1)[:, None])
+        bi2 = np.clip(np.where(f2m, slots, CAP).min(axis=1), 0, CAP - 1)
+        ch_i0 = ri0[ar, bi2]
+        ch_i1 = ri1[ar, bi2]
+        pr_ch = rpra[ar, bi2]
+        p_all = p_all - rpr[ar, bi2] + pr_ch
 
         pop0 = f["popular"][r0s].astype(np.int64)
         pop1 = f["popular"][r1s].astype(np.int64)

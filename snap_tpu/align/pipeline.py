@@ -2192,10 +2192,25 @@ def _awd_phase_b(
     )
     K_A = min(4, params.max_cand)
     dp_a = max(512, (B * K_A) // 64)
-    return _awd_merge(
+    packed = _awd_merge(
         out_a, win_a, out_b, win_b, rows, live, overflow,
         needs_a, needs_b, dp_a, dp_b,
     )
+    return packed, ABOut(out_a, out_b, rows, live, overflow)
+
+
+class ABOut(NamedTuple):
+    """Lazy adaptive-step per-candidate output: the phase-A tile plus
+    the phase-B row set, merged ON DEMAND. The eager merge scattered 18
+    [B2, K] fields per step (~0.6M scatter indices, ~20 ms) to build an
+    array that is only ever read for the handful of fallback rows;
+    gather_merged_rows does the row-level select instead."""
+
+    a: SingleAlignOut
+    b: SingleAlignOut
+    rows: jax.Array      # [B2] int64 phase-B row ids
+    live: jax.Array      # [B2] bool
+    overflow: jax.Array  # [B] bool phase-B-capacity overflow rows
 
 
 @functools.partial(jax.jit, static_argnames=("dp_a", "dp_b"))
@@ -2210,8 +2225,6 @@ def _awd_merge(
         msk = live.reshape((B2,) + (1,) * (b.ndim - 1))
         return a.at[rows].set(jnp.where(msk, b, cur))
 
-    out = SingleAlignOut(*(mrg(a, b) for a, b in zip(out_a, out_b)))
-    out = out._replace(truncated=out.truncated | overflow)
     merged = {
         name: mrg(getattr(win_a, name), getattr(win_b, name))
         for name in WINNER_COLS
@@ -2222,7 +2235,7 @@ def _awd_merge(
         dp_overflow=(needs_a > jnp.int32(dp_a))
         | (needs_b > jnp.int32(dp_b)),
     )
-    return pack_winners(win), out
+    return pack_winners(win)
 
 
 WINNER_COLS = (
@@ -2335,14 +2348,44 @@ class HostWinners:
 
 
 @jax.jit
-def gather_merged_rows(out: SingleAlignOut, rows: jax.Array):
+def gather_merged_rows(out, rows: jax.Array):
     """Pack full candidate rows for host-side exact finalization:
     [M, K, 9] int32, ONE device->host transfer (per-leaf fetches each
     pay a link round trip). Same width rules as _pack_subset: order-
     relevant fields stay 32-bit, indels saturates at 0x7FFF (1<<20
     sentinel, host is zero/nonzero only). Unpack with
-    unpack_merged_rows."""
+    unpack_merged_rows.
+
+    `out` is a SingleAlignOut or the adaptive step's lazy ABOut; in
+    the latter case each requested row selects between its phase-A
+    tile row and (when it was a live phase-B row) the phase-B rerun."""
     r = rows.astype(jnp.int64)
+    if isinstance(out, ABOut):
+        B = out.a.len_eff.shape[0]
+        B2 = out.rows.shape[0]
+        posB = (
+            jnp.full((B,), -1, jnp.int32)
+            .at[out.rows]
+            .set(
+                jnp.where(
+                    out.live,
+                    jnp.arange(B2, dtype=jnp.int32),
+                    jnp.int32(-1),
+                )
+            )
+        )
+        pb = posB[r]
+        useB = pb >= 0
+        pbc = jnp.clip(pb, 0).astype(jnp.int64)
+
+        def sel(fa, fb):
+            va, vb = fa[r], fb[pbc]
+            m = useB.reshape((-1,) + (1,) * (va.ndim - 1))
+            return jnp.where(m, vb, va)
+
+        sub = SingleAlignOut(*(sel(fa, fb) for fa, fb in zip(out.a, out.b)))
+        out = sub._replace(truncated=sub.truncated | out.overflow[r])
+        r = jnp.arange(rows.shape[0], dtype=jnp.int64)
     u32 = lambda a: jax.lax.bitcast_convert_type(
         a[r].astype(jnp.uint32), jnp.int32
     )

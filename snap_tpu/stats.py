@@ -48,6 +48,7 @@ class AlignerStats:
     # redone by the exact host intersection, and pairs that declined
     # the vectorized finalize plan into the per-pair Python path
     intersect_overflow_pairs: int = 0
+    intersect_wide_pairs: int = 0    # redone on-device at HP=512/C=256
     paired_slow_rows: int = 0
     paired_planned_rows: int = 0
     seconds_reading: float = 0.0
@@ -68,8 +69,8 @@ class AlignerStats:
             "filtered", "extra_alignments", "aligned_as_pairs",
             "lv_calls", "affine_gap_calls",
             "ag_forced_single", "ag_used_single",
-            "intersect_overflow_pairs", "paired_slow_rows",
-            "paired_planned_rows",
+            "intersect_overflow_pairs", "intersect_wide_pairs",
+            "paired_slow_rows", "paired_planned_rows",
         ):
             setattr(self, f, getattr(self, f) + getattr(other, f))
         for f in (

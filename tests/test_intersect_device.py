@@ -190,3 +190,61 @@ def test_device_overflow_flags_capped_rows():
     )
     over = np.asarray(dev["overflow"])
     assert over[:B].any()
+
+
+def test_wide_redo_recovers_overflow_rows():
+    """paired_wide_redo: pairs the standard HP/C caps flag must come
+    back bit-equal to the exact host intersection once rerun at the
+    wide geometry (the on-device second tier that replaces the host
+    redo for repeat-dense pairs)."""
+    import jax.numpy as jnp
+
+    from snap_tpu.align.intersect_device import paired_wide_redo
+
+    rng = np.random.default_rng(31)
+    genome, seq = _mk_genome(rng, 120_000, repeat_frac=0.30)
+    index = GenomeIndex.build(genome, seed_len=20)
+    B, L = 64, 100
+    bases = _mk_pairs(rng, seq, B, L)
+    len_eff = np.full(2 * B, L, np.int32)
+    ip = IntersectParams(
+        seed_len=20, num_seeds=8, max_cand=16, max_k_indels=40
+    )
+    host = paired_candidates(index.host, bases, len_eff, B, ip)
+    offsets, set_ids = probe_offsets_for(len_eff, L, 20, 8)
+    dp = DeviceIntersectParams(
+        seed_len=20, max_probe=index.max_probe, num_seeds=8,
+        hit_cap=8, cand_width=8, max_cand=16, max_k_indels=40,
+    )
+    args = (
+        index.device, jnp.asarray(bases), jnp.asarray(len_eff),
+        jnp.asarray(offsets), jnp.asarray(set_ids),
+        jnp.int64(ip.min_spacing), jnp.int64(ip.max_spacing),
+    )
+    pcd = paired_candidates_device(*args, dp)
+    ov0 = np.asarray(pcd["overflow"])
+    ovp0 = ov0[:B] | ov0[B:]
+    assert ovp0.any(), "tight caps must overflow on the repeat genome"
+
+    pcd = paired_wide_redo(
+        index.device, jnp.asarray(bases), jnp.asarray(len_eff),
+        jnp.asarray(offsets), jnp.asarray(set_ids), pcd,
+        np.flatnonzero(ovp0),
+        jnp.int64(ip.min_spacing), jnp.int64(ip.max_spacing), dp,
+        hit_cap=256, cand_width=128,
+    )
+    dev = {k: np.asarray(v) for k, v in pcd.items()}
+    ovp1 = dev["overflow"][:B] | dev["overflow"][B:]
+    assert ovp1.sum() < ovp0.sum(), "wide tier must recover rows"
+    ok_rows = np.flatnonzero(~np.concatenate([ovp1, ovp1]))
+    for f_dev, f_host in (
+        ("loc", host.loc), ("off", host.off), ("dir", host.dir),
+        ("valid", host.valid), ("weight", host.weight),
+        ("big_indel", host.big_indel),
+    ):
+        d = dev[f_dev][ok_rows]
+        h = f_host[ok_rows]
+        if f_dev != "valid":
+            d = np.where(dev["valid"][ok_rows], d, 0)
+            h = np.where(host.valid[ok_rows], h, 0)
+        assert (d == h).all(), f_dev

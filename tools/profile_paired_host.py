@@ -143,7 +143,10 @@ def main():
     st = aligner.stats
     done = max(1, st.paired_slow_rows + st.paired_planned_rows)
     print(
-        f"intersect overflow pairs: {st.intersect_overflow_pairs} "
+        f"intersect wide-tier pairs: {st.intersect_wide_pairs} "
+        f"({100.0 * st.intersect_wide_pairs / done:.2f}%)\n"
+        f"intersect overflow pairs (host redo): "
+        f"{st.intersect_overflow_pairs} "
         f"({100.0 * st.intersect_overflow_pairs / done:.2f}% of "
         f"{done} finalized)\n"
         f"slow finalize rows: {st.paired_slow_rows} "
