@@ -470,7 +470,7 @@ def paired_wide_redo(
     max_sp,
     p: DeviceIntersectParams,
     hit_cap: int = 512,
-    cand_width: int = 256,
+    cand_width: int = 512,
 ) -> dict:
     """Second, wider device tier for pairs the standard intersection
     flagged (gather-cap or compaction-cut overflow) — the paired

@@ -36,7 +36,7 @@ from ..io.sam import (
 )
 from ..stats import AlignerStats, ProgressReporter
 from .intersect import IntersectParams, paired_candidates
-from .paired import finalize_pair
+from .paired import PairEndResult, finalize_pair
 from .pipeline import AlignParams, score_candidates, two_phase_merge
 from .single import _AG_NOT_CACHED, winner_record
 
@@ -313,9 +313,9 @@ class PairedEndAligner:
                       "body_loc", "indels")
         }
 
-        plan = fast = None
+        plan = fast = sel = None
         if plan_writer is not None and b0.aux is None and b1.aux is None:
-            plan, fast, fast_spacing = self._plan_pairs(
+            plan, fast, fast_spacing, sel = self._plan_pairs(
                 f, b0, b1, n, bases, quals
             )
 
@@ -330,6 +330,35 @@ class PairedEndAligner:
         for i in range(n):
             if fast is not None and fast[i]:
                 results.append(_PLANNED_PAIR)
+                continue
+            if sel is not None and sel["mask"][i]:
+                # selection settled by the vectorized plan; only the
+                # record construction (indel/clip CIGAR, contig edge)
+                # needs the per-pair machinery below
+                mq0 = int(sel["mapq0"][i])
+                mq1 = int(sel["mapq1"][i])
+                r0 = PairEndResult(
+                    status="single" if mq0 >= 10 else "multi",
+                    cand_index=int(sel["i0"][i]),
+                    direction=int(sel["dir0"][i]),
+                    end_loc=int(sel["end0"][i]),
+                    dist=int(sel["dist0"][i]),
+                    mapq=mq0, aligned_as_pair=True,
+                )
+                r1 = PairEndResult(
+                    status="single" if mq1 >= 10 else "multi",
+                    cand_index=int(sel["i1"][i]),
+                    direction=int(sel["dir1"][i]),
+                    end_loc=int(sel["end1"][i]),
+                    dist=int(sel["dist1"][i]),
+                    mapq=mq1, aligned_as_pair=True,
+                )
+                if self.infer_spacing:
+                    spacing_samples.append(int(sel["spacing"][i]))
+                slow.append(
+                    (len(results), i, r0, r1, None, [], True, True)
+                )
+                results.append(None)
                 continue
             j = B + i
             len_ok0 = int(b0.lengths[i]) >= self.min_read_length
@@ -641,7 +670,7 @@ class PairedEndAligner:
         len_ok1 = np.asarray(b1.lengths[:n]) >= self.min_read_length
         # combos handled by the vectorized selection; busier rows (and
         # ALT-touching rows) keep the exact per-pair path
-        CAP = min(16, K * K)
+        CAP = min(48, K * K)
         fast = len_ok0 & len_ok1 & (nc >= 1) & (nc <= CAP)
         if self.alt_awareness and self.first_alt_start is not None:
             bd = self.first_alt_start
@@ -650,7 +679,7 @@ class PairedEndAligner:
             ).any(axis=1)
             fast &= ~has_alt
         if not fast.any():
-            return None, None, []
+            return None, None, [], None
 
         # first-CAP combo ids in enumeration order (i0-major — the
         # np.nonzero order finalize_pair's _pair_combos walks)
@@ -848,6 +877,12 @@ class PairedEndAligner:
                 + 2 * int(stayed.sum())
             )
 
+        # selection is settled for every `fast` row at this point; the
+        # conditions below are EMISSION safety only (record shape).
+        # Rows passing selection but failing emission skip the per-pair
+        # finalize_pair and only take winner_record for their CIGARs.
+        sel_ok = fast.copy()
+
         plen0 = f["len_eff"][r0s].astype(np.int64)
         plen1 = f["len_eff"][r1s].astype(np.int64)
         orig0 = np.asarray(b0.lengths[:n]).astype(np.int64)
@@ -909,10 +944,22 @@ class PairedEndAligner:
                     )
                     fast[agrows[flg]] = False
 
+        sel_rows = sel_ok & ~fast
+        sel = None
+        if sel_rows.any():
+            sel = {
+                "mask": sel_rows,
+                "i0": ch_i0, "i1": ch_i1,
+                "mapq0": mapq0, "mapq1": mapq1,
+                "dist0": sc0, "dist1": sc1,
+                "dir0": dir0, "dir1": dir1,
+                "end0": end0, "end1": end1,
+                "spacing": np.abs(loc0[ar, ch_i0] - loc1[ar, ch_i1]),
+            }
         fr = np.flatnonzero(fast)
         nf = fr.size
         if nf == 0:
-            return None, None, []
+            return None, None, [], sel
 
         fs0 = np.where(dir0 == 1, back0, 0)
         bs0 = np.where(dir0 == 1, 0, back0)
@@ -974,7 +1021,7 @@ class PairedEndAligner:
             if self.infer_spacing
             else []
         )
-        return plan, fast, spacing
+        return plan, fast, spacing, sel
 
     def _emit_planned_pairs(self, writer, b0, b1, results, plan):
         """Batched paired emission: one native call formats every
