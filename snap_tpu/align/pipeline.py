@@ -1944,6 +1944,7 @@ def align_winners_device(
     max_score_gap: int = 64,
     adaptive: bool = False,
     phase_b_rows: int | None = None,
+    phase_c: bool = False,
 ):
     """Production fast path: align + device finalize.
 
@@ -1985,15 +1986,38 @@ def align_winners_device(
             dp_rows, alt_awareness, max_score_gap,
         )
 
-    B2 = phase_b_rows or max(min(256, B), B // 8)
+    # phase B holds every phase-A-unresolved read: repeat-dense genomes
+    # leave ~25% of reads unresolved (crowded or gather-capped), so the
+    # row budget is B/4, and phase B runs a WIDER tile (hit_cap/K up to
+    # 32) so moderately-repeated seeds (LINE-copy counts) resolve on
+    # device instead of falling to the host wide redo
+    B2 = phase_b_rows or max(min(256, B), B // 4)
     out_a, win_a, needs_a, rows, live, overflow = _awd_phase_a(
         didx, bases, quals, lens, first_alt_start, params,
         alt_awareness, max_score_gap, s1_lookups, B2,
     )
-    return _awd_phase_b(
+    packed, win_ab, ab = _awd_phase_b(
         didx, bases, quals, lens, first_alt_start, params,
         alt_awareness, max_score_gap, B2,
         out_a, win_a, needs_a, rows, live, overflow,
+    )
+    if not phase_c:
+        return packed, ab
+    return _awd_phase_c(
+        didx, bases, quals, lens, first_alt_start, params,
+        alt_awareness, max_score_gap, packed, win_ab, ab,
+    )
+
+
+def _phase_b_params(params: AlignParams) -> AlignParams:
+    """Phase-B tile geometry: wide enough for repeat-family hit counts
+    (SINE/LINE copies) that overflow the phase-A caps."""
+    import dataclasses
+
+    return dataclasses.replace(
+        params,
+        max_cand=min(64, max(32, 2 * params.max_cand)),
+        hit_cap=max(32, 4 * params.hit_cap),
     )
 
 
@@ -2090,7 +2114,9 @@ def _awd_phase_a(
     params_a = dataclasses.replace(
         params, num_seeds=2 * s1_lookups - 2, max_cand=K_A
     )
-    dp_a = max(512, (B * K_A) // 64)
+    # repeat-dense batches push ~15% of phase-A candidate slots into
+    # the DP tier; //16 keeps the overflow-redo a genuine rarity
+    dp_a = max(512, (B * K_A) // 16)
     bundle, lowest = _awd_candidates(
         didx, bases, quals, lens, params_a, return_lowest=True
     )
@@ -2103,7 +2129,8 @@ def _awd_phase_a(
     )
     out_a, rows, live, overflow = _awd_route(
         out_a, lowest, run_all, run_na, params,
-        alt_awareness, max_score_gap, B2, params.max_cand,
+        alt_awareness, max_score_gap, B2,
+        _phase_b_params(params).max_cand,
     )
     return out_a, win_a, needs_a, rows, live, overflow
 
@@ -2176,41 +2203,100 @@ def _awd_phase_b(
     out_a, win_a, needs_a, rows, live, overflow,
 ):
     B, L = bases.shape
-    # Phase B concentrates essentially every DP-needing read of the
-    # WHOLE batch (the unresolved ones), so its DP tier must be sized
-    # to the full-batch demand, not to B2: at 1% error the demand is
-    # ~0.25% of B*K rows; give 2x headroom beyond the non-adaptive
-    # default or the overflow flag redoes the batch on the host
-    dp_b = max(1024, (B * params.max_cand) // 128,
-               (B2 * params.max_cand) // 64)
+    # Phase B concentrates every DP-needing read of the WHOLE batch
+    # (the unresolved ones) and runs the wide tile (hit_cap/K up to
+    # 32), so its DP tier is sized to the concentrated demand: on the
+    # 25%-repeat genome that is ~12k candidates per 16k-read batch
+    params_b = _phase_b_params(params)
+    dp_b = max(2048, (B2 * params_b.max_cand) // 4,
+               (B * params.max_cand) // 128)
     b_b, q_b, l_b = bases[rows], quals[rows], lens[rows]
-    bundle = _awd_candidates(didx, b_b, q_b, l_b, params)
-    out_b, needs_b = _awd_score(didx, b_b, q_b, bundle, params, dp_b)
+    bundle = _awd_candidates(didx, b_b, q_b, l_b, params_b)
+    out_b, needs_b = _awd_score(didx, b_b, q_b, bundle, params_b, dp_b)
     _, win_b = _awd_finalize(
-        didx, b_b, out_b, first_alt_start, needs_b, params, dp_b,
+        didx, b_b, out_b, first_alt_start, needs_b, params_b, dp_b,
         alt_awareness, max_score_gap,
     )
     K_A = min(4, params.max_cand)
-    dp_a = max(512, (B * K_A) // 64)
-    packed = _awd_merge(
+    dp_a = max(512, (B * K_A) // 16)
+    packed, win_ab = _awd_merge(
         out_a, win_a, out_b, win_b, rows, live, overflow,
         needs_a, needs_b, dp_a, dp_b,
     )
-    return packed, ABOut(out_a, out_b, rows, live, overflow)
+    return packed, win_ab, ABOut(out_a, out_b, rows, live, overflow)
 
 
 class ABOut(NamedTuple):
     """Lazy adaptive-step per-candidate output: the phase-A tile plus
-    the phase-B row set, merged ON DEMAND. The eager merge scattered 18
-    [B2, K] fields per step (~0.6M scatter indices, ~20 ms) to build an
-    array that is only ever read for the handful of fallback rows;
-    gather_merged_rows does the row-level select instead."""
+    the phase-B (and optional phase-C) row sets, merged ON DEMAND. The
+    eager merge scattered 18 [B2, K] fields per step (~0.6M scatter
+    indices, ~20 ms) to build an array that is only ever read for the
+    handful of fallback rows; gather_merged_rows does the row-level
+    select instead."""
 
     a: SingleAlignOut
     b: SingleAlignOut
     rows: jax.Array      # [B2] int64 phase-B row ids
     live: jax.Array      # [B2] bool
     overflow: jax.Array  # [B] bool phase-B-capacity overflow rows
+    c: SingleAlignOut | None = None   # phase-C wide tile (K may differ)
+    rows_c: jax.Array | None = None   # [B3] int64
+    live_c: jax.Array | None = None   # [B3] bool
+
+
+def _awd_phase_c(
+    didx, bases, quals, lens, first_alt_start, params,
+    alt_awareness, max_score_gap, packed, win_ab, ab,
+):
+    """Optional third tier: reads still truncated after the phase-B
+    wide tile (repeat-family seeds with 33..maxHits hits, or >32
+    distinct candidates) rerun at hit_cap=128 / K=64 on B/16 rows.
+    The single-end analogue of the paired wide intersection tier; the
+    driver enables it per file once a batch shows a material truncated
+    fraction (clean genomes never pay for it). Residual truncation
+    (beyond the tier's caps or row budget) keeps the flag and takes
+    the host wide redo."""
+    import dataclasses
+
+    B = bases.shape[0]
+    B3 = max(min(128, B), B // 16)
+    params_c = dataclasses.replace(
+        params, hit_cap=max(128, params.hit_cap), max_cand=64
+    )
+    dp_c = max(1024, (B3 * params_c.max_cand) // 4)
+    rows3, live3 = _awd_pick_rows(win_ab.truncated, B3)
+    b_c, q_c, l_c = bases[rows3], quals[rows3], lens[rows3]
+    bundle = _awd_candidates(didx, b_c, q_c, l_c, params_c)
+    out_c, needs_c = _awd_score(didx, b_c, q_c, bundle, params_c, dp_c)
+    _, win_c = _awd_finalize(
+        didx, b_c, out_c, first_alt_start, needs_c, params_c, dp_c,
+        alt_awareness, max_score_gap,
+    )
+    packed2 = _awd_merge_c(win_ab, win_c, rows3, live3, needs_c, dp_c)
+    return packed2, ab._replace(c=out_c, rows_c=rows3, live_c=live3)
+
+
+@functools.partial(jax.jit, static_argnames=("B3",))
+def _awd_pick_rows(flags, B3: int):
+    _, rows = jax.lax.top_k(flags.astype(jnp.int32), B3)
+    rows = rows.astype(jnp.int64)
+    return rows, flags[rows]
+
+
+@functools.partial(jax.jit, static_argnames=("dp_c",))
+def _awd_merge_c(win_ab, win_c, rows, live, needs_c, dp_c):
+    def mrg(a, b):
+        return a.at[rows].set(jnp.where(live, b, a[rows]))
+
+    merged = {
+        name: mrg(getattr(win_ab, name), getattr(win_c, name))
+        for name in WINNER_COLS
+    }
+    win = WinnerOut(
+        **merged,
+        dp_overflow=win_ab.dp_overflow | (needs_c > jnp.int32(dp_c)),
+    )
+    return pack_winners(win)
 
 
 @functools.partial(jax.jit, static_argnames=("dp_a", "dp_b"))
@@ -2235,7 +2321,7 @@ def _awd_merge(
         dp_overflow=(needs_a > jnp.int32(dp_a))
         | (needs_b > jnp.int32(dp_b)),
     )
-    return pack_winners(win)
+    return pack_winners(win), win
 
 
 WINNER_COLS = (
@@ -2384,7 +2470,46 @@ def gather_merged_rows(out, rows: jax.Array):
             return jnp.where(m, vb, va)
 
         sub = SingleAlignOut(*(sel(fa, fb) for fa, fb in zip(out.a, out.b)))
-        out = sub._replace(truncated=sub.truncated | out.overflow[r])
+        sub = sub._replace(truncated=sub.truncated | out.overflow[r])
+        if out.c is not None:
+            # phase-C patch: its K may be wider; pad the a/b rows
+            B3 = out.rows_c.shape[0]
+            posC = (
+                jnp.full((B,), -1, jnp.int32)
+                .at[out.rows_c]
+                .set(
+                    jnp.where(
+                        out.live_c,
+                        jnp.arange(B3, dtype=jnp.int32),
+                        jnp.int32(-1),
+                    )
+                )
+            )
+            pc = posC[r]
+            useC = pc >= 0
+            pcc = jnp.clip(pc, 0).astype(jnp.int64)
+            Kc = out.c.dist.shape[1]
+
+            def selc(fs, fc):
+                vc = fc[pcc]
+                vs = fs
+                if vs.ndim == 2 and vs.shape[1] != Kc:
+                    vs = jnp.concatenate(
+                        [
+                            vs,
+                            jnp.zeros(
+                                (vs.shape[0], Kc - vs.shape[1]), vs.dtype
+                            ),
+                        ],
+                        axis=1,
+                    )
+                m = useC.reshape((-1,) + (1,) * (vs.ndim - 1))
+                return jnp.where(m, vc, vs)
+
+            sub = SingleAlignOut(
+                *(selc(fs, fc) for fs, fc in zip(sub, out.c))
+            )
+        out = sub
         r = jnp.arange(rows.shape[0], dtype=jnp.int64)
     u32 = lambda a: jax.lax.bitcast_convert_type(
         a[r].astype(jnp.uint32), jnp.int32

@@ -523,6 +523,11 @@ class SingleEndAligner:
         # the transfer takes it off the critical path)
         self._prefetch_pool = None
         self._win_futures: dict[int, tuple] = {}
+        # per-file adaptive policy: once a batch shows a material
+        # truncated fraction (repeat-dense genome), later batches run
+        # the phase-C wide tile on device instead of shipping those
+        # rows to the host wide redo; clean genomes never pay for it
+        self._use_phase_c = False
         cs = sorted(index.genome_meta.contigs, key=lambda c: c.start)
         self.contig_bounds = (
             np.array([c.start for c in cs], dtype=np.int64),
@@ -658,6 +663,7 @@ class SingleEndAligner:
                 alt_awareness=self.alt_awareness,
                 max_score_gap=self.max_score_gap,
                 adaptive=self.adaptive,
+                phase_c=self._use_phase_c,
             )
             self._start_win_prefetch(win)
             return (
@@ -1140,6 +1146,10 @@ class SingleEndAligner:
         self.stats.affine_gap_calls += int(
             win.esc_count[:n].astype(np.int64).sum()
         )
+        if not self._use_phase_c and n > 0:
+            trunc_frac = float(win.truncated[:n].sum()) / n
+            if trunc_frac > 0.03:
+                self._use_phase_c = True
 
         fb_rows = np.flatnonzero(np.asarray(win.fallback[:n]))
         fb = None

@@ -126,3 +126,86 @@ def test_adaptive_phase_b_overflow_flags_truncated(rand_index):
     assert ok.all(), np.flatnonzero(~ok)
     # and the tiny capacity really did overflow somewhere
     assert tiny.truncated.sum() > full.truncated.sum()
+
+
+def test_phase_c_wide_tile_recovers_truncated_rows():
+    """Phase C (hit_cap=128/K=64 on truncated rows) must resolve most
+    repeat-truncated reads on device and agree exactly with a
+    non-adaptive run at the same wide geometry."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from snap_tpu.align.pipeline import (
+        AlignParams, HostWinners, align_winners_device,
+    )
+    from snap_tpu.constants import PAD
+    from snap_tpu.genome import Contig, Genome
+    from snap_tpu.index.build import build_index
+    from snap_tpu.index.index import make_device_index
+
+    rng = np.random.default_rng(29)
+    glen = 600_000
+    codes = rng.integers(0, 4, size=glen).astype(np.uint8)
+    # plant a 300bp unit 60x: hits overflow the phase-B caps (32) but
+    # stay under maxHits=300, so only phase C resolves them on device
+    unit = codes[1000:1300].copy()
+    for k in range(60):
+        p = 5000 + 9500 * k
+        codes[p : p + 300] = unit
+    bases_g = np.full(glen + 2000, PAD, np.uint8)
+    bases_g[1000 : 1000 + glen] = codes
+    genome = Genome(
+        bases=bases_g, contigs=[Contig(name="c1", start=1000, length=glen)]
+    )
+    idx = build_index(genome, seed_len=20)
+    didx = make_device_index(idx, bases_g)
+    params = AlignParams(
+        seed_len=20, max_probe=idx["max_probe"], num_seeds=25,
+        hit_cap=8, max_cand=16,
+    )
+
+    B, L = 256, 100
+    # half the reads overlap planted repeat copies
+    starts = np.where(
+        np.arange(B) % 2 == 0,
+        5000 + 9500 * rng.integers(0, 60, B) + rng.integers(0, 250, B),
+        rng.integers(0, glen - L - 1, B),
+    )
+    reads = codes[starts[:, None] + np.arange(L)[None, :]].copy()
+    mut = rng.random(reads.shape) < 0.01
+    reads = np.where(mut, rng.integers(0, 4, reads.shape), reads).astype(
+        np.uint8
+    )
+    b = jnp.asarray(reads)
+    q = jnp.asarray(np.full((B, L), ord("I"), np.uint8))
+    l = jnp.asarray(np.full(B, L, np.int32))
+    fas = jnp.int64(bases_g.shape[0])
+
+    base, _ = align_winners_device(didx, b, q, l, fas, params, adaptive=True)
+    wb = HostWinners(jax.device_get(base))
+    assert wb.truncated.sum() > 10, "repeat reads must truncate at A/B"
+
+    wc_packed, _ = align_winners_device(
+        didx, b, q, l, fas, params, adaptive=True, phase_c=True
+    )
+    wc = HostWinners(jax.device_get(wc_packed))
+    assert wc.truncated.sum() < wb.truncated.sum() * 0.4, (
+        int(wc.truncated.sum()), int(wb.truncated.sum())
+    )
+
+    # wide non-adaptive reference at the phase-C geometry
+    wide_params = dataclasses.replace(params, hit_cap=128, max_cand=64)
+    ref_packed, _ = align_winners_device(
+        didx, b, q, l, fas, wide_params, adaptive=False, dp_rows=4096
+    )
+    wr = HostWinners(jax.device_get(ref_packed))
+    fixed = np.flatnonzero(wb.truncated & ~wc.truncated & ~wc.fallback
+                           & ~wr.fallback)
+    assert fixed.size > 0
+    for f in ("found", "direction", "dist", "mapq", "end_loc"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(wc, f))[fixed],
+            np.asarray(getattr(wr, f))[fixed], err_msg=f,
+        )

@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--pairs", type=int, default=3000)
     ap.add_argument("--dup-frac", type=float, default=0.08)
     ap.add_argument("--ishards", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=4096)
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -83,7 +84,7 @@ def main():
         [
             sys.executable, "-m", "snap_tpu.cli", "paired", idx_dir,
             fq1, fq2, "-o", bam, "-so",
-            "-ishards", str(args.ishards), "-b", "1024",
+            "-ishards", str(args.ishards), "-b", str(args.batch),
         ],
         env=env, check=True,
     )
@@ -114,6 +115,7 @@ def main():
         "pairs": args.pairs + n_dup,
         "index_seconds": round(t_index, 1),
         "align_seconds": round(t_align, 1),
+        "reads_per_sec": round(2 * (args.pairs + n_dup) / t_align, 1),
         "records": n,
         "mapped_frac": round(mapped / n, 4),
         "proper_pair_frac": round(proper / n, 4),
