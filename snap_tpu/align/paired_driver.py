@@ -432,6 +432,8 @@ class PairedEndAligner:
                     arr_i=row, use_m=self.use_m,
                     contig_bounds=self.contig_bounds,
                     use_affine_gap=self.params.use_affine_gap,
+                ag_penalties=(self.params.ag_match, self.params.ag_sub,
+                              self.params.ag_open, self.params.ag_extend),
                     precomputed_ag=pag,
                 )
                 rec.update(

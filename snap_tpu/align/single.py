@@ -52,6 +52,7 @@ def winner_record(
     use_affine_gap: bool = True,
     precomputed_ag=_AG_NOT_CACHED,
     ag_restructure: bool | None = None,
+    ag_penalties: tuple[int, int, int, int] = (1, 4, 6, 1),
 ) -> dict:
     """Compute (start_loc, cigar, nm) for a chosen candidate of read i.
 
@@ -183,6 +184,20 @@ def winner_record(
         start_loc, cigar, nm = res
         used_body = body
         base_front, base_back = front_clip, back_clip
+
+    if use_affine_gap and "D" in cigar and start_loc >= 0:
+        # phase-4 re-emission: an over-budget deletion (one only the
+        # phase-2a big-indel raise could admit, run length > maxK)
+        # becomes its soft-clip twin when the clipped side's matches
+        # outscore paying the gap (deletion_clip_twin docstring).
+        # Within-budget deletions keep the reference's standard
+        # emission (golden-stable since round 3).
+        twin = deletion_clip_twin(
+            genome_np, used_body, start_loc, cigar, nm,
+            *ag_penalties, min_run=max_k + 1,
+        )
+        if twin is not None:
+            start_loc, cigar, nm = twin
 
     if contig_bounds is not None:
         # the AG fixup loop may have soft-clipped extra leading/trailing
@@ -423,6 +438,108 @@ def one_indel_improves(
     # so a single-diagonal full match is impossible; the conditions
     # only pass when a genuine one-indel split exists
     return ok
+
+
+def deletion_clip_twin(
+    genome_np: np.ndarray,
+    body: np.ndarray,        # oriented pattern bases the CIGAR consumes
+    start_loc: int,
+    cigar: str,
+    nm: int,
+    match: int = 1,
+    sub: int = 4,
+    gap_open: int = 6,
+    gap_extend: int = 1,
+    min_run: int = 0,
+):
+    """Reference phase-4 re-emission rule for over-costly deletions
+    (scoreLocationWithAffineGap under scoreLimit,
+    IntersectingPairedEndAligner.cpp:2581-2626, single-end twin
+    BaseAligner.cpp:1594): when soft-clipping everything on one side
+    of a deletion run scores better under the affine model than paying
+    the gap (plen*m - open - D*ext - subs*unit vs the kept side's
+    matches), the reference emits the clip twin (e.g. 31S69M NM:0
+    instead of 31M33D69M NM:33). Insertions never flip: their clip
+    twin forfeits the far side's matches without genome-span savings,
+    so the full representation always survives the comparison the way
+    the reference's candidate set resolves it (both anchors score, the
+    LV stage kills the clipped-anchor candidate).
+
+    Returns (new_start_loc, new_cigar, new_nm) when a strictly better
+    deletion clip twin exists, else None.
+    """
+    import re
+
+    ops = [(int(n), op) for n, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar)]
+    if not any(op == "D" for _, op in ops):
+        return None
+    G = genome_np
+    unit_scores = []  # per-op: (op, n, score_delta, mism, rp, gp)
+    rp, gp = 0, start_loc
+    lead_s = tail_s = 0
+    core = []  # non-clip ops with positions
+    for i, (n, op) in enumerate(ops):
+        if op in "SH":
+            if not core:
+                lead_s += n
+            else:
+                tail_s += n
+            continue
+        if op in "M=X":
+            if op == "=":
+                mism = 0
+            elif op == "X":
+                mism = n
+            else:
+                seg = body[rp : rp + n]
+                gseg = G[gp : gp + n]
+                mism = int(
+                    (
+                        (seg != gseg[: len(seg)])
+                        | (seg >= 4)
+                        | (gseg[: len(seg)] >= 4)
+                    ).sum()
+                )
+            score = (n - mism) * match - mism * sub
+            core.append((op, n, score, mism, rp, gp))
+            rp += n
+            gp += n
+        elif op == "I":
+            core.append((op, n, -(gap_open + n * gap_extend), n, rp, gp))
+            rp += n
+        elif op in "DN":
+            core.append((op, n, -(gap_open + n * gap_extend), n, rp, gp))
+            gp += n
+    full_score = sum(c[2] for c in core)
+    total_read = rp
+
+    best = None  # (score, start, cigar, nm)
+    for k, (op, n, _sc, _mm, rpk, gpk) in enumerate(core):
+        if op not in "DN" or n < min_run:
+            continue
+        # head twin: clip the read consumed before this run
+        after = core[k + 1 :]
+        s_head = sum(c[2] for c in after)
+        if s_head > full_score and (best is None or s_head > best[0]):
+            clip = lead_s + rpk
+            cig = (f"{clip}S" if clip else "") + "".join(
+                f"{c[1]}{c[0]}" for c in after
+            ) + (f"{tail_s}S" if tail_s else "")
+            nm2 = sum(c[3] for c in after)
+            best = (s_head, gpk + n, cig, nm2)
+        # tail twin: clip the read consumed from this run on
+        before = core[:k]
+        s_tail = sum(c[2] for c in before)
+        if s_tail > full_score and (best is None or s_tail > best[0]):
+            clip = tail_s + (total_read - rpk)
+            cig = (f"{lead_s}S" if lead_s else "") + "".join(
+                f"{c[1]}{c[0]}" for c in before
+            ) + (f"{clip}S" if clip else "")
+            nm2 = sum(c[3] for c in before)
+            best = (s_tail, start_loc, cig, nm2)
+    if best is None:
+        return None
+    return best[1], best[2], best[3]
 
 
 def _inside_one_contig(start_loc: int, span: int, contig_bounds) -> bool:
@@ -802,6 +919,8 @@ class SingleEndAligner:
                 use_m=self.use_m, front_extra=int(front_clips[i]),
                 contig_bounds=self.contig_bounds,
                 use_affine_gap=self.params.use_affine_gap,
+                ag_penalties=(self.params.ag_match, self.params.ag_sub,
+                              self.params.ag_open, self.params.ag_extend),
             )
             rec.update(
                 status=ra.status, direction=ra.direction, mapq=ra.mapq,
@@ -815,6 +934,8 @@ class SingleEndAligner:
                     front_extra=int(front_clips[i]),
                     contig_bounds=self.contig_bounds,
                 use_affine_gap=self.params.use_affine_gap,
+                ag_penalties=(self.params.ag_match, self.params.ag_sub,
+                              self.params.ag_open, self.params.ag_extend),
                 )
                 srec.update(
                     status=alt_supp.status, direction=alt_supp.direction,
@@ -837,6 +958,8 @@ class SingleEndAligner:
                         use_m=self.use_m, front_extra=int(front_clips[i]),
                         contig_bounds=self.contig_bounds,
                 use_affine_gap=self.params.use_affine_gap,
+                ag_penalties=(self.params.ag_match, self.params.ag_sub,
+                              self.params.ag_open, self.params.ag_extend),
                     )
                     sr.update(
                         status=s.status, direction=s.direction, mapq=0,
@@ -1052,6 +1175,8 @@ class SingleEndAligner:
                 front_extra=int(front_clips[i]),
                 contig_bounds=self.contig_bounds,
                 use_affine_gap=self.params.use_affine_gap,
+                ag_penalties=(self.params.ag_match, self.params.ag_sub,
+                              self.params.ag_open, self.params.ag_extend),
             )
             rec.update(
                 status=ra.status, direction=ra.direction, mapq=ra.mapq,
@@ -1065,6 +1190,8 @@ class SingleEndAligner:
                     front_extra=int(front_clips[i]),
                     contig_bounds=self.contig_bounds,
                 use_affine_gap=self.params.use_affine_gap,
+                ag_penalties=(self.params.ag_match, self.params.ag_sub,
+                              self.params.ag_open, self.params.ag_extend),
                 )
                 srec.update(
                     status=alt_supp.status, direction=alt_supp.direction,
@@ -1087,6 +1214,8 @@ class SingleEndAligner:
                         front_extra=int(front_clips[i]),
                         contig_bounds=self.contig_bounds,
                 use_affine_gap=self.params.use_affine_gap,
+                ag_penalties=(self.params.ag_match, self.params.ag_sub,
+                              self.params.ag_open, self.params.ag_extend),
                     )
                     sr.update(
                         status=s.status, direction=s.direction, mapq=0,
@@ -1394,6 +1523,8 @@ class SingleEndAligner:
                 use_m=self.use_m, front_extra=int(front_clips[i]),
                 contig_bounds=self.contig_bounds,
                 use_affine_gap=self.params.use_affine_gap,
+                ag_penalties=(self.params.ag_match, self.params.ag_sub,
+                              self.params.ag_open, self.params.ag_extend),
                 precomputed_ag=ag_cache.get(i, _AG_NOT_CACHED),
                 # device-screened restructure flag (winner_flags);
                 # unknown (None -> row screen) for fallback-redone rows
