@@ -44,6 +44,12 @@ def _open(path: str, force_gzip: bool = False):
 
         raw = sys.stdin.buffer
         return gzip.GzipFile(fileobj=raw) if force_gzip else raw
+    if "://" in path:
+        # remote inputs (http(s)://, registered schemes) go through the
+        # GenericFile factory, which also applies the gzip wrap
+        from .genericfile import open_generic
+
+        return open_generic(path, "rb", gzipped=force_gzip or None)
     if force_gzip or path.endswith(".gz"):
         return gzip.open(path, "rb")
     return open(path, "rb")

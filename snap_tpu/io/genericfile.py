@@ -10,10 +10,13 @@ the callers caring.
 
 TPU-first shape: the compute path never touches files — this layer
 feeds the host-side loaders (FASTA/FASTQ/index). Remote schemes
-register a handler (`register_scheme`); none ship by default (this
-build is zero-egress), so `hdfs://...` fails with an instructive
-error instead of a stack trace, exactly like a non-HDFS reference
-build ("recompile with SNAP_HDFS").
+register a handler (`register_scheme`); `http://`/`https://` ship by
+default (stdlib urllib streaming reads — the cluster-filesystem
+analogue of the reference's GenericFile_HDFS read path,
+GenericFile_HDFS.cpp:160-238, which is likewise sequential-read-only),
+while unknown schemes like `hdfs://` fail with an instructive error
+instead of a stack trace, exactly like a non-HDFS reference build
+("recompile with SNAP_HDFS").
 """
 
 from __future__ import annotations
@@ -41,6 +44,24 @@ def _scheme_of(path: str) -> str | None:
     return s.lower() if s.isalpha() else None
 
 
+def _open_http(url: str, mode: str = "rb") -> BinaryIO:
+    """Shipped remote handler: stream a GET response. Read-only and
+    sequential, matching the reference HDFS handler's surface
+    (GenericFile_HDFS.cpp: hdfsRead loop; no write path in SNAP's
+    aligner inputs). The returned HTTPResponse is a BufferedIOBase:
+    read/readinto/readline all work, so FASTA/FASTQ/SAM loaders
+    consume it like any local stream."""
+    if "r" not in mode or "+" in mode:
+        raise IOError(f"{url}: http(s):// inputs are read-only")
+    import urllib.request
+
+    return urllib.request.urlopen(url)
+
+
+_SCHEMES["http"] = _open_http
+_SCHEMES["https"] = _open_http
+
+
 class BlobFile(io.BytesIO):
     """GenericFile_Blob: read a file image already in memory (the
     reference uses it to parse hash tables out of a mapped index)."""
@@ -66,6 +87,8 @@ def open_generic(
     - plain paths open as buffered local files (GenericFile_stdio).
     """
     scheme = _scheme_of(path)
+    if gzipped is None:
+        gzipped = path.endswith(".gz")
     if scheme is not None and scheme != "file":
         opener = _SCHEMES.get(scheme)
         if opener is None:
@@ -75,11 +98,12 @@ def open_generic(
                 "storage client (the reference gates HDFS the same "
                 "way behind -DSNAP_HDFS)"
             )
-        return opener(path, mode)
+        f = opener(path, mode)
+        if gzipped and "r" in mode:
+            f = gzip.GzipFile(fileobj=f, mode="rb")
+        return f
     if scheme == "file":
         path = path[len("file://"):]
-    if gzipped is None:
-        gzipped = path.endswith(".gz")
     if gzipped:
         if "r" not in mode:
             return gzip.open(path, mode)

@@ -83,3 +83,55 @@ def test_fasta_loader_goes_through_factory(tmp_path):
         f.write(b">c1 desc\nACGTACGT\n")
     g = load_fasta("file://" + str(p))
     assert g.contigs[0].name == "c1" and g.contigs[0].length == 8
+
+
+def _loopback_server(root):
+    """Serve `root` over HTTP on an ephemeral loopback port."""
+    import functools
+    import http.server
+    import threading
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(root)
+    )
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+
+def test_http_scheme_ships_by_default(tmp_path):
+    """The GenericFile_HDFS analogue: http(s):// reads work out of the
+    box (GenericFile_HDFS.cpp:160-238 is likewise a sequential-read
+    remote handler), including transparent .gz decompression."""
+    (tmp_path / "r.fq").write_bytes(b"@r1\nACGT\n+\nIIII\n")
+    with gzip.open(tmp_path / "r.fq.gz", "wb") as f:
+        f.write(b"@r2\nTTTT\n+\nIIII\n")
+    httpd, base = _loopback_server(tmp_path)
+    try:
+        with open_generic(f"{base}/r.fq") as f:
+            assert f.read() == b"@r1\nACGT\n+\nIIII\n"
+        with open_generic(f"{base}/r.fq.gz") as f:
+            assert f.read() == b"@r2\nTTTT\n+\nIIII\n"
+        with pytest.raises(IOError, match="read-only"):
+            open_generic(f"{base}/out.sam", "wb")
+    finally:
+        httpd.shutdown()
+
+
+def test_http_fastq_input_end_to_end(tmp_path):
+    """A FASTQ served over HTTP flows through the production batch
+    reader (io/fastq.single_batches -> native scanner on the stream)."""
+    from snap_tpu.io.fastq import read_batches
+
+    recs = b"".join(
+        b"@q%d\nACGTACGTAC\n+\nIIIIIIIIII\n" % i for i in range(7)
+    )
+    (tmp_path / "in.fq").write_bytes(recs)
+    httpd, base = _loopback_server(tmp_path)
+    try:
+        batches = list(read_batches(f"{base}/in.fq", 4, 16))
+        ids = [i for b in batches for i in b.ids]
+        assert len(ids) == 7 and ids[0] == b"q0" and ids[-1] == b"q6"
+    finally:
+        httpd.shutdown()

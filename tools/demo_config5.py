@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--workdir", default="/tmp/config5")
     ap.add_argument("--genome-size", type=int, default=1_000_000)
     ap.add_argument("--pairs", type=int, default=3000)
+    ap.add_argument("--repeat-frac", type=float, default=0.25)
     ap.add_argument("--dup-frac", type=float, default=0.08)
     ap.add_argument("--ishards", type=int, default=2)
     ap.add_argument("--batch", type=int, default=4096)
@@ -46,7 +47,9 @@ def main():
 
     os.makedirs(args.workdir, exist_ok=True)
     rng = np.random.default_rng(5)
-    contigs = gen_genome(rng, args.genome_size, n_contigs=2, repeat_frac=0.1)
+    contigs = gen_genome(
+        rng, args.genome_size, n_contigs=2, repeat_frac=args.repeat_frac
+    )
     fa = os.path.join(args.workdir, "g.fa")
     write_fasta(contigs, fa)
     r1, r2 = gen_pairs(rng, contigs, args.pairs, 100, 0.01, 0.001)
