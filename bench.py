@@ -92,6 +92,13 @@ RESULT: dict = {
     "random_genome_step_reads_per_sec": None,
     "e2e_fastq_to_sam_reads_per_sec": None,
     "paired_e2e_reads_per_sec": None,
+    # Device link health, measured in-run: the packed winners cross
+    # device->host at 24 B/read, so on a degraded tunnel the step rate
+    # is link-bound at ~link_bytes/24 regardless of compute speed
+    # (sessions vary 0.5-60 MB/s on this link; see PERF.md). A reader
+    # comparing rounds should divide these two numbers first.
+    "host_link_mbytes_per_sec": None,
+    "winner_d2h_bytes_per_read": 24,
 }
 
 _KEYMAP = {
@@ -99,6 +106,7 @@ _KEYMAP = {
     "random": "random_genome_step_reads_per_sec",
     "e2e": "e2e_fastq_to_sam_reads_per_sec",
     "paired": "paired_e2e_reads_per_sec",
+    "link": "host_link_mbytes_per_sec",
 }
 
 
@@ -287,6 +295,21 @@ def _stage_main() -> None:
             jax.device_get(win_cur)
         jax.device_get(win_next)
         return batch * n_iters / (time.perf_counter() - t0)
+
+    # Link-bandwidth probe: device_get of a 2MB buffer, best of 3.
+    # The headline transfers 24 B/read of packed winners per batch, so
+    # a degraded tunnel caps the step at ~link/24 reads/s; publishing
+    # the measured link makes a link-bound artifact self-explaining.
+    probe = jnp.asarray(
+        np.random.default_rng(7).integers(0, 255, 2 << 20, dtype=np.uint8)
+    )
+    jax.device_get(probe)  # settle the tunnel + any first-use stalls
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(probe)
+        best = min(best, time.perf_counter() - t0)
+    _emit("link", probe.size / best / 1e6)
 
     codes = _gen_repeat_genome(rng, glen, repeat_frac=0.25)
     _emit("headline", timed_step(*make_inputs(codes)))

@@ -2332,27 +2332,31 @@ WINNER_COLS = (
 )
 
 
-PACK_WORDS = 7
+PACK_WORDS = 6
 
 
 def pack_winners(win: WinnerOut) -> jax.Array:
-    """[B+1, 7] int32 bit-packed winner fields; dp_overflow in the
+    """[B+1, 6] int32 bit-packed winner fields; dp_overflow in the
     extra row's column 0.
 
-    Every non-location field fits in 16 bits (dist/clips/len_eff/
-    popular/counts are int16 upstream; mapq<=70; cand_k<max_cand), so
-    the 17 columns compress into 7 words = 28B/read device->host
-    instead of 68B — D2H winner fetch is a first-order cost on the
-    align step (reference accounting: AlignerContext.cpp:533-573).
-    Word layout (low|high):
+    The packed winners are the ONLY per-batch device->host transfer on
+    the production fast path, and the align step is transfer-bound on
+    this link even in good sessions (459KB at 4.4MB/s ~= the whole
+    105ms step), so every word here is ~14% of step throughput
+    (reference accounting: AlignerContext.cpp:533-573). 17 columns in
+    6 words = 24B/read. Word layout (low|high):
       w0 end_loc (uint32 bitcast)      w1 body_loc (uint32 bitcast)
-      w2 dist | clip_before            w3 clip_after | indels
-      w4 len_eff | popular             w5 valid_count | esc_count
-    indels saturates at 0x7FFF: it carries a 1<<20 "escalated, count
-    unknown" sentinel and the host only distinguishes zero/nonzero.
-      w6 cand_k | mapq(16..23) | flags(24..30:
-         found, fallback, direction, escalated, truncated,
-         edge_indel, ag_flip)
+      w2 dist | clip_before            w3 clip_after | len_eff
+      w4 valid_count | esc_count | cand_k | popular (8 bits each,
+         saturated at 255: counts are bounded by max_cand/num_lookups
+         in practice; the host sums them for stats and feeds popular
+         to the MAPQ popular-seed penalty, both << 255)
+      w5 mapq(0..7) | flags(8..14: found, fallback, direction,
+         escalated, truncated, edge_indel, ag_flip) |
+         indels_nonzero(15)
+    indels compresses to one bit: it carries a 1<<20 "escalated,
+    count unknown" sentinel upstream and every host consumer only
+    distinguishes zero/nonzero (gapless vs gapped winner).
     """
     M = jnp.int32(0xFFFF)
 
@@ -2362,31 +2366,37 @@ def pack_winners(win: WinnerOut) -> jax.Array:
     def pair(lo, hi):
         return lo16(lo) | (lo16(hi) << jnp.int32(16))
 
+    def b8(name, b):
+        v = getattr(win, name).astype(jnp.int32)
+        return jnp.clip(v, jnp.int32(0), jnp.int32(255)) << jnp.int32(b)
+
     def bit(name, b):
         return getattr(win, name).astype(jnp.int32) << jnp.int32(b)
 
-    w6 = (
-        lo16("cand_k")
-        | (win.mapq.astype(jnp.int32) << jnp.int32(16))
-        | bit("found", 24) | bit("fallback", 25) | bit("direction", 26)
-        | bit("escalated", 27) | bit("truncated", 28)
-        | bit("edge_indel", 29) | bit("ag_flip", 30)
+    w4 = (
+        b8("valid_count", 0) | b8("esc_count", 8)
+        | b8("cand_k", 16) | b8("popular", 24)
+    )
+    w5 = (
+        (win.mapq.astype(jnp.int32) & jnp.int32(0xFF))
+        | bit("found", 8) | bit("fallback", 9) | bit("direction", 10)
+        | bit("escalated", 11) | bit("truncated", 12)
+        | bit("edge_indel", 13) | bit("ag_flip", 14)
+        | (
+            (win.indels.astype(jnp.int32) != jnp.int32(0)).astype(
+                jnp.int32
+            )
+            << jnp.int32(15)
+        )
     )
     arr = jnp.stack(
         [
             jax.lax.bitcast_convert_type(win.end_loc, jnp.int32),
             jax.lax.bitcast_convert_type(win.body_loc, jnp.int32),
             pair("dist", "clip_before"),
-            lo16("clip_after")
-            | (
-                jnp.minimum(
-                    win.indels.astype(jnp.int32), jnp.int32(0x7FFF)
-                )
-                << jnp.int32(16)
-            ),
-            pair("len_eff", "popular"),
-            pair("valid_count", "esc_count"),
-            w6,
+            pair("clip_after", "len_eff"),
+            w4,
+            w5,
         ],
         axis=1,
     )
@@ -2416,21 +2426,23 @@ class HostWinners:
         self.dist = _sext16(body[:, 2])
         self.clip_before = body[:, 2] >> 16  # arithmetic: sign-extends
         self.clip_after = _sext16(body[:, 3])
-        self.indels = body[:, 3] >> 16
-        self.len_eff = _sext16(body[:, 4])
-        self.popular = body[:, 4] >> 16
-        self.valid_count = _sext16(body[:, 5])
-        self.esc_count = body[:, 5] >> 16
-        w6 = body[:, 6]
-        self.cand_k = w6 & 0xFFFF
-        self.mapq = (w6 >> 16) & 0xFF
-        self.found = ((w6 >> 24) & 1).astype(bool)
-        self.fallback = ((w6 >> 25) & 1).astype(bool)
-        self.direction = (w6 >> 26) & 1
-        self.escalated = ((w6 >> 27) & 1).astype(bool)
-        self.truncated = ((w6 >> 28) & 1).astype(bool)
-        self.edge_indel = ((w6 >> 29) & 1).astype(bool)
-        self.ag_flip = ((w6 >> 30) & 1).astype(bool)
+        self.len_eff = body[:, 3] >> 16  # lengths are nonnegative
+        w4 = body[:, 4]
+        self.valid_count = w4 & 0xFF
+        self.esc_count = (w4 >> 8) & 0xFF
+        self.cand_k = (w4 >> 16) & 0xFF
+        self.popular = (w4 >> 24) & 0xFF
+        w5 = body[:, 5]
+        self.mapq = w5 & 0xFF
+        self.found = ((w5 >> 8) & 1).astype(bool)
+        self.fallback = ((w5 >> 9) & 1).astype(bool)
+        self.direction = (w5 >> 10) & 1
+        self.escalated = ((w5 >> 11) & 1).astype(bool)
+        self.truncated = ((w5 >> 12) & 1).astype(bool)
+        self.edge_indel = ((w5 >> 13) & 1).astype(bool)
+        self.ag_flip = ((w5 >> 14) & 1).astype(bool)
+        # zero/nonzero only (every consumer tests ==0; see pack_winners)
+        self.indels = (w5 >> 15) & 1
 
 
 @jax.jit

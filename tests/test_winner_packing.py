@@ -83,8 +83,9 @@ def test_pack_unpack_bit_exact():
     """Synthetic WinnerOut -> pack_winners -> HostWinners roundtrip.
 
     Randomized in-range values for every field; unpacked columns must
-    equal the originals exactly (after the documented 16-bit
-    truncation, which is the identity for in-range values)."""
+    equal the originals exactly after the documented compressions:
+    16-bit truncation for dist/clips/len_eff, 8-bit saturation for the
+    count columns, and zero/nonzero for indels."""
     import jax
     import jax.numpy as jnp
 
@@ -133,7 +134,9 @@ def test_pack_unpack_bit_exact():
             if k in ("end_loc", "body_loc"):
                 v = v.astype(np.int64)
             elif k == "indels":
-                v = np.minimum(v, 0x7FFF)  # documented saturation
+                v = (v != 0).astype(np.int64)  # zero/nonzero only
+            elif k in ("cand_k", "popular", "valid_count", "esc_count"):
+                v = np.minimum(v, 255)  # documented 8-bit saturation
             np.testing.assert_array_equal(
                 np.asarray(got).astype(np.int64),
                 v.astype(np.int64), err_msg=k,
