@@ -369,7 +369,15 @@ def _bench_end_to_end(genome, codes, glen, read_len, batch):
     DEC = np.frombuffer(b"ACGT", np.uint8)
 
     index = GenomeIndex.build(genome, 24)
-    params = AlignParams(seed_len=24, max_probe=index.max_probe)
+    # Same params as the main stage's headline step: the compiled
+    # graphs are keyed on (params, batch, read_len), so matching them
+    # lets this stage reuse the main stage's XLA-cache entries instead
+    # of paying a second cold-compile set (which is what timed out the
+    # first e2e child on a degraded-tunnel session).
+    params = AlignParams(
+        seed_len=24, max_probe=index.max_probe, num_seeds=25,
+        hit_cap=8, max_cand=16,
+    )
 
     with tempfile.TemporaryDirectory() as td:
         fq = os.path.join(td, "r.fq")
